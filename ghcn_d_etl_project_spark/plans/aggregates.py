@@ -1,0 +1,280 @@
+"""Aggregation-family queries (SURVEY.md §2.5: A1-A16).
+
+The reference's climate marts are multi-function hash aggregates with
+conditional counts and post-agg derived columns
+(``src/transform/gold_processor.py:49-178``). Re-expressed here on the
+synthetic star schema. All aggregates go through the decimal-quantization
+recipe in ``plans/_util.py`` so DuckDB oracle hashes match exactly.
+
+Scale notes: grouping keys are kept minimal (ids + time), NOT the
+reference's 8-column keys that drag float metadata through the shuffle
+(``gold_processor.py:49-57`` groups by LATITUDE/LONGITUDE/...). Metadata
+re-attaches via a post-agg broadcast join — see ``plans/joins.py``. Spark
+plans partial (map-side) aggregation automatically; AQE coalesces the
+post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.plans._util import (
+    as_date_str,
+    count_if,
+    davg,
+    dsum,
+    t,
+)
+from ghcn_d_etl_project_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: monthly multi-aggregate with conditional counts + derived columns
+# (reference A1+A2: gold_processor.py:49-89)
+# ---------------------------------------------------------------------------
+
+_MONTHLY_AGG_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, l_linestatus, ship_year, ship_month,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+           AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) / COUNT(l_extendedprice)
+           AS avg_price,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         CAST(SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+         CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+  FROM base
+  GROUP BY l_returnflag, l_linestatus, ship_year, ship_month
+)
+SELECT *,
+       max_price - min_price AS price_range,
+       CAST(n_discounted AS DOUBLE) / n_rows * 100 AS pct_discounted
+FROM agg
+"""
+
+
+@register("monthly_agg", oracle=_MONTHLY_AGG_ORACLE, tags=("agg", "flagship"), bench=True)
+def monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly climate-mart pattern (A1+A2): multi-agg + conditional counts
+    + derived % columns, grouped by (flag, status, year, month)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.month("l_shipdate").cast("long").alias("ship_month"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus", "ship_year", "ship_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+            "sum_disc_price"
+        ),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        count_if(F.col("l_discount") > 0.06).alias("n_discounted"),
+        count_if(F.col("l_quantity") > 40).alias("n_bulk"),
+    )
+    return agg.withColumns(
+        {
+            "price_range": F.col("max_price") - F.col("min_price"),
+            "pct_discounted": F.col("n_discounted").cast("double") / F.col("n_rows") * 100,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (A1 family; classic OLAP shape)
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6)))
+         AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) / COUNT(l_extendedprice)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(24,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_PRICING_ORACLE, tags=("agg",), bench=True)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + 2-key hash agg with 8 aggregate fns."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias(
+            "sum_disc_price"
+        ),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            scale=6,
+        ).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: frequency table; A9: exact distinct count; A10: global min/max/avg
+# ---------------------------------------------------------------------------
+
+_FREQ_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("freq_table", oracle=_FREQ_ORACLE, tags=("agg",))
+def freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table (A11): groupBy(k).count(), reference
+    ``02_bronze_processing.py:65``."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+"""
+
+
+@register("distinct_count", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (A9), reference ``bronze_processor.py:151``.
+    Spark expands multi-distinct into an expand+two-phase agg; exact (not
+    approx) to match the reference's semantics."""
+    return t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_GLOBAL_MINMAX_ORACLE = """
+SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) / COUNT(o_totalprice)
+         AS avg_price
+FROM orders
+"""
+
+
+@register("global_minmax", oracle=_GLOBAL_MINMAX_ORACLE, tags=("agg",))
+def global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/avg statistics (A10), reference
+    ``bronze_processor.py:152-155``; date bounds emitted as strings."""
+    return t(spark, sf_dir, "orders").agg(
+        as_date_str(F.min("o_orderdate")).alias("min_date"),
+        as_date_str(F.max("o_orderdate")).alias("max_date"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15: grain-cardinality check; A16: second-level rollup of a mart
+# ---------------------------------------------------------------------------
+
+_GRAIN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_grains,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_per_grain
+FROM (
+  SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+"""
+
+
+@register("grain_cardinality", oracle=_GRAIN_ORACLE, tags=("agg", "quality"))
+def grain_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grain-cardinality lineage check (A15/Q6): groupBy(grain).count()
+    then summarize — reference ``05_data_validation.py:179-180`` computed
+    expected-silver rows from bronze grain."""
+    per_grain = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_grain.agg(
+        F.count(F.lit(1)).alias("n_grains"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_per_grain"),
+    )
+
+
+_ROLLUP_ORACLE = """
+WITH mart AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS cust_year_spend,
+         CAST(COUNT(*) AS BIGINT) AS cust_year_orders
+  FROM orders GROUP BY o_custkey, year(o_orderdate)
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(cust_year_spend AS DECIMAL(28,2))) AS DOUBLE) AS total_spend,
+       CAST(SUM(cust_year_orders) AS BIGINT) AS total_orders,
+       MAX(cust_year_spend) AS top_customer_spend
+FROM mart
+GROUP BY order_year
+"""
+
+
+@register("cross_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def cross_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-level rollup over a first-level mart (A16), reference
+    ``04_gold_processing.py:51-73`` state-wide trends over gold marts."""
+    mart = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            dsum("o_totalprice").alias("cust_year_spend"),
+            F.count(F.lit(1)).alias("cust_year_orders"),
+        )
+    )
+    return mart.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("cust_year_spend", scale=2, precision=28).alias("total_spend"),
+        F.sum("cust_year_orders").cast("long").alias("total_orders"),
+        F.max("cust_year_spend").alias("top_customer_spend"),
+    )

@@ -1,0 +1,74 @@
+"""Named query registry — the engine's correctness + bench surface.
+
+Every operator family from SURVEY.md §2 is exposed as one or more named
+queries. Each query is a ``(spark, sf_dir) -> DataFrame`` callable plus an
+equivalent ANSI-SQL oracle string runnable by DuckDB on the same parquet
+tables (views: region nation customer supplier part orders lineitem events
+documents embeddings). Queries whose semantics are not SQL-expressible
+(approximate sketches, streaming state) register ``oracle=None`` and get a
+rows-only check.
+
+Oracle-parity conventions used across all plans (see ``plans/_util.py``):
+  * sums of 2-decimal money doubles go through DECIMAL so both engines
+    produce the exact same value regardless of accumulation order;
+  * integer-valued outputs are cast to BIGINT on both sides;
+  * dates/timestamps in outputs are formatted to strings on both sides;
+  * every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: frozenset[str] = field(default_factory=frozenset)
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the registry.
+
+    ``oracle`` is DuckDB-flavoured ANSI SQL over the pre-registered table
+    views; ``None`` marks a rows-only-checked query.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=frozenset(tags),
+            bench=bench,
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import all plan modules (side effect: registration) and return them."""
+    from ghcn_d_etl_project_spark import plans  # noqa: F401  (triggers imports)
+
+    return dict(_REGISTRY)

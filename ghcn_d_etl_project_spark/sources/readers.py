@@ -1,0 +1,96 @@
+"""Readers: parquet table loader + generalized fixed-width text scan.
+
+Reference analogs:
+  * parquet/Delta layer scan — ``spark.read.format("delta").load(path)``
+    (reference ``src/transform/silver_processor.py:25``); here plain parquet.
+  * fixed-width ``.dly`` scan — ``spark.read.text`` + per-column
+    ``substring``/``trim``/``cast`` projections
+    (reference ``src/transform/bronze_processor.py:43-81`` and
+    ``silver_processor.py:86-114``). Generalized into ``read_fixed_width``
+    with a declarative colspec instead of one-off notebook code.
+
+Scale notes: one multi-path/glob ``spark.read.text`` scan replaces the
+reference's 913-iteration per-file union chain
+(``bronze_processor.py:35-38``) — a single scan node keeps the logical plan
+O(1), globbing parallelizes listing, and file splits become input
+partitions; substring projections are Catalyst expressions, so column
+pruning and whole-stage codegen apply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic test table (``<sf_dir>/<name>.parquet``)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load several tables as a dict; lazy (no action is triggered)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+@dataclass(frozen=True)
+class ColSpec:
+    """One fixed-width column: 1-indexed start, width, target type.
+
+    ``trim`` strips surrounding whitespace BEFORE the cast (string casts to
+    numeric in Spark tolerate whitespace, but trimming keeps string columns
+    clean — the reference trims NAME, ``silver_processor.py:106``).
+    """
+
+    name: str
+    start: int  # 1-indexed, inclusive (matches substring() semantics)
+    width: int
+    dtype: str = "string"  # any Spark cast-able type name
+    trim: bool = False
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    paths: str | list[str],
+    colspec: list[ColSpec],
+    keep_line: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Parse fixed-width text files into typed columns.
+
+    Equivalent of the reference's hand-written station/.dly parsers
+    (``bronze_processor.py:50-61``, ``silver_processor.py:100-108``) as a
+    reusable declarative op. Accepts globs / lists of paths — Spark
+    parallelizes the scan natively (no driver-side file loop).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.text(paths)
+    cols = []
+    for c in colspec:
+        col = F.substring(F.col("value"), c.start, c.width)
+        if c.trim:
+            col = F.trim(col)
+        if c.dtype != "string":
+            col = col.cast(c.dtype)
+        cols.append(col.alias(c.name))
+    if keep_line:
+        cols.append(F.col("value").alias(line_col))
+    return df.select(*cols)

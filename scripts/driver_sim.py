@@ -1,0 +1,89 @@
+"""Driver simulation: exercises __spark_entry__ exactly as the round driver does.
+
+Fresh-process import of /root/repo/__spark_entry__.py -> entry() smoke at
+sf0.001, then every queries() entry at sf0.01 compared against oracle_sql()
+via DuckDB (row count + sorted-column schema + order-insensitive value hash).
+"""
+
+import hashlib
+import importlib.util
+import json
+import math
+import sys
+import time
+
+import duckdb
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from ghcn_d_etl_project_spark.session import get_spark  # noqa: E402
+
+spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+
+# --- smoke: entry() ---
+t0 = time.time()
+edf = mod.entry(spark)
+rows = edf.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
+assert len(rows) >= 0
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 6))
+    return str(v)
+
+def value_hash(pdf):
+    cols = sorted(pdf.columns)
+    rows = sorted(
+        tuple(norm(v) for v in r)
+        for r in pdf[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+
+qs = mod.queries()
+oracles = mod.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+assert set(oracles) <= set(qs), "oracle keys must be subset of query keys"
+
+results = {}
+fail = 0
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    spdf = fn(spark, SF01).toPandas()
+    dt = time.time() - t0
+    if name in oracles:
+        opdf = con.execute(oracles[name]).df()
+        ok = (
+            len(spdf) == len(opdf)
+            and sorted(spdf.columns) == sorted(opdf.columns)
+            and value_hash(spdf) == value_hash(opdf)
+        )
+        status = "MATCH" if ok else "MISMATCH"
+        if not ok:
+            fail += 1
+            print(f"  spark: {len(spdf)} rows {sorted(spdf.columns)}")
+            print(f"  duck : {len(opdf)} rows {sorted(opdf.columns)}")
+    else:
+        status = f"rows-only({len(spdf)})"
+    results[name] = status
+    print(f"{name}: {status} [{dt:.1f}s, {len(spdf)} rows]")
+
+print(json.dumps(results, indent=0))
+sys.exit(1 if fail else 0)
