@@ -5,7 +5,12 @@ Each module covers one operator family from SURVEY.md §2; the registry in
 ``__spark_entry__.py``, the pytest oracle-parity suite, and ``bench.py``.
 """
 
-from ghcn_d_etl_project_spark.plans import aggregates  # noqa: F401
+from ghcn_d_etl_project_spark.plans import (  # noqa: F401
+    aggregates,
+    core,
+    joins,
+    reshape,
+)
 from ghcn_d_etl_project_spark.plans.registry import Query, all_queries, register
 
 __all__ = ["Query", "all_queries", "register"]

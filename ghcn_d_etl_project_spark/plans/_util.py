@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ghcn_d_etl_project_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def dsum(col: Column | str, scale: int = 2, precision: int = 24) -> Column:

@@ -1,0 +1,225 @@
+"""Join + set-operation queries (SURVEY.md §2.4, §2.8).
+
+J1 broadcast dimension enrichment, J2 aggregate-enrichment (anomaly
+pattern), semi/anti joins and exceptAll for lineage reconciliation (the
+distributed fix for the reference's driver-side set diffs), union append,
+and a multi-join star query as the bench headline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.joins import aggregate_enrich, enrich
+from ghcn_d_etl_project_spark.plans._util import count_if, davg, dsum, t
+from ghcn_d_etl_project_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# J1: broadcast dim enrichment (customer -> nation -> region)
+# ---------------------------------------------------------------------------
+
+_DIM_ENRICH_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("dim_enrich_join", oracle=_DIM_ENRICH_ORACLE, tags=("join",))
+def dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop broadcast dimension enrichment (J1): the reference's
+    stations join (``silver_processor.py:116-119``) generalized. Both dims
+    broadcast — the fact side never shuffles."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey"
+    )
+    r = t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_name")
+    )
+    out = enrich(c, n, on=[c.c_nationkey == n.n_nationkey])
+    out = enrich(out, r, on=[out.n_regionkey == r.r_regionkey])
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "nation_name", "region_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: aggregate-enrichment / anomaly-vs-group-normal pattern
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH normals AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) / COUNT(o_totalprice)
+           AS cust_avg_price,
+         CAST(COUNT(*) AS BIGINT) AS cust_n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       n.cust_avg_price, n.cust_n_orders,
+       o.o_totalprice - n.cust_avg_price AS price_anomaly
+FROM orders o
+LEFT JOIN normals n ON o.o_custkey = n.o_custkey
+"""
+
+
+@register("agg_enrich_anomaly", oracle=_ANOMALY_ORACLE, tags=("join",), bench=True)
+def agg_enrich_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-enrichment (J2): join per-customer normals back onto each
+    order and compute the deviation — the reference's monthly-normals
+    anomaly pattern (``gold_processor.py:211-225``). The normals side is
+    broadcast back (one row per key)."""
+    o = t(spark, sf_dir, "orders")
+    out = aggregate_enrich(
+        o,
+        keys=["o_custkey"],
+        aggs=[
+            davg("o_totalprice").alias("cust_avg_price"),
+            F.count(F.lit(1)).alias("cust_n_orders"),
+        ],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "cust_avg_price",
+        "cust_n_orders",
+        (F.col("o_totalprice") - F.col("cust_avg_price")).alias("price_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS) + exceptAll reconciliation (U2)
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@register("semi_join", oracle=_SEMI_ORACLE, tags=("join",))
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join = EXISTS: customers having at least one big order.
+    SURVEY §2.4 notes the reference lacks semi/anti but needs them for its
+    reconciliation checks."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("anti_join", oracle=_ANTI_ORACLE, tags=("join",))
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join = NOT EXISTS: customers with no orders — the
+    distributed replacement for the reference's driver-side station-set
+    diff (U2, ``05_data_validation.py:183-187``)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey AS key FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+
+@register("except_recon", oracle=_EXCEPT_ORACLE, tags=("join", "setop"))
+def except_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set reconciliation: customer keys never seen in
+    orders. Same answer as anti_join but via the set-operator plan."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+_UNION_ORACLE = """
+SELECT o_orderkey, o_totalprice, 'high' AS tier FROM orders WHERE o_totalprice > 250000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'low' AS tier FROM orders WHERE o_totalprice < 50000
+"""
+
+
+@register("union_append", oracle=_UNION_ORACLE, tags=("setop",))
+def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union append (U1) — ``unionByName`` of tagged
+    slices; the scale-safe form of the reference's 913-way union loop
+    (``bronze_processor.py:35-38``), which is instead ONE multi-path scan
+    in this engine's sources."""
+    o = t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("tier")
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("tier")
+    )
+    return hi.unionByName(lo)
+
+
+# ---------------------------------------------------------------------------
+# Bench headline: 5-table star join with agg (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+_STAR_ORACLE = """
+SELECT r.r_name AS region_name,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, year(o.o_orderdate)
+"""
+
+
+@register("star_join_revenue", oracle=_STAR_ORACLE, tags=("join", "agg"), bench=True)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join + aggregate (TPC-H Q5 shape): revenue by region
+    and year. customer/nation/region broadcast; lineitem-orders is the one
+    real shuffle join — at 100 TB both sides hash-partition on orderkey
+    and AQE handles skew."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_name")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(
+        "region_name", F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+        count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+    )

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) (e.g. the events table) is illegal for
+        # Spark's vectorized reader; read as long nanos and convert in the
+        # loader (sources.readers.nanos_to_ts) — lossless for micro-aligned
+        # data.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLE_NAMES = (
@@ -38,9 +38,27 @@ TABLE_NAMES = (
 )
 
 
+def nanos_to_ts(col: Column) -> Column:
+    """Convert a nanosecond-epoch LONG to a timestamp (micro truncation).
+
+    Spark's parquet reader rejects TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by the session
+    factory) such columns arrive as LONG nanos. Lossless when the data is
+    micro-aligned (true for the synthetic events table).
+    """
+    return F.timestamp_micros((col / 1000).cast("long"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic test table (``<sf_dir>/<name>.parquet``)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one synthetic test table (``<sf_dir>/<name>.parquet``).
+
+    Normalizes nano-timestamp columns read as LONG back to timestamps so
+    downstream plans see proper temporal types.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", nanos_to_ts(F.col("ts")))
+    return df
 
 
 def load_tables(
