@@ -1,0 +1,176 @@
+"""Data-quality operators (SURVEY.md §2.12: Q1-Q7).
+
+Reference analogs:
+  * Q1 quality score — fraction of non-null measurement columns with a
+    consistency penalty (``src/transform/silver_processor.py:121-142``).
+  * Q3 schema contract — declared StructType vs actual, subset semantics:
+    extra columns OK, missing/mismatched fail (``src/utils/data_validator.py:61-84``).
+  * Q4 completeness % per column — the reference runs ONE JOB PER COLUMN
+    (``data_validator.py:86-97``); here fused into a single agg pass
+    (SURVEY §2.5 A12 note).
+  * Q5 IQR outlier bounds from quantiles (``data_validator.py:99-115``).
+  * Q6 lineage reconciliation — grain cardinality + key-set equality
+    across layers (``05_data_validation.py:119-187``), distributed (no
+    collect()) via operators.joins.reconcile_keys.
+
+Scale notes: every check here is a single-pass aggregate or a broadcast
+join — the reference's per-metric count() storm would launch hundreds of
+jobs over 100 TB; the fused form launches one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def quality_score(
+    cols: list[str],
+    penalty_cond: Column | None = None,
+    penalty: float = 0.8,
+) -> Column:
+    """Row-level quality score (Q1): (# non-null cols)/N, optionally
+    multiplied by ``penalty`` where ``penalty_cond`` holds (the reference's
+    TMAX<TMIN consistency penalty, ``silver_processor.py:134-141``)."""
+    n_present = sum(
+        (F.col(c).isNotNull().cast("int") for c in cols), start=F.lit(0)
+    )
+    score = n_present / F.lit(float(len(cols)))
+    if penalty_cond is not None:
+        score = F.when(penalty_cond, score * penalty).otherwise(score)
+    return score
+
+
+def completeness(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column non-null counts + % in ONE aggregate pass (Q4/A12).
+
+    Returns one row: ``n_rows``, ``<col>_nonnull``, ``<col>_pct`` for each
+    column. The fused replacement for the reference's one-job-per-column
+    loop (``data_validator.py:86-97``).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNotNull().cast("long")).cast("long").alias(f"{c}_nonnull"))
+    out = df.agg(*aggs)
+    for c in cols:
+        out = out.withColumn(
+            f"{c}_pct",
+            F.col(f"{c}_nonnull").cast("double") / F.col("n_rows") * 100,
+        )
+    return out
+
+
+def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """describe()-equivalent (A13) as ONE deterministic agg pass.
+
+    count/mean/stddev/min/max per column, long format (one row per column).
+    stddev is derived from exact decimal moments
+    (sqrt((ssq - s^2/n)/(n-1))) so it is bit-identical across engines —
+    unlike streaming-variance implementations, which are order-dependent.
+    """
+    aggs: list[Column] = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.count(x).alias(f"{c}__n"),
+            F.sum(x.cast("decimal(28,4)")).cast("double").alias(f"{c}__s"),
+            F.sum((x * x).cast("decimal(30,6)")).cast("double").alias(f"{c}__ssq"),
+            F.min(x).alias(f"{c}__min"),
+            F.max(x).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # long format via stack: one row per column
+    parts = []
+    for c in cols:
+        parts.append(
+            f"'{c}', `{c}__n`, `{c}__s`, `{c}__ssq`, `{c}__min`, `{c}__max`"
+        )
+    stacked = wide.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) as "
+            "(column_name, n, s, ssq, min_val, max_val)"
+        )
+    )
+    n = F.col("n").cast("double")
+    return stacked.select(
+        "column_name",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s") / n).alias("mean"),
+        # rounded: C compilers may contract ssq - s*s/n into an FMA,
+        # shifting the result by 1 ulp vs the JVM's strict evaluation
+        F.when(
+            F.col("n") > 1,
+            F.round(F.sqrt((F.col("ssq") - F.col("s") * F.col("s") / n) / (n - 1)), 6),
+        ).alias("stddev"),
+        "min_val",
+        "max_val",
+    )
+
+
+def iqr_bounds(
+    df: DataFrame, col: str, k: float = 1.5, round_digits: int = 6
+) -> DataFrame:
+    """Exact-percentile IQR outlier bounds + outlier count (Q5/A14).
+
+    The reference uses approxQuantile(0.25/0.75, 0.05) then flags values
+    outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] (``data_validator.py:99-115``).
+    This exact variant is oracle-checkable; bounds are rounded so the
+    outlier comparison is stable across engines. See
+    ``approx_quantile_bounds`` for the sketch-based scale path.
+    """
+    x = F.col(col)
+    q = df.agg(
+        F.round(F.expr(f"percentile({col}, 0.25)"), round_digits).alias("q1"),
+        F.round(F.expr(f"percentile({col}, 0.75)"), round_digits).alias("q3"),
+    )
+    q = q.select(
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lower"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("upper"),
+    )
+    joined = df.select(x.alias("_v")).crossJoin(F.broadcast(q))
+    return joined.groupBy("q1", "q3", "iqr", "lower", "upper").agg(
+        F.sum(((F.col("_v") < F.col("lower")) | (F.col("_v") > F.col("upper"))).cast("long"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def approx_quantile_bounds(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
+    """Sketch-based IQR bounds via percentile_approx — the 100 TB path
+    (single-pass mergeable sketch, no full sort). Approximate => rows-only
+    checked."""
+    q = df.agg(
+        F.percentile_approx(col, 0.25, 10000).alias("q1"),
+        F.percentile_approx(col, 0.75, 10000).alias("q3"),
+    )
+    return q.select(
+        "q1",
+        "q3",
+        (F.col("q1") - k * (F.col("q3") - F.col("q1"))).alias("lower"),
+        (F.col("q3") + k * (F.col("q3") - F.col("q1"))).alias("upper"),
+    )
+
+
+def schema_contract_report(
+    df: DataFrame, expected: T.StructType
+) -> tuple[bool, list[str]]:
+    """Schema contract check (Q3): subset semantics as in the reference —
+    every expected field must exist with the exact dataType; extra actual
+    columns are allowed (``data_validator.py:61-84``). Driver-side
+    metadata-only check (no job runs)."""
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    problems: list[str] = []
+    for field in expected.fields:
+        if field.name not in actual:
+            problems.append(f"missing column: {field.name}")
+        elif actual[field.name] != field.dataType:
+            problems.append(
+                f"type mismatch {field.name}: expected {field.dataType}, "
+                f"got {actual[field.name]}"
+            )
+    return (not problems, problems)

@@ -1,0 +1,106 @@
+"""Window-function operators: lags, rolling frames, ranking, running totals.
+
+Reference analogs (SURVEY.md §2.6):
+  * W1 lag features — ``lag(TMAX/TMIN/PRCP, 1).over(partitionBy(ID).orderBy(DATE))``,
+    ``src/transform/gold_processor.py:185-194``.
+  * W2/W3 rolling mean/sum — ``avg/sum(...).over(w.rowsBetween(-6, 0))``,
+    ``gold_processor.py:195-199``. ROWS-based — gaps in the series shrink
+    the true time window; ``rolling_range`` below is the semantically
+    correct RANGE twin (SURVEY §2.6 note) the reference lacks.
+  * Ranking (row_number/rank/dense_rank/ntile) and ``lead`` do not exist
+    in the reference; exposed here as the natural completion of the family.
+
+Scale notes: one window spec = one shuffle on the partition keys; all
+functions sharing a spec run in a single Window physical node, so a plan
+should REUSE one spec for many features (as the reference does). Ordering
+must include a unique tiebreaker for deterministic lag/row_number output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(
+    partition_by: list[str], order_by: list[str | Column]
+) -> WindowSpec:
+    """Per-entity time-ordered window spec (the reference's
+    ``Window.partitionBy("ID").orderBy("DATE")``)."""
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def with_lags(
+    df: DataFrame,
+    w: WindowSpec,
+    cols: list[str],
+    offsets: tuple[int, ...] = (1,),
+    prefix: str = "prev",
+) -> DataFrame:
+    """Add lag features: ``prev{k}_{col}`` for each col x offset (W1)."""
+    out = df
+    for col in cols:
+        for k in offsets:
+            name = f"{prefix}{k}_{col}" if k != 1 else f"{prefix}_{col}"
+            out = out.withColumn(name, F.lag(col, k).over(w))
+    return out
+
+
+def rolling_rows(
+    df: DataFrame,
+    w: WindowSpec,
+    agg_cols: dict[str, Column],
+    preceding: int = 6,
+) -> DataFrame:
+    """ROWS-frame rolling features over the last ``preceding``+1 rows (W2/W3).
+
+    ``agg_cols`` maps output name -> aggregate Column (un-windowed); the
+    frame ``rowsBetween(-preceding, 0)`` is applied here so every feature
+    shares one Window node.
+    """
+    frame = w.rowsBetween(-preceding, 0)
+    out = df
+    for name, col in agg_cols.items():
+        out = out.withColumn(name, col.over(frame))
+    return out
+
+
+def rolling_range(
+    df: DataFrame,
+    partition_by: list[str],
+    order_num_col: Column,
+    agg_cols: dict[str, Column],
+    preceding: int = 6,
+) -> DataFrame:
+    """RANGE-frame rolling features over a numeric order column.
+
+    The correct-semantics twin of ``rolling_rows`` for gappy time series:
+    a 7-day window covers calendar days, not 7 physical rows. Spark RANGE
+    frames need a numeric ordering expression — pass e.g.
+    ``F.datediff(col, lit(epoch))`` as ``order_num_col``.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_num_col)
+        .rangeBetween(-preceding, 0)
+    )
+    out = df
+    for name, col in agg_cols.items():
+        out = out.withColumn(name, col.over(w))
+    return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number — the distributed top-k pattern
+    (a per-partition local sort, no global shuffle of non-winners)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

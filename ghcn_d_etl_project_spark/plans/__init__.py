@@ -9,7 +9,9 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     aggregates,
     core,
     joins,
+    quality,
     reshape,
+    windows,
 )
 from ghcn_d_etl_project_spark.plans.registry import Query, all_queries, register
 

@@ -1,0 +1,208 @@
+"""Data-quality queries (SURVEY.md §2.12) wired to operators/quality.py.
+
+The NULL-bearing input is the pivoted events table (one row per
+user x day, one column per event type — absent combinations are NULL),
+standing in for the reference's silver element columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.quality import (
+    approx_quantile_bounds,
+    completeness,
+    iqr_bounds,
+    quality_score,
+    summary_stats,
+)
+from ghcn_d_etl_project_spark.operators.reshape import pivot_wide
+from ghcn_d_etl_project_spark.plans._util import as_date_str, t
+from ghcn_d_etl_project_spark.plans.registry import register
+
+_EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+_PIVOT_CTE = """
+WITH pivoted AS (
+  SELECT user_id,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+         MAX(CASE WHEN event_type = 'click' THEN value END) AS click,
+         MAX(CASE WHEN event_type = 'view' THEN value END) AS view,
+         MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+         MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+         MAX(CASE WHEN event_type = 'error' THEN value END) AS error
+  FROM events
+  GROUP BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+)
+"""
+
+
+def _pivoted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        as_date_str(F.col("ts").cast("date")).alias("event_date"),
+        "event_type",
+        "value",
+    )
+    return pivot_wide(
+        ev,
+        keys=["user_id", "event_date"],
+        pivot_col="event_type",
+        pivot_values=_EVENT_TYPES,
+        value_col="value",
+        agg="max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1: row-level quality score with consistency penalty
+# ---------------------------------------------------------------------------
+
+_SCORE_ORACLE = (
+    _PIVOT_CTE
+    + """
+SELECT user_id, event_date,
+       CASE WHEN error IS NOT NULL AND purchase IS NOT NULL THEN
+         (CAST(click IS NOT NULL AS INTEGER) + CAST(view IS NOT NULL AS INTEGER)
+          + CAST(signup IS NOT NULL AS INTEGER) + CAST(purchase IS NOT NULL AS INTEGER)
+          + CAST(error IS NOT NULL AS INTEGER)) / 5.0 * 0.8
+       ELSE
+         (CAST(click IS NOT NULL AS INTEGER) + CAST(view IS NOT NULL AS INTEGER)
+          + CAST(signup IS NOT NULL AS INTEGER) + CAST(purchase IS NOT NULL AS INTEGER)
+          + CAST(error IS NOT NULL AS INTEGER)) / 5.0
+       END AS data_quality_score
+FROM pivoted
+"""
+)
+
+
+@register("quality_score_rows", oracle=_SCORE_ORACLE, tags=("quality",))
+def quality_score_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality score (Q1): non-null fraction of the 5 pivoted
+    event columns, x0.8 penalty when an error coexists with a purchase —
+    the analog of the reference's TMAX<TMIN penalty
+    (``silver_processor.py:121-142``)."""
+    pv = _pivoted_events(spark, sf_dir)
+    penalty = F.col("error").isNotNull() & F.col("purchase").isNotNull()
+    return pv.select(
+        "user_id",
+        "event_date",
+        quality_score(_EVENT_TYPES, penalty_cond=penalty).alias(
+            "data_quality_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4/A12: fused single-pass completeness
+# ---------------------------------------------------------------------------
+
+_COMPLETENESS_ORACLE = (
+    _PIVOT_CTE
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(click) AS BIGINT) AS click_nonnull,
+       CAST(COUNT(view) AS BIGINT) AS view_nonnull,
+       CAST(COUNT(signup) AS BIGINT) AS signup_nonnull,
+       CAST(COUNT(purchase) AS BIGINT) AS purchase_nonnull,
+       CAST(COUNT(error) AS BIGINT) AS error_nonnull,
+       CAST(COUNT(click) AS DOUBLE) / COUNT(*) * 100 AS click_pct,
+       CAST(COUNT(view) AS DOUBLE) / COUNT(*) * 100 AS view_pct,
+       CAST(COUNT(signup) AS DOUBLE) / COUNT(*) * 100 AS signup_pct,
+       CAST(COUNT(purchase) AS DOUBLE) / COUNT(*) * 100 AS purchase_pct,
+       CAST(COUNT(error) AS DOUBLE) / COUNT(*) * 100 AS error_pct
+FROM pivoted
+"""
+)
+
+
+@register("completeness_single_pass", oracle=_COMPLETENESS_ORACLE, tags=("quality",))
+def completeness_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness % in ONE aggregate job (Q4/A12) — the fused
+    replacement for the reference's per-column count() loop
+    (``data_validator.py:86-97``): at scale, 1 job instead of N."""
+    return completeness(_pivoted_events(spark, sf_dir), _EVENT_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# A13: one-pass describe() with exact-moment stddev
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH wide AS (
+  SELECT
+    CAST(COUNT(o_totalprice) AS BIGINT) AS p__n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS p__s,
+    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS p__ssq,
+    MIN(o_totalprice) AS p__min, MAX(o_totalprice) AS p__max,
+    CAST(COUNT(o_custkey) AS BIGINT) AS c__n,
+    CAST(SUM(CAST(o_custkey AS DECIMAL(28,4))) AS DOUBLE) AS c__s,
+    CAST(SUM(CAST(o_custkey * o_custkey AS DECIMAL(30,6))) AS DOUBLE) AS c__ssq,
+    CAST(MIN(o_custkey) AS DOUBLE) AS c__min, CAST(MAX(o_custkey) AS DOUBLE) AS c__max
+  FROM orders
+)
+SELECT 'o_totalprice' AS column_name, p__n AS n, p__s / p__n AS mean,
+       CASE WHEN p__n > 1
+            THEN round(sqrt((p__ssq - p__s * p__s / p__n) / (p__n - 1)), 6) END AS stddev,
+       p__min AS min_val, p__max AS max_val
+FROM wide
+UNION ALL
+SELECT 'o_custkey', c__n, c__s / c__n,
+       CASE WHEN c__n > 1
+            THEN round(sqrt((c__ssq - c__s * c__s / c__n) / (c__n - 1)), 6) END,
+       c__min, c__max
+FROM wide
+"""
+
+
+@register("summary_stats", oracle=_STATS_ORACLE, tags=("quality", "agg"))
+def summary_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-equivalent in one pass (A13,
+    ``03_silver_processing.py:64-88``): count/mean/stddev/min/max per
+    column, stddev from exact decimal moments (deterministic, unlike
+    order-dependent streaming variance)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.col("o_custkey").cast("double").alias("o_custkey")
+    )
+    return summary_stats(o, ["o_totalprice", "o_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Q5/A14: IQR outlier bounds — exact (oracle) + sketch (rows-only)
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+         round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+  FROM orders
+), b AS (
+  SELECT q1, q3, q3 - q1 AS iqr,
+         q1 - 1.5 * (q3 - q1) AS lower, q3 + 1.5 * (q3 - q1) AS upper
+  FROM q
+)
+SELECT b.q1, b.q3, b.iqr, b.lower, b.upper,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.lower OR o.o_totalprice > b.upper
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders o CROSS JOIN b
+GROUP BY b.q1, b.q3, b.iqr, b.lower, b.upper
+"""
+
+
+@register("iqr_outliers", oracle=_IQR_ORACLE, tags=("quality",))
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile IQR outlier flagging (Q5,
+    ``data_validator.py:99-115``): bounds from percentile(0.25/0.75),
+    count of rows outside [q1-1.5*iqr, q3+1.5*iqr] via a broadcast of the
+    1-row bounds."""
+    return iqr_bounds(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register("iqr_outliers_approx", oracle=None, tags=("quality",))
+def iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based IQR bounds via percentile_approx (A14) — the 100 TB
+    path (mergeable single-pass sketch, no sort). Approximate => rows-only
+    check, mirroring the reference's approxQuantile(…, 0.05)."""
+    return approx_quantile_bounds(t(spark, sf_dir, "orders"), "o_totalprice")
