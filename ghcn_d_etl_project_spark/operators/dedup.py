@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, fuzzy-exact, n-gram Jaccard,
+MinHash+LSH, and SimHash — the training-data-pipeline dedup ladder.
+
+All pure DataFrame ops (hash/groupBy/explode/self-join); no UDFs. The
+scale story per variant:
+
+  * exact / fingerprint: one shuffle on the 128-bit content hash —
+    embarrassingly scalable.
+  * n-gram Jaccard via inverted index: explode distinct shingles, self-join
+    on shingle, count co-occurrences. Exact, but pair generation is
+    quadratic in the worst case (a shingle shared by k docs emits k^2/2
+    pairs) — use on bounded corpora or AFTER LSH candidate filtering.
+  * MinHash+LSH: signature = n_hashes column-mins over one exploded
+    shingle pass (xxhash64 with per-function seeds); band hashes bucket
+    the corpus so only same-bucket docs pair up — the linear-ish 100 TB
+    path (this is the standard shingle->minhash->band->bucket-join
+    construction from Broder/MMDS).
+  * SimHash: 64-bit signed-bit aggregate of token hashes; near-dups =
+    pairs within Hamming distance k, found by banding the 64 bits into
+    chunks (pigeonhole: d <= k implies an identical chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.textops import (
+    char_shingles,
+    fingerprint,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = False
+) -> DataFrame:
+    """Exact (or fuzzy-exact when ``normalized``) dedup groups: one row
+    per distinct content hash with the canonical (min) id and copy count.
+    """
+    key = fingerprint(text_col) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """Inverted index: one row per (doc, distinct char n-gram)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(text_col, n=n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from an inverted
+    index self-join (intersection counts) plus per-doc set sizes — the
+    exact verifier used standalone on bounded data or as the LSH
+    re-ranker at scale.
+    """
+    idx = shingle_index(df, id_col, text_col, n=n)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("set_size").alias("size1"))
+    sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("set_size").alias("size2"))
+    out = (
+        inter.join(sz1, "doc1")
+        .join(sz2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("size1") + F.col("size2") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "doc1", "doc2", "n_inter", "size1", "size2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _minhash_cols(n_hashes: int) -> list[Column]:
+    """Per-hash-function min over the exploded shingles: h_i(s) =
+    xxhash64(s, seed=i). One aggregate pass computes the whole signature."""
+    return [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, n: int = 4
+) -> DataFrame:
+    """MinHash signatures: one row per doc, ``n_hashes`` signature columns."""
+    idx = shingle_index(df, id_col, text_col, n=n)
+    return idx.groupBy("doc").agg(*_minhash_cols(n_hashes))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on ALL rows of
+    any band become candidate pairs. bands=16 over 64 hashes -> r=4 rows
+    per band; threshold ≈ (1/bands)^(1/r) ≈ 0.5 Jaccard."""
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col("doc"), F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc1"), F.col("y.doc").alias("doc2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> exact-Jaccard verification of the CANDIDATES ONLY. Output:
+    (doc1, doc2, jaccard >= threshold). Deterministic (seeded xxhash64)
+    but hash-function-specific, hence rows-only checked vs SQL.
+
+    The verify step joins each candidate pair with the two docs' shingle
+    sets and computes |A ∩ B| / |A ∪ B| with array_intersect — cost is
+    O(#candidates), never the O(N^2) inverted-index self-join the exact
+    verifier pays. This is what keeps the pipeline linear-ish at 100 TB:
+    LSH bounds the candidate count, and only candidates are scored.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, n=n)
+    cands = minhash_lsh_candidates(sigs, n_hashes=n_hashes, bands=bands)
+    shingle_sets = df.select(
+        F.col(id_col).alias("doc"), char_shingles(text_col, n=n).alias("sh")
+    )
+    s1 = shingle_sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = shingle_sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
+    return (
+        cands.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash of the whitespace tokens, as an array of 64 bits
+    folded to a BIGINT. Per token: xxhash64; per bit position: majority
+    vote (+1/-1). Pure Catalyst (transform + aggregate over the token
+    array) — no explode, no UDF."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(bit_sum(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.shiftleft(bit, b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
+    found via 8x8-bit banding (pigeonhole guarantees recall for d <= 7;
+    pairs are then verified with the true bit_count distance)."""
+    sh = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sim"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("sim"), i * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("val"),
+            )
+            for i in range(8)
+        ]
+    )
+    banded = sh.select("doc", "sim", F.explode(chunks).alias("c")).select(
+        "doc", "sim", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc1"),
+            F.col("y.doc").alias("doc2"),
+            F.col("x.sim").alias("sim1"),
+            F.col("y.sim").alias("sim2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

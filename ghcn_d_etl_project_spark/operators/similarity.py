@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (SURVEY.md §7.2 step 9): brute-force
+cosine top-k as the exact baseline, random-hyperplane (sign) LSH
+bucketing as the approximate scale path, and cosine near-dup pairs.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — a JVM-side sequential
+fold, deterministic and UDF-free. The brute-force path is a broadcast
+cross join (quadratic — fine for a query set vs corpus, or bounded
+corpora); the LSH path buckets vectors by sign-pattern so only same-bucket
+pairs are scored, which is the linear-ish construction for 100 TB-scale
+near-dup mining. At cluster scale the corpus side stays partitioned while
+the (small) query side broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine top-k neighbors per vector (self-join,
+    excluding self). Ties broken by neighbor id for determinism."""
+    base = df.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
+    other = df.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("nvec"))
+    pairs = base.crossJoin(other).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= t)."""
+    a = df.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
+    pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
+    return (
+        pairs.select(
+            "id1",
+            "id2",
+            F.round(cosine(F.col("v1"), F.col("v2")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: coefficient (p,d)
+    derived from a splitmix64-style integer mix — reproducible across
+    runs/engines without storing planes."""
+    coeffs = []
+    for d in range(dim):
+        z = (seed * 0x9E3779B97F4A7C15 + plane * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) % (1 << 64)
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z = z ^ (z >> 31)
+        coeffs.append((z % 2000001) / 1000000.0 - 1.0)  # uniform-ish [-1, 1]
+    return coeffs
+
+
+def sign_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into a
+    BIGINT. Vectors with small angle agree on most signs (SimHash for
+    real vectors)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables``
+    independent hash tables of ``n_planes`` sign bits each; candidates are
+    the union of same-bucket pairs over all tables, then exact-cosine
+    re-ranked. For neighbors at angle theta, per-table collision is
+    (1-theta/pi)^n_planes and union recall 1-(1-p)^n_tables — the
+    standard amplification trade (more tables = recall, more planes =
+    precision). Candidate-join cost drops from O(N^2) to
+    O(n_tables * sum bucket^2)."""
+    vecd = df.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t_).alias("tbl"),
+                sign_lsh_bucket(
+                    F.col("qvec"), dim, n_planes, seed=42 + 1000 * t_
+                ).alias("bucket"),
+            )
+            for t_ in range(n_tables)
+        ]
+    )
+    hashed = vecd.select("qid", "qvec", F.explode(tables).alias("h")).select(
+        "qid", "qvec", F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket")
+    )
+    other = hashed.select(
+        F.col("qid").alias("nid"), F.col("qvec").alias("nvec"), "tbl", "bucket"
+    )
+    cands = hashed.join(other, ["tbl", "bucket"]).filter(F.col("qid") != F.col("nid"))
+    # dedupe AFTER scoring: distinct on 3 scalar columns shuffles far less
+    # than distinct on two 64-double arrays
+    scored = cands.select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim"),
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.2 step 9 extensions): token
+counting, character/word shingling, document fingerprinting, a stopword
+language-ID heuristic, and a text quality score. Everything is built-in
+Column expressions (split/transform/sequence/aggregate/regexp) — no
+Python UDFs, so the hot path stays inside whole-stage codegen and scales
+to 100 TB of documents exactly like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small: the operator's shape (argmax over
+# per-language token-overlap scores) is what matters; lists are swappable.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string> with empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks
+    produced by a GPT-2-style pre-tokenizer regex (letters runs, digit
+    runs, single punctuation). An upper-bound token estimator that needs
+    no vocabulary."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?<=\W)|(?=\W)")
+    return F.size(F.filter(pieces, lambda x: F.trim(x) != "")).cast("long")
+
+
+def char_shingles(col: Column | str, n: int = 4, lowercase: bool = True) -> Column:
+    """Distinct character n-grams as array<string> — pure Catalyst
+    (sequence + transform + substring), no UDF, no explode needed until
+    the caller wants one row per shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) as array<string>."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fuzzy-exact dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint: md5 of the normalized
+    text. md5 is identical across engines (standard algorithm over UTF-8),
+    so fingerprints are oracle-checkable."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over the normalized text's characters —
+    h = sum(code(c_i) * base^i) mod m, computed with a JVM-side aggregate
+    fold (deterministic left-to-right order)."""
+    c = normalize_text(col)
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+        lambda acc, ch: F.struct(
+            ((acc["h"] + F.ascii(ch) * acc["p"]) % mod).alias("h"),
+            ((acc["p"] * base) % mod).alias("p"),
+        ),
+        lambda acc: acc["h"],
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """# tokens that are stopwords of ``lang`` (BIGINT)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-overlap language ID: argmax over per-language hit counts,
+    ties broken by alphabetical code order (first max wins), 'und' when no
+    stopword matches. Expressed as a when-ladder of pairwise comparisons
+    so a SQL oracle can state the identical CASE expression."""
+    codes = sorted(STOPWORDS)
+    hits = {code: stopword_hits(col, code) for code in codes}
+    expr = F.lit("und")
+    # build backwards so earlier codes take precedence on ties
+    for code in reversed(codes):
+        is_max = F.lit(True)
+        for other in codes:
+            if other != code:
+                is_max = is_max & (hits[code] >= hits[other])
+        expr = F.when((hits[code] > 0) & is_max, F.lit(code)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are .,!?;: punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def text_quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: rewards reasonable length,
+    moderate punctuation, and a healthy mean token length — the classic
+    pretraining-corpus filter shape (length/punct/stopword ratios)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    mean_tok_len = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / 200.0, F.lit(1.0))
+    punct_score = F.when(punct_ratio(c) < 0.1, 1.0).otherwise(0.5)
+    tok_len_score = F.when(
+        (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0
+    ).otherwise(0.5)
+    return (len_score * 0.4 + punct_score * 0.3 + tok_len_score * 0.3)

@@ -9,6 +9,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     aggregates,
     core,
     joins,
+    llm,
     quality,
     reshape,
     windows,

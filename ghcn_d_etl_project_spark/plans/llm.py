@@ -1,0 +1,362 @@
+"""LLM-training-data pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings tables.
+
+These extend the reference's capability surface (SURVEY.md §7.2 step 9);
+each is a first-class engine operator with an exact SQL oracle where the
+semantics are engine-independent, rows-only where they are hash-function
+or sketch specific (MinHash/SimHash/sign-LSH — deterministic, but defined
+by xxhash64 seeds no SQL oracle can restate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ghcn_d_etl_project_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    neardup_pairs,
+)
+from ghcn_d_etl_project_spark.operators.textops import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    text_quality_score,
+    token_count,
+)
+from ghcn_d_etl_project_spark.plans._util import t
+from ghcn_d_etl_project_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Dedup: exact + fuzzy-exact (fingerprint)
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 content hash -> canonical (min) id + copy
+    count. One shuffle on the hash; md5 is engine-independent so this is
+    fully oracle-checkable."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_FP_DEDUP_ORACLE = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_fingerprint", oracle=_FP_DEDUP_ORACLE, tags=("llm", "dedup"))
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup on the normalized-text fingerprint (lowercase,
+    strip punctuation, collapse whitespace, md5) — catches
+    formatting-only duplicates exact hashing misses."""
+    return exact_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text", normalized=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard (inverted index) — oracle-checkable
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH docs AS (SELECT doc_id, lower(text) AS txt FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(txt, CAST(i AS INTEGER), 4) AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(length(txt) - 3, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc1, i.doc2, i.n_inter,
+       s1.set_size AS size1, s2.set_size AS size2,
+       round(CAST(i.n_inter AS DOUBLE) / (s1.set_size + s2.set_size - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.doc1 = s1.doc_id
+JOIN sizes s2 ON i.doc2 = s2.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (s1.set_size + s2.set_size - i.n_inter) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-4-gram Jaccard near-dup pairs (threshold 0.5) via a
+    shingle inverted-index self-join — the exact verifier; at 100 TB this
+    runs only on LSH candidates (see minhash_lsh_dedup)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=4, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash+LSH and SimHash — deterministic but hash-defined => rows-only
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_lsh_dedup", oracle=None, tags=("llm", "dedup"), bench=True)
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 hashes)+LSH(16 bands x 4 rows, ~0.5 Jaccard knee)
+    near-dup pipeline: shingle -> signature -> band-bucket join ->
+    exact-Jaccard verify of candidates only. The linear-ish scale path for
+    corpus dedup; xxhash64-seeded so rows-only checked. Its verified
+    output is validated against ngram_jaccard_pairs in tests/."""
+    return minhash_lsh_dedup(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_hashes=64,
+        bands=16,
+        n=4,
+        threshold=0.5,
+    )
+
+
+@register("simhash_dedup", oracle=None, tags=("llm", "dedup"))
+def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 8, candidates
+    via 8x8-bit chunk banding (pigeonhole recall for d<=7) then exact
+    bit_count verification."""
+    return simhash_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+  FROM v a, v b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT qid, nid, cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT)
+         AS rank
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"), bench=True)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors per embedding: JVM-side
+    zip_with/aggregate dot products (no UDF), ranked per query vector.
+    The exact baseline the ANN path is measured against."""
+    return cosine_topk(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+
+
+_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+"""
+
+
+@register("embedding_neardup", oracle=_NEARDUP_ORACLE, tags=("llm", "similarity"))
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4 on this synthetic
+    corpus; the threshold is data-calibrated, the operator generic)."""
+    return neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table random-hyperplane sign-LSH (16
+    tables x 4 planes, ~0.9 recall on this corpus) + in-bucket exact
+    re-rank. The O(N^2) -> O(n_tables * sum bucket^2) scale path; recall
+    measured vs cosine_topk in tests/."""
+    return ann_lsh_topk(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=5,
+        n_planes=4,
+        n_tables=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality score, token counts
+# ---------------------------------------------------------------------------
+
+
+def _hits_sql(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[code])
+    return (
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"w -> list_contains([{words}], w)))"
+    )
+
+
+def _langid_case_sql() -> str:
+    codes = sorted(STOPWORDS)
+    branches = []
+    for code in codes:
+        conds = [f"h_{code} > 0"] + [
+            f"h_{code} >= h_{other}" for other in codes if other != code
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+_LANGID_ORACLE = f"""
+WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f"CAST({_hits_sql(c)} AS BIGINT) AS h_{c}" for c in sorted(STOPWORDS))}
+  FROM documents
+)
+SELECT doc_id, labeled_lang, {_langid_case_sql()} AS pred_lang,
+       h_de, h_en, h_es, h_fr, h_zh
+FROM hits
+"""
+
+
+@register("lang_id", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID per document (argmax of per-language
+    stopword hit counts, alphabetical tie-break, 'und' when zero hits) —
+    pure Column expressions, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    from ghcn_d_etl_project_spark.operators.textops import stopword_hits
+
+    cols = [
+        F.col("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("pred_lang"),
+    ] + [stopword_hits("text", c).alias(f"h_{c}") for c in sorted(STOPWORDS)]
+    return d.select(*cols)
+
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+              AS DOUBLE) AS n_toks,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars,
+         CAST(n_toks AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_toks > 0 THEN n_chars / n_toks ELSE 0.0 END AS mean_tok_len,
+         least(n_chars / 200.0, 1.0) AS len_score
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       len_score * 0.4
+         + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3
+         + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+           * 0.3 AS quality_score
+FROM feat
+"""
+
+
+@register("text_quality", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality features + score per document:
+    length/punctuation/token-shape heuristics as Column expressions."""
+    d = t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_toks = token_count("text").cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(
+            F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0)), 6
+        ).alias("mean_tok_len"),
+        text_quality_score("text").alias("quality_score"),
+    )
+
+
+_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("token_counts", oracle=_TOKENS_ORACLE, tags=("llm", "text"))
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer chunk count (letter runs / digit runs / single
+    punctuation) — the no-vocabulary token estimator."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+_FPQ_ORACLE = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS fp,
+       substring(text, 1, 16) AS prefix,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FPQ_ORACLE, tags=("llm", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (md5 of normalized text) +
+    cheap identity features; the rolling polynomial hash variant is
+    covered rows-only in tests (no SQL fold oracle)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.substring("text", 1, 16).alias("prefix"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

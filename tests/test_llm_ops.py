@@ -1,0 +1,76 @@
+"""Deeper checks for the hash-defined (rows-only) LLM-data operators:
+MinHash-LSH recall vs the exact Jaccard verifier, sign-LSH ANN recall vs
+brute-force top-k, SimHash sanity, rolling-hash determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ghcn_d_etl_project_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from ghcn_d_etl_project_spark.operators.textops import rolling_hash
+from ghcn_d_etl_project_spark.plans._util import t
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH(16 bands x 4 rows) must recover nearly all pairs with
+    Jaccard >= 0.6 (well above the ~0.5 S-curve knee) and every pair it
+    emits must be a true >= 0.5 pair (it re-verifies exactly)."""
+    docs = t(spark, SF_DIR, "documents")
+    exact = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc1, r.doc2): r.jaccard
+        for r in minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH emitted a pair the exact verifier rejects"
+    high = {p for p, j in exact.items() if j >= 0.6}
+    if high:
+        recall = len(high & set(lsh)) / len(high)
+        assert recall >= 0.9, f"LSH recall on j>=0.6 pairs too low: {recall}"
+
+
+def test_ann_lsh_recall(spark):
+    """Sign-LSH ANN top-5 (16 tables x 4 planes) must recover most of the
+    exact top-5 pairs — approximate by design, so the bar is 0.6 where the
+    measured operating point is ~0.9."""
+    emb = t(spark, SF_DIR, "embeddings")
+    exact = cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    approx = ann_lsh_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_planes=4, n_tables=16
+    ).collect()
+    exact_pairs = {(r.qid, r.nid) for r in exact}
+    approx_pairs = {(r.qid, r.nid) for r in approx}
+    assert approx_pairs, "ANN returned nothing"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, f"ANN recall collapsed: {recall}"
+
+
+def test_simhash_identical_docs(spark):
+    """Planting an exact duplicate must produce a Hamming-0 pair."""
+    docs = t(spark, SF_DIR, "documents").limit(20)
+    dup = docs.filter(F.col("doc_id") == docs.select(F.min("doc_id")).first()[0])
+    planted = docs.unionByName(
+        dup.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    pairs = simhash_pairs(planted, "doc_id", "text", max_hamming=0).collect()
+    assert any(r.doc2 - r.doc1 == 1_000_000 and r.hamming == 0 for r in pairs)
+
+
+def test_rolling_hash_deterministic(spark):
+    """Rolling hash: stable across runs, identical for identical
+    normalized content, different for different content."""
+    docs = t(spark, SF_DIR, "documents").limit(10)
+    h1 = docs.select("doc_id", rolling_hash("text").alias("h")).collect()
+    h2 = docs.select("doc_id", rolling_hash("text").alias("h")).collect()
+    assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+    values = [r.h for r in h1]
+    assert len(set(values)) == len(values), "collision on 10 distinct docs"
