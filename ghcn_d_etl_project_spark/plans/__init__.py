@@ -12,6 +12,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     llm,
     quality,
     reshape,
+    streaming,
     windows,
 )
 from ghcn_d_etl_project_spark.plans.registry import Query, all_queries, register

@@ -1,0 +1,126 @@
+"""Structured Streaming semantics tests: the window operators registered
+(and oracle-checked) in batch mode must produce the SAME answers when run
+as real streams — readStream parquet source, event-time watermark, memory
+sink — plus the applyInPandasWithState custom stateful operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.plans._util import dsum
+from ghcn_d_etl_project_spark.sources.readers import nanos_to_ts
+from ghcn_d_etl_project_spark.streaming.stateful import running_totals
+from ghcn_d_etl_project_spark.streaming.windows import (
+    session_window_agg,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare_frames
+
+
+def _events_stream(spark):
+    """events.parquet as a file-source stream (schema from the batch
+    reader, incl. the nanos-as-long ts normalization)."""
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", nanos_to_ts(F.col("ts")))
+    return raw
+
+
+def _events_batch(spark):
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    return t(spark, SF_DIR, "events")
+
+
+def _aggs():
+    return [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("total_value"),
+    ]
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    """Tumbling windows over a stream (with watermark) converge to the
+    batch answer once all data is processed."""
+    stream_agg = tumbling_window_agg(
+        _events_stream(spark), "ts", "1 hour", ["event_type"], _aggs(),
+        watermark="2 hours",
+    )
+    _run_to_memory(stream_agg, "tumbling_stream", "complete")
+    got = spark.sql("SELECT * FROM tumbling_stream").toPandas()
+    want = tumbling_window_agg(
+        _events_batch(spark), "ts", "1 hour", ["event_type"], _aggs()
+    ).toPandas()
+    problems = compare_frames(got, want)
+    assert not problems, "\n".join(problems)
+
+
+def test_streaming_session_matches_batch(spark):
+    """Session windows (30-min gap, per user) through the streaming path
+    equal the batch gaps-and-islands-verified answer."""
+    stream_agg = session_window_agg(
+        _events_stream(spark), "ts", "30 minutes", ["user_id"], _aggs(),
+        watermark="1 hour",
+    )
+    _run_to_memory(stream_agg, "session_stream", "complete")
+    got = spark.sql("SELECT * FROM session_stream").toPandas()
+    want = session_window_agg(
+        _events_batch(spark), "ts", "30 minutes", ["user_id"], _aggs()
+    ).toPandas()
+    problems = compare_frames(got, want)
+    assert not problems, "\n".join(problems)
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState running totals: after the stream drains,
+    per-user state equals the batch groupBy totals."""
+    out = running_totals(_events_stream(spark), "user_id", "value")
+    _run_to_memory(out, "running_totals", "update")
+    got = (
+        spark.sql(
+            # update mode may emit a row per micro-batch; keep the last
+            # per key (final state)
+            "SELECT user_id, n_events, total_value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+            "  FROM running_totals) WHERE rn = 1"
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _events_batch(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    pd.testing.assert_series_equal(
+        got["total_value"], want["total_value"], rtol=1e-9
+    )
