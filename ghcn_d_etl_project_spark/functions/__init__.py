@@ -1,0 +1,64 @@
+"""The engine's scalar/column function library — one import surface for
+every reusable Column-level function the operators are built from.
+
+Mirrors the role of ``pyspark.sql.functions`` for engine-specific
+functions: text analysis (tokens, shingles, fingerprints, language ID),
+vector math (dot/norm/cosine), deterministic-aggregation helpers for
+oracle parity (dsum/davg/count_if), and sketch primitives (simhash).
+Everything here is a pure Column expression or JVM-side fold — UDF-free,
+codegen-friendly, scale-safe (SURVEY.md §2.9, §2.11).
+"""
+
+from ghcn_d_etl_project_spark.operators.dedup import simhash64  # noqa: F401
+from ghcn_d_etl_project_spark.operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+    norm,
+    sign_lsh_bucket,
+)
+from ghcn_d_etl_project_spark.operators.textops import (  # noqa: F401
+    bpe_ish_token_count,
+    char_shingles,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    punct_ratio,
+    rolling_hash,
+    stopword_hits,
+    text_quality_score,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from ghcn_d_etl_project_spark.plans._util import (  # noqa: F401
+    as_date_str,
+    count_if,
+    davg,
+    dsum,
+    lsum,
+)
+
+__all__ = [
+    "as_date_str",
+    "bpe_ish_token_count",
+    "char_shingles",
+    "cosine",
+    "count_if",
+    "davg",
+    "dot",
+    "dsum",
+    "fingerprint",
+    "lang_id",
+    "lsum",
+    "norm",
+    "normalize_text",
+    "punct_ratio",
+    "rolling_hash",
+    "sign_lsh_bucket",
+    "simhash64",
+    "stopword_hits",
+    "text_quality_score",
+    "token_count",
+    "tokens",
+    "word_shingles",
+]

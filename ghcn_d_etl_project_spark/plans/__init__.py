@@ -10,6 +10,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     core,
     joins,
     llm,
+    multimodal,
     quality,
     reshape,
     streaming,

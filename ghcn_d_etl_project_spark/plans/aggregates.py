@@ -278,3 +278,75 @@ def cross_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cust_year_orders").cast("long").alias("total_orders"),
         F.max("cust_year_spend").alias("top_customer_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation: rollup / cube / grouping sets (extension — the
+# reference never uses them, SURVEY.md §2.5 note; standard OLAP surface)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("rollup_agg", oracle=_ROLLUP_ORACLE, tags=("agg", "multilevel"))
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: rollup(flag, status) emits
+    (flag,status), (flag), and grand-total rows with grouping_id
+    disambiguating NULL-as-subtotal from NULL-as-value. Spark expands
+    grouping sets before the hash aggregate — still a single shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", oracle=_CUBE_ORACLE, tags=("agg", "multilevel"))
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations in one pass (cube)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("grouping_sets_agg", oracle=_GSETS_ORACLE, tags=("agg", "multilevel"))
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-flag and per-status marginals in one
+    aggregate (no cross product, unlike cube)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,73 @@
+"""Partitioned-writer semantics (reference S10-S13): hive layout,
+dynamic partition choice, file-count/size control, inputFiles
+introspection, and read-back equality."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.plans._util import t
+from ghcn_d_etl_project_spark.sources.writers import (
+    pick_partition_columns,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+TMP = Path(__file__).resolve().parents[1] / ".tmp" / "writer_tests"
+
+
+def _fresh(name: str) -> str:
+    p = TMP / name
+    if p.exists():
+        shutil.rmtree(p)
+    return str(p)
+
+
+def test_partitioned_layout_and_roundtrip(spark):
+    path = _fresh("orders_by_year_month")
+    orders = t(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    ).withColumn("month", F.month("o_orderdate"))
+    write_partitioned(orders, path, partition_by=["year", "month"])
+    dirs = {d.name for d in Path(path).iterdir() if d.is_dir()}
+    assert all(d.startswith("year=") for d in dirs)
+    months = [m for d in Path(path).glob("year=*/month=*") for m in [d]]
+    assert months, "no hive month directories"
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a year/month predicate must prune directories
+    plan = (
+        back.filter((F.col("year") == 2023) & (F.col("month") == 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_dynamic_partition_choice():
+    assert pick_partition_columns(["a", "year", "month"]) == ["year", "month"]
+    assert pick_partition_columns(["a", "year"]) == ["year"]
+    assert pick_partition_columns(["a", "b"]) == []
+
+
+def test_file_count_control(spark):
+    path = _fresh("compact_export")
+    li = t(spark, SF_DIR, "lineitem")
+    write_partitioned(li, path, target_files=1)
+    files = [f for f in Path(path).glob("*.parquet")]
+    assert len(files) == 1
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_max_records_per_file(spark):
+    path = _fresh("split_export")
+    li = t(spark, SF_DIR, "lineitem")
+    n = li.count()
+    write_partitioned(li, path, target_files=1, max_records_per_file=max(n // 4, 1))
+    back = spark.read.parquet(path)
+    # S13: physical-file introspection via inputFiles
+    assert len(back.inputFiles()) >= 4
+    assert back.count() == n
