@@ -10,11 +10,11 @@ scale story per variant:
     on shingle, count co-occurrences. Exact, but pair generation is
     quadratic in the worst case (a shingle shared by k docs emits k^2/2
     pairs) — use on bounded corpora or AFTER LSH candidate filtering.
-  * MinHash+LSH: signature = n_hashes column-mins over one exploded
-    shingle pass (xxhash64 with per-function seeds); band hashes bucket
-    the corpus so only same-bucket docs pair up — the linear-ish 100 TB
-    path (this is the standard shingle->minhash->band->bucket-join
-    construction from Broder/MMDS).
+  * MinHash+LSH: shingles hashed once, signature = n_hashes codegen'd
+    min-aggregates (map-side partials collapse per doc pre-shuffle);
+    band hashes bucket the corpus so only same-bucket docs pair up —
+    the linear-ish 100 TB path (the standard shingle->minhash->band->
+    bucket-join construction from Broder/MMDS).
   * SimHash: 64-bit signed-bit aggregate of token hashes; near-dups =
     pairs within Hamming distance k, found by banding the 64 bits into
     chunks (pigeonhole: d <= k implies an identical chunk).
@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
 from ghcn_d_etl_project_spark.operators.textops import (
     char_shingles,
     fingerprint,
@@ -99,21 +100,50 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_cols(n_hashes: int) -> list[Column]:
-    """Per-hash-function min over the exploded shingles: h_i(s) =
-    xxhash64(s, seed=i). One aggregate pass computes the whole signature."""
-    return [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4
+) -> DataFrame:
+    """(doc, sh: array<long>) — each doc's distinct char n-grams hashed to
+    64-bit longs (one xxhash64 per shingle). The shared substrate for
+    signatures AND exact verification: hash once, reuse everywhere."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            char_shingles(F.col(text_col), n=n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, n: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    n: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signatures: one row per doc, ``n_hashes`` signature columns."""
-    idx = shingle_index(df, id_col, text_col, n=n)
-    return idx.groupBy("doc").agg(*_minhash_cols(n_hashes))
+    """MinHash signatures: one row per doc, signature as ``array<long>``.
+
+    Pipeline: shingle set → ONE xxhash64 string hash per shingle →
+    explode → n_hashes min-aggregates of cheap 16-byte rehashes
+    (xxhash64 over the long + function index). The 64 mins run inside
+    whole-stage codegen (higher-order array folds would run interpreted,
+    ~10x slower); partial aggregation collapses each doc's shingles
+    map-side — they are co-located with their doc — so the shuffle
+    carries ~|docs| signature rows, not |shingles| rows.
+    """
+    sets = shingles if shingles is not None else hashed_shingle_sets(
+        df, id_col, text_col, n=n
+    )
+    hashed = sets.select("doc", F.explode("sh").alias("h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    wide = hashed.groupBy("doc").agg(*aggs)
+    return wide.select(
+        "doc", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -121,15 +151,15 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on ALL rows of
     any band become candidate pairs. bands=16 over 64 hashes -> r=4 rows
-    per band; threshold ≈ (1/bands)^(1/r) ≈ 0.5 Jaccard."""
+    per band; threshold ≈ (1/bands)^(1/r) ≈ 0.5 Jaccard. Band buckets are
+    xxhash64 over the signature slice (an array hash), exploded to one
+    row per (doc, band)."""
     rows = n_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                ).alias("bucket"),
+                F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -159,27 +189,51 @@ def minhash_lsh_dedup(
     bands: int = 16,
     n: int = 4,
     threshold: float = 0.5,
+    est_margin: float = 0.15,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
-    pairs -> exact-Jaccard verification of the CANDIDATES ONLY. Output:
-    (doc1, doc2, jaccard >= threshold). Deterministic (seeded xxhash64)
-    but hash-function-specific, hence rows-only checked vs SQL.
+    pairs -> signature-estimate pre-filter -> exact-Jaccard verification.
+    Output: (doc1, doc2, jaccard >= threshold). Deterministic (seeded
+    xxhash64) but hash-function-specific, hence rows-only checked vs SQL.
 
-    The verify step joins each candidate pair with the two docs' shingle
-    sets and computes |A ∩ B| / |A ∪ B| with array_intersect — cost is
-    O(#candidates), never the O(N^2) inverted-index self-join the exact
-    verifier pays. This is what keeps the pipeline linear-ish at 100 TB:
-    LSH bounds the candidate count, and only candidates are scored.
+    Cost shape at 100 TB: the text is shingled and hashed ONCE
+    (hashed_shingle_sets, persisted — feeds signatures and verification);
+    LSH banding bounds the candidate count; the signature estimator
+    (fraction of agreeing minhash components ≈ Jaccard, 64 cheap long
+    compares) discards the moderately-similar mass banding lets through;
+    only survivors pay the exact set intersection. The estimate threshold
+    sits ``est_margin`` BELOW ``threshold`` so a true >= threshold pair
+    is rejected only on a >~2.6-sigma estimator deviation (p < 1%) —
+    verification stays exact for everything kept. Intersections run on
+    hashed shingles (8-byte longs): same cardinalities as the string
+    sets up to a ~2^-64 collision.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, n=n)
+    shingle_sets = hashed_shingle_sets(df, id_col, text_col, n=n).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, n=n, shingles=shingle_sets
+    ).persist()
     cands = minhash_lsh_candidates(sigs, n_hashes=n_hashes, bands=bands)
-    shingle_sets = df.select(
-        F.col(id_col).alias("doc"), char_shingles(text_col, n=n).alias("sh")
+    sg1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
+    sg2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))
+    min_matches = max(int((threshold - est_margin) * n_hashes), 0)
+    estimated = (
+        cands.join(sg1, "doc1")
+        .join(sg2, "doc2")
+        .withColumn(
+            "est_matches",
+            F.aggregate(
+                F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .filter(F.col("est_matches") >= min_matches)
+        .select("doc1", "doc2")
     )
     s1 = shingle_sets.select(F.col("doc").alias("doc1"), F.col("sh").alias("sh1"))
     s2 = shingle_sets.select(F.col("doc").alias("doc2"), F.col("sh").alias("sh2"))
     return (
-        cands.join(s1, "doc1")
+        estimated.join(s1, "doc1")
         .join(s2, "doc2")
         .withColumn(
             "jaccard",
@@ -223,7 +277,9 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
     found via 8x8-bit banding (pigeonhole guarantees recall for d <= 7;
     pairs are then verified with the true bit_count distance)."""
-    sh = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sim"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), simhash64(text_col).alias("sim")
+    )
     chunks = F.array(
         *[
             F.struct(

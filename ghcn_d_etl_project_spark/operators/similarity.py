@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two double arrays (deterministic)."""
@@ -51,14 +53,30 @@ def cosine_topk(
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact all-pairs cosine top-k neighbors per vector (self-join,
-    excluding self). Ties broken by neighbor id for determinism."""
-    base = df.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
-    other = df.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("nvec"))
+    excluding self). Ties broken by neighbor id for determinism.
+
+    Norms are computed ONCE per vector before the N^2 pair expansion, so
+    each pair costs a single dot-product fold instead of three — the
+    final expression dot/(norm_q*norm_n) is arithmetically identical to
+    inline cosine(), keeping oracle parity bit-exact.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("qid"),
+        _as_double(vec_col).alias("qvec"),
+    ).withColumn("qnorm", norm(F.col("qvec")))
+    other = base.select(
+        F.col("qid").alias("nid"),
+        F.col("qvec").alias("nvec"),
+        F.col("qnorm").alias("nnorm"),
+    )
     pairs = base.crossJoin(other).filter(F.col("qid") != F.col("nid"))
     scored = pairs.select(
         "qid",
         "nid",
-        F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+            round_digits,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -74,15 +92,23 @@ def neardup_pairs(
     threshold: float = 0.9,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= t)."""
-    a = df.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= t).
+    Norms precomputed per vector (see cosine_topk)."""
+    a = ensure_parallelism(df).select(
+        F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1")
+    ).withColumn("n1", norm(F.col("v1")))
+    b = a.select(
+        F.col("id1").alias("id2"), F.col("v1").alias("v2"), F.col("n1").alias("n2")
+    )
     pairs = a.crossJoin(b).filter(F.col("id1") < F.col("id2"))
     return (
         pairs.select(
             "id1",
             "id2",
-            F.round(cosine(F.col("v1"), F.col("v2")), round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -134,7 +160,9 @@ def ann_lsh_topk(
     standard amplification trade (more tables = recall, more planes =
     precision). Candidate-join cost drops from O(N^2) to
     O(n_tables * sum bucket^2)."""
-    vecd = df.select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
+    vecd = ensure_parallelism(df).select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec")
+    ).withColumn("qnorm", norm(F.col("qvec")))
     tables = F.array(
         *[
             F.struct(
@@ -146,11 +174,13 @@ def ann_lsh_topk(
             for t_ in range(n_tables)
         ]
     )
-    hashed = vecd.select("qid", "qvec", F.explode(tables).alias("h")).select(
-        "qid", "qvec", F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket")
+    hashed = vecd.select("qid", "qvec", "qnorm", F.explode(tables).alias("h")).select(
+        "qid", "qvec", "qnorm",
+        F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket"),
     )
     other = hashed.select(
-        F.col("qid").alias("nid"), F.col("qvec").alias("nvec"), "tbl", "bucket"
+        F.col("qid").alias("nid"), F.col("qvec").alias("nvec"),
+        F.col("qnorm").alias("nnorm"), "tbl", "bucket",
     )
     cands = hashed.join(other, ["tbl", "bucket"]).filter(F.col("qid") != F.col("nid"))
     # dedupe AFTER scoring: distinct on 3 scalar columns shuffles far less
@@ -158,7 +188,10 @@ def ann_lsh_topk(
     scored = cands.select(
         "qid",
         "nid",
-        F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias("cos_sim"),
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+            round_digits,
+        ).alias("cos_sim"),
     ).distinct()
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
