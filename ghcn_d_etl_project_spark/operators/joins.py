@@ -63,3 +63,126 @@ def reconcile_keys(
     lk = left.select(F.col(left_key).alias("key")).distinct()
     rk = right.select(F.col(right_key).alias("key")).distinct()
     return lk.join(rk, "key", "left_anti"), rk.join(lk, "key", "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the LATEST right row of the
+    same key with ``right_ts <= left_ts`` (ties match).
+
+    Spark has no ASOF JOIN operator; the scalable construction is the
+    union-and-fill pattern: tag both sides, union, sort per key by
+    (ts, side) with right rows first at equal timestamps, and propagate
+    the last right payload forward with last(ignorenulls) over an
+    unbounded-preceding ROWS frame. ONE shuffle on the key + a per-key
+    sort — linear in |left|+|right|, no range pair explosion, and skew
+    handling falls out of AQE like any window. ``tolerance_seconds``
+    null-outs matches older than the window (pandas merge_asof
+    semantics).
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__payload")
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast(
+            right.select(payload).schema["__payload"].dataType
+        ).alias("__payload"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("__row")
+            ).schema["__row"].dataType
+        ).alias("__row"),
+        payload,
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    if tolerance_seconds is not None:
+        match_ts = F.col("__match").getField(right_ts)
+        in_window = (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(match_ts)
+        ) <= int(tolerance_seconds * 1_000_000)
+        filled = filled.withColumn(
+            "__match", F.when(in_window, F.col("__match"))
+        )
+    out_cols = [F.col("__row").getField(c).alias(c) for c in left.columns]
+    out_cols += [
+        F.col("__match").getField(c).alias(f"asof_{c}") for c in right_payload
+    ]
+    return filled.select(*out_cols)
+
+
+def range_join_pairs(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    max_gap_seconds: float,
+) -> DataFrame:
+    """Ordered within-key event pairs at most ``max_gap_seconds`` apart
+    (id1's event strictly earlier, ties broken by id).
+
+    A naive theta self-join is O(rows^2) per key; bucketizing timestamps
+    to the gap width bounds each probe to TWO buckets (its own and the
+    next): pair (a,b) with 0 <= ts_b - ts_a <= w implies bucket(b) ∈
+    {bucket(a), bucket(a)+1}. The join becomes an equi-join on
+    (key, bucket) — shuffle-hashable, AQE-skew-splittable — with the
+    exact gap predicate as a post-filter. This is the standard interval
+    bucketing scheme Spark's range-join hints implement natively on
+    Databricks; expressed here with plain operators.
+    """
+    us = int(max_gap_seconds * 1_000_000)
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.floor(F.unix_micros(F.col(ts_col)) / us).alias("bucket"),
+    )
+    probe = base.select(
+        "k", "id", "ts", "us",
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    a = probe.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k")) & (F.col("a.bucket") == F.col("b.bucket")),
+    ).filter(
+        (F.col("b.us") - F.col("a.us")).between(0, us)
+        & (
+            (F.col("a.us") < F.col("b.us"))
+            | ((F.col("a.us") == F.col("b.us")) & (F.col("a.id") < F.col("b.id")))
+        )
+    )
+    return pairs.select(
+        F.col("a.k").alias(key),
+        F.col("a.id").alias("id1"),
+        F.col("b.id").alias("id2"),
+        F.col("a.ts").alias("ts1"),
+        F.col("b.ts").alias("ts2"),
+        (F.col("b.us") - F.col("a.us")).alias("gap_micros"),
+    ).distinct()

@@ -13,6 +13,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     multimodal,
     quality,
     reshape,
+    sampling,
     streaming,
     windows,
 )

@@ -223,3 +223,81 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         count_if(F.col("l_returnflag") == "R").alias("n_returned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (extension): as-of and range — operators Spark lacks,
+# composed from shuffle-friendly primitives (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       r.event_id AS purchase_event_id,
+       r.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@register("asof_join_events", oracle=_ASOF_ORACLE, tags=("join", "temporal"))
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each error event picks the latest preceding
+    purchase by the same user. Implemented as the union-and-fill pattern
+    (one shuffle + per-key sort, linear — no range explosion); the oracle
+    is DuckDB's native ASOF JOIN."""
+    from ghcn_d_etl_project_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        errors, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["ts", "event_id", "value"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("asof_ts", fmt).alias("purchase_ts"),
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts1,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts2,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_micros
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+"""
+
+
+@register("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("join", "temporal"))
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-key temporal range join: ordered same-user event pairs at
+    most 5 minutes apart, via gap-width timestamp bucketing (each probe
+    hits exactly 2 buckets) so the theta condition becomes an equi-join
+    plus post-filter; the oracle is DuckDB's native inequality join."""
+    from ghcn_d_etl_project_spark.operators.joins import range_join_pairs
+
+    e = t(spark, sf_dir, "events")
+    pairs = range_join_pairs(e, key="user_id", ts_col="ts", id_col="event_id",
+                             max_gap_seconds=300)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return pairs.select(
+        "user_id",
+        "id1",
+        "id2",
+        F.date_format("ts1", fmt).alias("ts1"),
+        F.date_format("ts2", fmt).alias("ts2"),
+        F.col("gap_micros").cast("long").alias("gap_micros"),
+    )

@@ -360,3 +360,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", 1, 16).alias("prefix"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (tokenize -> term stats -> ranked terms per doc)
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(term)
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Shuffle shape at scale: one explode + (doc,term) hash agg for tf, a
+    term-keyed agg for document frequency (broadcast back — |vocab| <<
+    |corpus|), a broadcast scalar for N, and a per-doc window for the
+    top-k. No UDFs; ranking breaks ties by term for determinism."""
+    from ghcn_d_etl_project_spark.operators.textops import tokens
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )

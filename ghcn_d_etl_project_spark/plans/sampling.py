@@ -1,0 +1,44 @@
+"""Sampling and sketching queries — training-data-pipeline staples the
+reference lacks (its only sampling is display limits, SURVEY.md §2.7).
+
+Both are engine-specific by nature (Bernoulli draws from Spark's seeded
+XORShift; HLL++ sketch registers), so they register rows-only and get
+their statistical contracts verified in tests/test_sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.plans._util import t
+from ghcn_d_etl_project_spark.plans.registry import register
+
+STRATA_FRACTIONS = {"en": 0.5, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.1}
+
+
+@register("stratified_sample", oracle=None, tags=("sampling",))
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy on the lang column with
+    per-language fractions, seed-deterministic). The standard corpus
+    rebalancing op: no shuffle at all — each task coin-flips its own
+    rows against the broadcast fraction map."""
+    d = t(spark, sf_dir, "documents")
+    return d.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register("approx_distinct", oracle=None, tags=("sampling", "sketch"))
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, with the
+    exact count alongside. At 100 TB the sketch is the only affordable
+    option for high-cardinality keys: fixed-size registers merge
+    associatively (map-side partials), vs exact distinct's full shuffle
+    of every key. rsd=0.01 ≈ 1% standard error."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -38,15 +38,17 @@ TABLE_NAMES = (
 )
 
 
-def nanos_to_ts(col: Column) -> Column:
-    """Convert a nanosecond-epoch LONG to a timestamp (micro truncation).
+def nanos_to_ts(col_name: str) -> Column:
+    """Convert a nanosecond-epoch LONG column to a timestamp (micro
+    truncation).
 
     Spark's parquet reader rejects TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by the session
-    factory) such columns arrive as LONG nanos. Lossless when the data is
-    micro-aligned (true for the synthetic events table).
+    factory) such columns arrive as LONG nanos. The division MUST be
+    integral (`div`): nano epochs (~1.7e18) exceed double's 53-bit
+    mantissa, so float division silently lands up to 1 microsecond off.
     """
-    return F.timestamp_micros((col / 1000).cast("long"))
+    return F.expr(f"timestamp_micros(`{col_name}` div 1000)")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,7 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", nanos_to_ts(F.col("ts")))
+        df = df.withColumn("ts", nanos_to_ts("ts"))
     return df
 
 

@@ -30,7 +30,7 @@ def _events_stream(spark):
         .parquet(SF_DIR)
     )
     if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", nanos_to_ts(F.col("ts")))
+        raw = raw.withColumn("ts", nanos_to_ts("ts"))
     return raw
 
 
