@@ -350,3 +350,48 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation (scale posture — result is
+# identical to the plain groupBy, which IS the oracle)
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("salted_hot_key_agg", oracle=_SALTED_ORACLE, tags=("agg", "skew"))
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over an extremely hot key (l_returnflag: 3 values for
+    600k rows at sf0.1) via the salted two-phase rewrite — each key's rows
+    spread across 16 salt reducers before a tiny combine. Result (and
+    oracle) identical to the plain groupBy; only the shuffle shape
+    changes. The summed column is decimal-quantized BEFORE salting so the
+    partial sums combine order-insensitively."""
+    from ghcn_d_etl_project_spark.operators.skew import salted_agg
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__qty_dec", F.col("l_quantity").cast("decimal(24,2)")
+    )
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        specs=[
+            ("l_quantity", "count", "n_rows"),
+            ("__qty_dec", "sum", "sum_qty"),
+            ("l_extendedprice", "min", "min_price"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+        n_salts=16,
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double")).withColumn(
+        "n_rows", F.col("n_rows").cast("long")
+    )

@@ -257,3 +257,40 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry path: the same engine surface via spark.sql over temp views
+# ---------------------------------------------------------------------------
+
+_SQL_CTE = """
+WITH nation_orders AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM {orders} o
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, revenue, n_orders,
+       round(revenue / n_orders, 6) AS avg_order_value
+FROM nation_orders
+"""
+
+
+@register(
+    "sql_cte_revenue",
+    oracle=_SQL_CTE.format(orders="orders", customer="customer", nation="nation"),
+    tags=("sql", "join", "agg"),
+)
+def sql_cte_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: identical ANSI text runs on both engines
+    (spark.sql over registered temp views vs DuckDB over parquet views) —
+    demonstrating that the engine's surface is DataFrame API and SQL
+    equally, compiled by the same Catalyst pipeline."""
+    for name in ("orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        _SQL_CTE.format(orders="v_orders", customer="v_customer", nation="v_nation")
+    )
