@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the optimization story as regression tests.
+
+These pin the properties that matter at 100 TB — filters reach the
+parquet scan, scans read only needed columns, dimension joins broadcast,
+window families shuffle once — so a refactor that silently degrades a
+plan fails CI, not production.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ghcn_d_etl_project_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        # default 100 truncates PushedFilters/ReadSchema mid-list
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        df = all_queries()[name].fn(spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def test_filters_push_down_to_scan(spark):
+    plan = _plan(spark, "filter_predicates")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"no pushed filters in:\n{plan[:2000]}"
+
+
+def test_scan_prunes_columns(spark):
+    """monthly_agg touches 6 lineitem columns; the scan must not read all 11."""
+    plan = _plan(spark, "monthly_agg")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 6, f"scan reads too many columns: {read_cols}"
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("dim_enrich_join", "star_join_revenue", "agg_enrich_anomaly"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name} degraded to SMJ"
+
+
+def test_window_family_single_shuffle(spark):
+    """lag + rolling share one window spec: exactly one hash-partitioning
+    exchange (per-key shuffle), no extra repartitions."""
+    for name in ("lag_features", "rolling_features"):
+        plan = _plan(spark, name)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{name}: expected 1 shuffle, saw {n_exchanges}"
+
+
+def test_aggregates_are_partial_then_final(spark):
+    """Hash aggregates must plan map-side partials (2 HashAggregate nodes
+    around the exchange), not a single-pass global agg."""
+    plan = _plan(spark, "monthly_agg")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_hot_path_queries_are_udf_free(spark):
+    """No Python-UDF eval nodes in any non-multimodal query plan."""
+    for name, q in all_queries().items():
+        if "multimodal" in q.tags:
+            continue
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} contains a Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} contains a pandas UDF"
