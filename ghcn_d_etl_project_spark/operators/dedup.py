@@ -248,11 +248,23 @@ def minhash_lsh_dedup(
     )
 
 
+def _bit_mask(b: int) -> int:
+    """Python-side mask for bit ``b`` of a 64-bit long (bit 63 is the
+    sign bit, so its literal must be the negative two's-complement
+    value — ``1 << 63`` would overflow Spark's LONG under ANSI)."""
+    return 1 << b if b < 63 else -(2**63)
+
+
 def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash of the whitespace tokens, as an array of 64 bits
-    folded to a BIGINT. Per token: xxhash64; per bit position: majority
-    vote (+1/-1). Pure Catalyst (transform + aggregate over the token
-    array) — no explode, no UDF."""
+    """Per-row 64-bit SimHash of the whitespace tokens as a BIGINT.
+
+    Per token: xxhash64; per bit position: majority vote (+1/-1).
+    NOTE: this is the *expression* form (higher-order array folds run
+    INTERPRETED, ~10x slower per element) — kept for per-row use on
+    small arrays and as the semantic spec. The pipeline path is
+    ``simhash_signatures`` below, which computes the identical value
+    with codegen'd aggregates.
+    """
     toks = tokens(text_col)
     hashes = F.transform(toks, lambda w: F.xxhash64(w))
 
@@ -261,25 +273,72 @@ def simhash64(text_col: Column | str) -> Column:
             hashes,
             F.lit(0),
             lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(2**63))) != 0, 1).otherwise(-1),
+            + F.when(h.bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1),
         )
 
     out = F.lit(0).cast("long")
     for b in range(64):
         bit = F.when(bit_sum(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = out + F.shiftleft(bit, b)
+        out = out.bitwiseOR(F.shiftleft(bit, b))
     return out
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sim) SimHash signatures via explode + 64 codegen'd sign-sum
+    aggregates — the scale path (same rewrite that took MinHash off
+    interpreted HOFs: hash each token once, explode, and let partial
+    aggregation collapse per-doc sums map-side so the shuffle carries
+    one 64-sum row per doc, not one row per token).
+
+    Bit-for-bit identical to ``simhash64``: the per-bit sum of +1/-1
+    votes over the same token multiset, tie (sum <= 0) -> bit 0; docs
+    with no tokens (empty/null text) keep signature 0 via
+    ``explode_outer`` + a zero vote for the null placeholder row.
+    """
+    toked = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(text_col)).alias("w"),
+    )
+    hashed = toked.select(
+        "doc",
+        F.when(F.col("w").isNull(), None).otherwise(F.xxhash64(F.col("w"))).alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.col("h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    wide = hashed.groupBy("doc").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    return wide.select("doc", sim.alias("sim"))
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
-    found via 8x8-bit banding (pigeonhole guarantees recall for d <= 7;
-    pairs are then verified with the true bit_count distance)."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), simhash64(text_col).alias("sim")
-    )
+    found via 8x8-bit banding; pairs are then verified with the true
+    bit_count distance.
+
+    Recall contract: pigeonhole over 8 bands guarantees every pair at
+    distance <= 7 shares at least one identical band; at distance 8 the
+    differing bits can land one per band and the pair is silently
+    missed — so ``max_hamming`` must stay below the band count.
+    """
+    if max_hamming >= 8:
+        raise ValueError(
+            "max_hamming must be <= 7: 8-band LSH only guarantees recall "
+            "for Hamming distance < number of bands"
+        )
+    sh = simhash_signatures(df, id_col, text_col)
     chunks = F.array(
         *[
             F.struct(

@@ -138,11 +138,12 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_dedup", oracle=None, tags=("llm", "dedup"))
 def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs within Hamming distance 8, candidates
-    via 8x8-bit chunk banding (pigeonhole recall for d<=7) then exact
+    """SimHash-64 near-dup pairs within Hamming distance 7, candidates
+    via 8x8-bit chunk banding (pigeonhole guarantees recall exactly for
+    d<=7, which is why 7 is also the operator's ceiling) then exact
     bit_count verification."""
     return simhash_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
     )
 
 
@@ -166,7 +167,7 @@ QUALIFY rank <= 5
 """
 
 
-@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"), bench=True)
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"))
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors per embedding: JVM-side
     zip_with/aggregate dot products (no UDF), ranked per query vector.
@@ -193,7 +194,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
+@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"), bench=True)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane sign-LSH (16
     tables x 4 planes, ~0.9 recall on this corpus) + in-bucket exact

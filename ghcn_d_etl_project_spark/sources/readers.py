@@ -56,7 +56,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Normalizes nano-timestamp columns read as LONG back to timestamps so
     downstream plans see proper temporal types.
+
+    The nanos conf is set here (runtime-settable) rather than relying on the
+    session factory: callers may pass any SparkSession — including one this
+    engine did not build — and ``spark.read.parquet`` on a
+    TIMESTAMP(NANOS) column throws PARQUET_TYPE_ILLEGAL without it.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", nanos_to_ts("ts"))

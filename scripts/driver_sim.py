@@ -22,9 +22,18 @@ spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__s
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
-from ghcn_d_etl_project_spark.session import get_spark  # noqa: E402
+# Deliberately a VANILLA session (NOT ghcn_d_etl_project_spark.session.get_spark):
+# the real round driver builds its own SparkSession with none of the engine's
+# confs, so any query that silently depends on a session conf must fail HERE
+# too (round-1 lesson: nanosAsLong).
+from pyspark.sql import SparkSession  # noqa: E402
 
-spark = get_spark(app_name="driver-sim", master="local[8]", shuffle_partitions=8)
+spark = (
+    SparkSession.builder.appName("driver-sim")
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
 
 # --- smoke: entry() ---
 t0 = time.time()
@@ -64,7 +73,9 @@ assert set(oracles) <= set(qs), "oracle keys must be subset of query keys"
 
 results = {}
 fail = 0
-for name, fn in sorted(qs.items()):
+# Registry order (NOT sorted): the real driver walks queries() in dict order
+# under a bounded budget, so order here mirrors what it would evaluate first.
+for name, fn in qs.items():
     t0 = time.time()
     spdf = fn(spark, SF01).toPandas()
     dt = time.time() - t0
