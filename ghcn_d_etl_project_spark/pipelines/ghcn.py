@@ -45,14 +45,16 @@ DLY_HEADER = [
 ]
 
 # ghcnd-stations.txt layout (FIXTURES.md B2; reference silver_processor.py:100-108)
+# The reference trims ID, STATE, NAME and COUNTRY (silver_processor.py:101-107);
+# blank STATE/COUNTRY must come out '' not '  ' or comparisons diverge.
 STATIONS_COLSPEC = [
-    ColSpec("ID", 1, 11),
+    ColSpec("ID", 1, 11, trim=True),
     ColSpec("LATITUDE", 13, 8, "double"),
     ColSpec("LONGITUDE", 22, 9, "double"),
     ColSpec("ELEVATION", 32, 6, "double"),
-    ColSpec("STATE", 39, 2),
+    ColSpec("STATE", 39, 2, trim=True),
     ColSpec("NAME", 42, 30, trim=True),
-    ColSpec("COUNTRY", 82, 2),
+    ColSpec("COUNTRY", 82, 2, trim=True),
 ]
 
 
@@ -195,9 +197,10 @@ def gold_monthly(silver: DataFrame) -> DataFrame:
         F.max("TMAX").alias("max_temp"),
         F.sum("PRCP").alias("total_precip"),
         F.avg("PRCP").alias("avg_precip"),
-        F.max("PRCP").alias("max_daily_precip"),
+        F.max("PRCP").alias("max_precip"),
         F.sum("SNOW").alias("total_snow"),
-        F.max("SNOW").alias("max_daily_snow"),
+        F.avg("SNOW").alias("avg_snow"),
+        F.max("SNOW").alias("max_snow"),
         F.max("SNWD").alias("max_snow_depth"),
         F.count(F.lit(1)).alias("record_count"),
         F.sum(F.when(F.col("PRCP") > 0, 1).otherwise(0)).alias("days_with_precip"),
@@ -206,13 +209,15 @@ def gold_monthly(silver: DataFrame) -> DataFrame:
         F.avg("data_quality_score").alias("avg_quality_score"),
     )
     return (
-        agg.withColumn("temp_range", F.col("max_temp") - F.col("min_temp"))
+        agg.withColumn(
+            "temperature_range", F.col("max_temp") - F.col("min_temp")
+        )
         .withColumn(
-            "precip_frequency",
+            "precip_days_pct",
             F.col("days_with_precip") / F.col("record_count") * 100,
         )
         .withColumn(
-            "snow_frequency", F.col("days_with_snow") / F.col("record_count") * 100
+            "snow_days_pct", F.col("days_with_snow") / F.col("record_count") * 100
         )
     )
 
@@ -225,14 +230,23 @@ def gold_yearly(silver: DataFrame) -> DataFrame:
         *_metadata_firsts(),
         F.avg("TMAX").alias("avg_tmax"),
         F.avg("TMIN").alias("avg_tmin"),
+        # avg of the per-row midpoint — only rows where BOTH elements are
+        # non-null contribute (gold_processor.py:100), which diverges from
+        # (avg_tmax+avg_tmin)/2 under asymmetric completeness.
+        F.avg((F.col("TMAX") + F.col("TMIN")) / 2).alias("avg_temp"),
         F.min("TMIN").alias("min_temp"),
         F.max("TMAX").alias("max_temp"),
         F.sum("PRCP").alias("annual_precip"),
+        F.avg("PRCP").alias("avg_daily_precip"),
+        F.max("PRCP").alias("max_daily_precip"),
         F.sum("SNOW").alias("annual_snow"),
+        F.max("SNOW").alias("max_daily_snow"),
+        F.max("SNWD").alias("max_snow_depth"),
         F.count(F.lit(1)).alias("record_count"),
         F.sum(F.when(F.col("TMAX") > 32, 1).otherwise(0)).alias("hot_days"),
         F.sum(F.when(F.col("TMIN") < 0, 1).otherwise(0)).alias("freezing_days"),
         F.sum(F.when(F.col("PRCP") > 25, 1).otherwise(0)).alias("heavy_precip_days"),
+        F.avg("data_quality_score").alias("avg_quality_score"),
     )
     return (
         agg.withColumn(
@@ -250,27 +264,31 @@ def gold_normals(silver: DataFrame) -> DataFrame:
         *_metadata_firsts(),
         F.avg("TMAX").alias("normal_tmax"),
         F.avg("TMIN").alias("normal_tmin"),
-        F.avg("PRCP").alias("normal_prcp"),
-        F.stddev("TMAX").alias("std_tmax"),
-        F.stddev("TMIN").alias("std_tmin"),
-        F.stddev("PRCP").alias("std_prcp"),
+        # NOT (normal_tmax+normal_tmin)/2: the reference averages the
+        # per-row midpoint (gold_processor.py:146), so only rows with BOTH
+        # elements present contribute — the two diverge under asymmetric
+        # element completeness, and climate_zone keys off this one.
+        F.avg((F.col("TMAX") + F.col("TMIN")) / 2).alias("normal_temp"),
+        F.avg("PRCP").alias("normal_precip"),
+        F.stddev("TMAX").alias("tmax_stddev"),
+        F.stddev("TMIN").alias("tmin_stddev"),
+        F.stddev("PRCP").alias("precip_stddev"),
         F.min("TMIN").alias("record_low"),
         F.max("TMAX").alias("record_high"),
         F.max("PRCP").alias("record_precip"),
-        F.count(F.lit(1)).alias("n_obs"),
-        F.countDistinct("year").alias("n_years"),
+        F.count(F.lit(1)).alias("total_observations"),
+        F.countDistinct("year").alias("years_of_data"),
     )
-    avg_temp = (F.col("normal_tmax") + F.col("normal_tmin")) / 2
     return agg.withColumn(
         "climate_zone",
-        F.when(avg_temp > 20, "Hot")
-        .when(avg_temp > 10, "Temperate")
-        .when(avg_temp > 0, "Cool")
+        F.when(F.col("normal_temp") > 20, "Hot")
+        .when(F.col("normal_temp") > 10, "Temperate")
+        .when(F.col("normal_temp") > 0, "Cool")
         .otherwise("Cold"),
     ).withColumn(
         "precipitation_regime",
-        F.when(F.col("normal_prcp") > 5, "Wet")
-        .when(F.col("normal_prcp") > 2, "Moderate")
+        F.when(F.col("normal_precip") > 5, "Wet")
+        .when(F.col("normal_precip") > 2, "Moderate")
         .otherwise("Dry"),
     )
 
@@ -285,9 +303,10 @@ def gold_ml_features(silver: DataFrame) -> DataFrame:
         silver.withColumn("tmax_lag1", F.lag("TMAX", 1).over(w))
         .withColumn("tmin_lag1", F.lag("TMIN", 1).over(w))
         .withColumn("prcp_lag1", F.lag("PRCP", 1).over(w))
-        .withColumn("tmax_7d_avg", F.avg("TMAX").over(w7))
-        .withColumn("tmin_7d_avg", F.avg("TMIN").over(w7))
-        .withColumn("prcp_7d_sum", F.sum("PRCP").over(w7))
+        .withColumn("tmax_7day_avg", F.avg("TMAX").over(w7))
+        .withColumn("tmin_7day_avg", F.avg("TMIN").over(w7))
+        .withColumn("prcp_7day_sum", F.sum("PRCP").over(w7))
+        .withColumn("temp_range", F.col("TMAX") - F.col("TMIN"))
         .withColumn("day_of_year", F.dayofyear("DATE"))
         .withColumn(
             "month_sin", F.sin(F.col("month") * 2 * REFERENCE_PI / 12)
@@ -302,12 +321,23 @@ def gold_ml_features(silver: DataFrame) -> DataFrame:
         F.avg("PRCP").alias("monthly_normal_prcp"),
     )
     joined = feats.join(normals, ["ID", "month"], "left")
+    # Final projection mirrors the reference's feature_columns list
+    # (gold_processor.py:228-236): anomalies kept, raw normals dropped.
     return (
         joined.withColumn(
             "tmax_anomaly", F.col("TMAX") - F.col("monthly_normal_tmax")
         )
         .withColumn("tmin_anomaly", F.col("TMIN") - F.col("monthly_normal_tmin"))
         .withColumn("prcp_anomaly", F.col("PRCP") - F.col("monthly_normal_prcp"))
+        .select(
+            "ID", "DATE", "year", "month", "day", "day_of_year",
+            "LATITUDE", "LONGITUDE", "ELEVATION", "STATE",
+            "TMAX", "TMIN", "PRCP", "SNOW", "SNWD",
+            "tmax_lag1", "tmin_lag1", "prcp_lag1",
+            "tmax_7day_avg", "tmin_7day_avg", "prcp_7day_sum",
+            "temp_range", "tmax_anomaly", "tmin_anomaly", "prcp_anomaly",
+            "month_sin", "month_cos", "data_quality_score",
+        )
     )
 
 

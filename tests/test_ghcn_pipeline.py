@@ -192,7 +192,7 @@ def test_gold_monthly_hand_computed(spark, fixture_paths):
     assert row.max_temp == pytest.approx(max(tmaxes))
     assert row.total_precip == pytest.approx(sum(prcps))
     assert row.days_with_precip == sum(1 for x in prcps if x > 0)
-    assert row.temp_range == pytest.approx(row.max_temp - row.min_temp)
+    assert row.temperature_range == pytest.approx(row.max_temp - row.min_temp)
     assert row.NAME == "ATLANTA TEST 1"
 
 
@@ -210,14 +210,16 @@ def test_gold_normals_classification(spark, fixture_paths):
     dly, stations_path = fixture_paths
     p = run_pipeline(spark, dly, stations_path, state="GA")
     for r in p["normals"].collect():
-        avg_temp = (r.normal_tmax + r.normal_tmin) / 2
+        # climate_zone keys off normal_temp = avg((TMAX+TMIN)/2) — the
+        # per-row midpoint average (only rows with BOTH elements), which is
+        # NOT (normal_tmax+normal_tmin)/2 under asymmetric completeness.
         want_zone = (
-            "Hot" if avg_temp > 20 else
-            "Temperate" if avg_temp > 10 else
-            "Cool" if avg_temp > 0 else "Cold"
+            "Hot" if r.normal_temp > 20 else
+            "Temperate" if r.normal_temp > 10 else
+            "Cool" if r.normal_temp > 0 else "Cold"
         )
         assert r.climate_zone == want_zone
-        assert r.n_years == 1
+        assert r.years_of_data == 1
 
 
 def test_ml_features_reference_pi(spark, fixture_paths):
@@ -248,9 +250,9 @@ def test_ml_features_rolling_rows_frame(spark, fixture_paths):
         window = [x for x in tmax_seq[max(0, i - 6): i + 1] if x is not None]
         want = sum(window) / len(window) if window else None
         if want is None:
-            assert r.tmax_7d_avg is None
+            assert r.tmax_7day_avg is None
         else:
-            assert r.tmax_7d_avg == pytest.approx(want)
+            assert r.tmax_7day_avg == pytest.approx(want)
 
 
 def test_anomaly_decomposition(spark, fixture_paths):
@@ -266,3 +268,50 @@ def test_anomaly_decomposition(spark, fixture_paths):
     )
     for r in checks:
         assert r.mean_anom == pytest.approx(0.0, abs=1e-9)
+
+
+def test_normal_temp_row_midpoint_semantics(spark):
+    """normal_temp is avg((TMAX+TMIN)/2) — only rows with BOTH elements
+    contribute (gold_processor.py:146). With asymmetric nulls this differs
+    from (avg_tmax+avg_tmin)/2 and the climate_zone must follow the former."""
+    import datetime
+
+    rows = [
+        # day 1: both present, midpoint (30+10)/2 = 20
+        ("S", datetime.date(2021, 1, 1), 2021, 1, 1, 30.0, 10.0, 0.0, 0.0, 0.0, 1.0),
+        # day 2: TMAX only -> excluded from normal_temp, counted in normal_tmax
+        ("S", datetime.date(2021, 1, 2), 2021, 1, 2, 40.0, None, 0.0, 0.0, 0.0, 0.8),
+        # day 3: both present, midpoint (26+18)/2 = 22
+        ("S", datetime.date(2021, 1, 3), 2021, 1, 3, 26.0, 18.0, 0.0, 0.0, 0.0, 1.0),
+    ]
+    silver = spark.createDataFrame(
+        rows,
+        "ID string, DATE date, year int, month int, day int, TMAX double, "
+        "TMIN double, PRCP double, SNOW double, SNWD double, "
+        "data_quality_score double",
+    ).withColumns(
+        {c: F.lit(None).cast("double") for c in ("LATITUDE", "LONGITUDE", "ELEVATION")}
+    ).withColumns({c: F.lit(None).cast("string") for c in ("STATE", "NAME")})
+    r = gold_normals(silver).collect()[0]
+    assert r.normal_temp == pytest.approx(21.0)  # (20+22)/2, day 2 excluded
+    midpoint_of_avgs = (r.normal_tmax + r.normal_tmin) / 2  # 32 vs 14 -> 23
+    assert midpoint_of_avgs == pytest.approx(23.0)
+    assert r.climate_zone == "Hot"  # 21 > 20; the wrong formula also says Hot...
+    # ...so pin the boundary too: normal_temp in (10,20] with the wrong
+    # formula >20 must classify Temperate, not Hot
+    rows2 = [
+        ("S", datetime.date(2021, 1, 1), 2021, 1, 1, 25.0, 13.0, 0.0, 0.0, 0.0, 1.0),
+        ("S", datetime.date(2021, 1, 2), 2021, 1, 2, 45.0, None, 0.0, 0.0, 0.0, 0.8),
+    ]
+    silver2 = spark.createDataFrame(
+        rows2,
+        "ID string, DATE date, year int, month int, day int, TMAX double, "
+        "TMIN double, PRCP double, SNOW double, SNWD double, "
+        "data_quality_score double",
+    ).withColumns(
+        {c: F.lit(None).cast("double") for c in ("LATITUDE", "LONGITUDE", "ELEVATION")}
+    ).withColumns({c: F.lit(None).cast("string") for c in ("STATE", "NAME")})
+    r2 = gold_normals(silver2).collect()[0]
+    assert r2.normal_temp == pytest.approx(19.0)   # only day 1 midpoint
+    assert (r2.normal_tmax + r2.normal_tmin) / 2 == pytest.approx(24.0)
+    assert r2.climate_zone == "Temperate"  # keyed off 19, not 24
