@@ -174,3 +174,46 @@ def schema_contract_report(
                 f"got {actual[field.name]}"
             )
     return (not problems, problems)
+
+
+def recommendations(
+    report: dict,
+    anomaly_limit: int = 100,
+    completeness_floor: float = 80.0,
+    partition_limit: int = 200,
+) -> list[str]:
+    """Threshold-driven data-quality recommendations (Q7).
+
+    Reference rule ladder (``notebooks/05_data_validation.py:246-265``):
+    each rule inspects one metric of an already-aggregated validation
+    report (a tiny dict — this is deliberately driver-side Python; the
+    expensive part is producing the metrics, which `completeness` /
+    `summary_stats` do in single distributed passes).
+
+    ``report`` keys (all optional; absent metrics skip their rule):
+      * ``temp_anomalies``: count of out-of-range temperature rows
+      * ``temp_inconsistent``: count of TMAX<TMIN rows
+      * ``completeness``: {column: percent-non-null}
+      * ``partitions``: output file/partition count of a layer
+    """
+    recs: list[str] = []
+    if report.get("temp_anomalies", 0) > anomaly_limit:
+        recs.append(
+            "High number of temperature anomalies detected - review data sources"
+        )
+    if report.get("temp_inconsistent", 0) > 0:
+        recs.append(
+            "Temperature inconsistencies found - implement stricter validation"
+        )
+    comp = report.get("completeness", {})
+    if any(pct < completeness_floor for pct in comp.values()):
+        recs.append(
+            "Low data completeness for some elements - consider data imputation"
+        )
+    if report.get("partitions", 0) > partition_limit:
+        recs.append(
+            "Too many partitions may cause small file problem - consider repartitioning"
+        )
+    if not recs:
+        recs.append("All validation checks passed - data quality is good")
+    return recs

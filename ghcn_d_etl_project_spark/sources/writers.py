@@ -37,6 +37,13 @@ def write_partitioned(
     values first so each hive directory receives a bounded file count. If
     ``target_files`` is given (non-partitioned exports), ``coalesce``
     avoids a shuffle while capping output files.
+
+    ``fmt="delta"`` mirrors the reference's persistent layer
+    (``bronze_processor.py:126-142``): the writer passes Delta's
+    ``optimizeWrite``/``autoCompact`` options through. Requires the
+    delta-spark package on the cluster — use ``delta_available`` to probe;
+    on parquet those jobs are done by the repartition/maxRecordsPerFile
+    combination instead.
     """
     if partition_by:
         out = df.repartition(*partition_by)
@@ -45,11 +52,26 @@ def write_partitioned(
     else:
         out = df
     writer = out.write.mode(mode)
+    if fmt == "delta":
+        writer = writer.option("optimizeWrite", "true").option("autoCompact", "true")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def delta_available() -> bool:
+    """True when the delta-spark package is importable.
+
+    Import-try gate (SURVEY: Delta is the reference's table format but is
+    an optional extra here; everything falls back to parquet)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def pick_partition_columns(
