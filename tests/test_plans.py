@@ -72,3 +72,32 @@ def test_hot_path_queries_are_udf_free(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} contains a Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} contains a pandas UDF"
+
+
+def test_asof_join_single_shuffle_no_explosion(spark):
+    """The as-of join is the union-and-fill construction: ONE hash
+    exchange (the per-key window), no SortMergeJoin on a range predicate,
+    no CartesianProduct / BroadcastNestedLoopJoin pair explosion."""
+    plan = _plan(spark, "asof_join_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"asof: expected 1 shuffle, saw {n_exchanges}"
+    assert "Window" in plan  # the last(ignorenulls) fill
+
+
+def test_lsh_joins_never_cartesian(spark):
+    """Banded LSH candidate generation must stay an equi-join on
+    (band,bucket) — a regression to a cross product is the 100 TB
+    death-mode for these."""
+    for name in ("minhash_lsh_dedup", "simhash_dedup", "ann_lsh_topk"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} planned a cross product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a NL join"
+
+
+def test_exact_similarity_is_the_only_cartesian(spark):
+    """cosine_topk is the exact N^2 baseline BY DESIGN — pin that it is
+    the only registered query family allowed to plan a cross join."""
+    plan = _plan(spark, "cosine_topk")
+    assert ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
