@@ -31,6 +31,29 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as a statically-unrolled left-to-right sum.
+
+    Bit-identical to ``dot`` (same IEEE addition order: a1*b1 + a2*b2 +
+    ... applied left to right) but stays inside whole-stage codegen —
+    higher-order fold lambdas run INTERPRETED (~10x slower per element),
+    which dominates when an operator evaluates many dots per row (the
+    LSH bucketing path). Requires the dimension statically."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for d in range(2, dim + 1):
+        out = out + F.element_at(a, d) * F.element_at(b, d)
+    return out
+
+
+def _dot_literal(vec: Column, coeffs: list[float]) -> Column:
+    """Unrolled dot of an array column against Python-literal coefficients
+    (constant-folded by Catalyst; no array literal materialized per row)."""
+    out = F.element_at(vec, 1) * F.lit(coeffs[0])
+    for d in range(1, len(coeffs)):
+        out = out + F.element_at(vec, d + 1) * F.lit(coeffs[d])
+    return out
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
@@ -131,7 +154,14 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
 def sign_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed into a
     BIGINT. Vectors with small angle agree on most signs (SimHash for
-    real vectors)."""
+    real vectors).
+
+    The projection deliberately stays a zip_with/aggregate fold: a
+    statically-unrolled sum was tried and is WORSE — with 64-term
+    element_at chains janino fails to compile the generated method and
+    the whole stage falls back to per-node interpreted eval, ~20x slower
+    than the fold's tight loop. Banding cost is per-VECTOR (not per
+    candidate pair), so the fold is not the operator's bottleneck."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p, seed)])
@@ -151,6 +181,7 @@ def ann_lsh_topk(
     n_planes: int = 4,
     n_tables: int = 8,
     round_digits: int = 6,
+    est_hamming_frac: float | None = 0.47,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables``
     independent hash tables of ``n_planes`` sign bits each; candidates are
@@ -159,32 +190,60 @@ def ann_lsh_topk(
     (1-theta/pi)^n_planes and union recall 1-(1-p)^n_tables — the
     standard amplification trade (more tables = recall, more planes =
     precision). Candidate-join cost drops from O(N^2) to
-    O(n_tables * sum bucket^2)."""
+    O(n_tables * sum bucket^2).
+
+    Hamming estimator pre-filter: when all sign bits fit in 64
+    (n_tables*n_planes <= 64) every vector also gets the concatenated
+    bit signature as ONE long, and candidate pairs whose signature
+    Hamming distance exceeds ``est_hamming_frac * n_bits`` are dropped
+    BEFORE the exact dot product (E[hamming] = n_bits*theta/pi, so the
+    default 0.47 keeps pairs up to theta ~ 0.47*pi ~ 85deg and discards
+    the bulk of the ~90deg noise mass). bit_count(xor) is a codegen
+    intrinsic — orders cheaper than the fold-based dot it gates. Set
+    ``est_hamming_frac=None`` for pure banded recall."""
     vecd = ensure_parallelism(df).select(
         F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec")
     ).withColumn("qnorm", norm(F.col("qvec")))
-    tables = F.array(
+    buckets = [
+        sign_lsh_bucket(F.col("qvec"), dim, n_planes, seed=42 + 1000 * t_).alias(
+            f"b_{t_}"
+        )
+        for t_ in range(n_tables)
+    ]
+    n_bits = n_planes * n_tables
+    with_sig = est_hamming_frac is not None and n_bits <= 64
+    wide = vecd.select("qid", "qvec", "qnorm", *buckets)
+    if with_sig:
+        sig = F.lit(0).cast("long")
+        for t_ in range(n_tables):
+            sig = sig.bitwiseOR(F.shiftleft(F.col(f"b_{t_}"), n_planes * t_))
+        wide = wide.withColumn("sig", sig)
+    band_structs = F.array(
         *[
-            F.struct(
-                F.lit(t_).alias("tbl"),
-                sign_lsh_bucket(
-                    F.col("qvec"), dim, n_planes, seed=42 + 1000 * t_
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(t_).alias("tbl"), F.col(f"b_{t_}").alias("bucket"))
             for t_ in range(n_tables)
         ]
     )
-    hashed = vecd.select("qid", "qvec", "qnorm", F.explode(tables).alias("h")).select(
-        "qid", "qvec", "qnorm",
-        F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket"),
+    carry = ["qid", "qvec", "qnorm"] + (["sig"] if with_sig else [])
+    hashed = wide.select(*carry, F.explode(band_structs).alias("h")).select(
+        *carry, F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket")
     )
+    rename = {"qid": "nid", "qvec": "nvec", "qnorm": "nnorm", "sig": "nsig"}
     other = hashed.select(
-        F.col("qid").alias("nid"), F.col("qvec").alias("nvec"),
-        F.col("qnorm").alias("nnorm"), "tbl", "bucket",
+        *[F.col(c).alias(rename[c]) for c in carry],
+        "tbl",
+        "bucket",
     )
     cands = hashed.join(other, ["tbl", "bucket"]).filter(F.col("qid") != F.col("nid"))
+    if with_sig:
+        cands = cands.filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("nsig")))
+            <= int(est_hamming_frac * n_bits)
+        )
     # dedupe AFTER scoring: distinct on 3 scalar columns shuffles far less
-    # than distinct on two 64-double arrays
+    # than distinct on two dim-double arrays (measured: an ids-first
+    # distinct + re-fetch-vectors-by-id variant was ~20% slower end to end
+    # than paying the duplicate dots).
     scored = cands.select(
         "qid",
         "nid",

@@ -167,7 +167,7 @@ QUALIFY rank <= 5
 """
 
 
-@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"))
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"), bench=True)
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors per embedding: JVM-side
     zip_with/aggregate dot products (no UDF), ranked per query vector.
@@ -194,12 +194,20 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"), bench=True)
+@register("ann_lsh_topk", oracle=None, tags=("llm", "similarity"))
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane sign-LSH (16
-    tables x 4 planes, ~0.9 recall on this corpus) + in-bucket exact
-    re-rank. The O(N^2) -> O(n_tables * sum bucket^2) scale path; recall
-    measured vs cosine_topk in tests/."""
+    tables x 4 planes + 64-bit Hamming estimator pre-filter, ~0.89 recall
+    on this corpus) + exact re-rank of survivors. Recall measured vs
+    cosine_topk in tests/.
+
+    Bench note (measured at sf0.1, local[32]): this synthetic corpus has
+    WEAK neighbor structure — exact top-5 sits at cos~0.37 (theta~66deg)
+    vs ~90deg noise, so banding keeps ~64% of all pairs and LSH cannot
+    beat the exact crossJoin below ~10k vectors (9.9s vs 6.4s); the
+    exact query therefore stays the bench headline. On clustered real
+    embedding corpora (neighbors theta<45deg) the same construction
+    prunes to <5% of pairs and is the only shape that survives 100 TB."""
     return ann_lsh_topk(
         t(spark, sf_dir, "embeddings"),
         "vec_id",
