@@ -148,3 +148,34 @@ def text_quality_score(col: Column | str) -> Column:
         (mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0
     ).otherwise(0.5)
     return (len_score * 0.4 + punct_score * 0.3 + tok_len_score * 0.3)
+
+
+# PII patterns chosen from the Java-regex ∩ RE2 common subset so the same
+# literal pattern runs identically in Spark (java.util.regex) and DuckDB
+# (RE2) — keeps the op fully oracle-checkable.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\d{3}[-.]\d{3}[-.]\d{4}", "[PHONE]"),
+    (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace common PII shapes (email, NANP phone, SSN) with typed
+    placeholder tokens — the standard pre-training scrub pass. Chained
+    ``regexp_replace`` stays JVM-side; order matters (SSN after phone
+    would also match phone middles, so phone runs first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def chunk_spans(col: Column | str, chunk_tokens: int, stride: int) -> Column:
+    """Sliding-window chunk start positions (1-indexed into the token
+    array): 1, 1+stride, ... up to the last start that begins a non-empty
+    chunk. Overlap = chunk_tokens - stride."""
+    toks = tokens(col)
+    return F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)) + 1, F.lit(stride)
+    )

@@ -436,3 +436,82 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# Text pipeline ops: PII redaction + sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g'),
+         '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS clean_text
+FROM documents
+"""
+
+
+@register("pii_redact", oracle=_PII_ORACLE, tags=("llm", "text"))
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/phone/SSN shapes replaced with typed
+    placeholder tokens via chained JVM-side regexp_replace. Patterns sit
+    in the Java-regex ∩ RE2 subset so the DuckDB oracle runs the literal
+    same regexes; planted-PII behavior is pinned in tests/."""
+    from ghcn_d_etl_project_spark.operators.textops import pii_redact
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", pii_redact("text").alias("clean_text")
+    )
+
+
+_CHUNK_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks,
+         CAST(u.i AS INTEGER) AS start,
+         (CAST(u.i AS BIGINT) - 1) // 24 AS chunk_id
+  FROM d, UNNEST(generate_series(1, greatest(len(toks), 1), 24)) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       array_to_string(toks[start : start + 31], ' ') AS chunk_text,
+       CAST(len(toks[start : start + 31]) AS BIGINT) AS n_tokens
+FROM starts
+WHERE len(toks[start : start + 31]) > 0
+"""
+
+
+@register("doc_chunks", oracle=_CHUNK_ORACLE, tags=("llm", "text"))
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks, stride 24 =
+    8-token overlap) — the context-window prep step of a training
+    pipeline. sequence+posexplode+slice, all codegen; chunk count is
+    ceil(n_tokens/stride) so output scales linearly with corpus size."""
+    from ghcn_d_etl_project_spark.operators.textops import tokens
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(24))
+        ).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(32))
+    return (
+        starts.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -88,3 +88,38 @@ def pick_partition_columns(
         if set(cand) <= colset:
             return list(cand)
     return []
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join layout.
+
+    Both sides of a recurring equi-join written with the same
+    ``bucket_by``/``num_buckets`` join WITHOUT a shuffle: the scan's
+    bucketing satisfies the join's required distribution, so the
+    exchange (the dominant cost of a 100 TB x 100 TB join) disappears
+    from the plan entirely — pinned by
+    ``tests/test_writers.py::test_bucketed_join_is_shuffle_free``.
+    ``sort_by`` additionally pre-sorts within buckets, removing the
+    sort-merge join's per-task sort. Bucketing requires the table
+    catalog (``saveAsTable``), not a bare path write; pass ``path`` to
+    control the physical location (external table).
+
+    The reference stores layers as plain Delta paths and re-shuffles on
+    every join (``bronze_processor.py:126-142``); bucketing is the
+    vanilla-Spark upgrade for join-heavy marts.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -74,3 +74,51 @@ def test_rolling_hash_deterministic(spark):
     assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
     values = [r.h for r in h1]
     assert len(set(values)) == len(values), "collision on 10 distinct docs"
+
+
+def test_pii_redact_planted(spark):
+    """Each PII shape is replaced with its typed token; clean text is
+    untouched."""
+    from ghcn_d_etl_project_spark.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk for details"),
+            (2, "call 555-867-5309 or 555.867.5309 now"),
+            (3, "ssn is 123-45-6789 ok"),
+            (4, "nothing sensitive here 12345"),
+        ],
+        "id int, text string",
+    )
+    got = {r.id: r.clean for r in df.select("id", pii_redact("text").alias("clean")).collect()}
+    assert got[1] == "contact [EMAIL] for details"
+    assert got[2] == "call [PHONE] or [PHONE] now"
+    assert got[3] == "ssn is [SSN] ok"
+    assert got[4] == "nothing sensitive here 12345"
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunks reconstruct the token stream: stride-24 starts, 32-token
+    windows, last chunk short, every token covered."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    out = all_queries()["doc_chunks"].fn(spark, SF_DIR).collect()
+    docs = t(spark, SF_DIR, "documents").collect()
+    toks = {r.doc_id: r.text.split() for r in docs}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        full = toks[doc_id]
+        for r in rows:
+            start = r.chunk_id * 24
+            want = full[start : start + 32]
+            assert r.chunk_text.split() == want, (doc_id, r.chunk_id)
+            assert r.n_tokens == len(want)
+        # coverage: every token position appears in at least one chunk
+        n = len(full)
+        covered = set()
+        for r in rows:
+            covered.update(range(r.chunk_id * 24, r.chunk_id * 24 + r.n_tokens))
+        assert covered == set(range(n))

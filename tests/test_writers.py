@@ -71,3 +71,34 @@ def test_max_records_per_file(spark):
     # S13: physical-file introspection via inputFiles
     assert len(back.inputFiles()) >= 4
     assert back.count() == n
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side — the layout that
+    deletes the shuffle from a recurring 100 TB join."""
+    from ghcn_d_etl_project_spark.sources.writers import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}'")
+    try:
+        orders = t(spark, SF_DIR, "orders")
+        cust = t(spark, SF_DIR, "customer")
+        write_bucketed(
+            orders, "bktdb.orders_b", ["o_custkey"], 8, sort_by=["o_custkey"]
+        )
+        write_bucketed(
+            cust, "bktdb.customer_b", ["c_custkey"], 8, sort_by=["c_custkey"]
+        )
+        a = spark.table("bktdb.orders_b")
+        b = spark.table("bktdb.customer_b")
+        joined = a.hint("merge").join(b, a.o_custkey == b.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        # sanity: same result as the plain-path join
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.customer_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
