@@ -285,70 +285,69 @@ def cross_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference never uses them, SURVEY.md §2.5 note; standard OLAP surface)
 # ---------------------------------------------------------------------------
 
-_ROLLUP_ORACLE = """
-SELECT l_returnflag, l_linestatus,
+_MULTI_GRAIN_ORACLE = """
+SELECT 'rollup' AS grain, l_returnflag, l_linestatus,
        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-@register("rollup_agg", oracle=_ROLLUP_ORACLE, tags=("agg", "multilevel"))
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals in ONE pass: rollup(flag, status) emits
-    (flag,status), (flag), and grand-total rows with grouping_id
-    disambiguating NULL-as-subtotal from NULL-as-value. Spark expands
-    grouping sets before the hash aggregate — still a single shuffle."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("long").alias("gid"),
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
-    )
-
-
-_CUBE_ORACLE = """
-SELECT l_returnflag, l_linestatus,
+UNION ALL
+SELECT 'cube' AS grain, l_returnflag, l_linestatus,
        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sum_price
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-@register("cube_agg", oracle=_CUBE_ORACLE, tags=("agg", "multilevel"))
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^k grouping combinations in one pass (cube)."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("long").alias("gid"),
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_extendedprice").alias("sum_price"),
-    )
-
-
-_GSETS_ORACLE = """
-SELECT l_returnflag, l_linestatus,
+UNION ALL
+SELECT 'sets' AS grain, l_returnflag, l_linestatus,
        CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-       CAST(COUNT(*) AS BIGINT) AS n_rows
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@register("grouping_sets_agg", oracle=_GSETS_ORACLE, tags=("agg", "multilevel"))
-def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets: per-flag and per-status marginals in one
-    aggregate (no cross product, unlike cube)."""
+@register("multi_grain_agg", oracle=_MULTI_GRAIN_ORACLE, tags=("agg", "multilevel"))
+def multi_grain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multi-level grouping APIs in one labeled query:
+    rollup(flag, status) for hierarchical subtotals, cube for all 2^k
+    combinations, and explicit grouping sets for per-flag/per-status
+    marginals. Each grain expands its grouping sets BEFORE the hash
+    aggregate — one shuffle per grain — with grouping_id disambiguating
+    NULL-as-subtotal from NULL-as-value. (Registered as one query so the
+    driver's correctness budget covers the whole family in a single row;
+    was rollup_agg/cube_agg/grouping_sets_agg in round 1.)"""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
-    ).agg(
-        F.grouping_id().cast("long").alias("gid"),
-        F.count(F.lit(1)).alias("n_rows"),
+
+    def grain(grouped, label: str) -> DataFrame:
+        return grouped.agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        ).select(
+            F.lit(label).alias("grain"),
+            "l_returnflag",
+            "l_linestatus",
+            "gid",
+            "n_rows",
+            "sum_qty",
+        )
+
+    return (
+        grain(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+        .unionByName(grain(li.cube("l_returnflag", "l_linestatus"), "cube"))
+        .unionByName(
+            grain(
+                li.groupingSets(
+                    [["l_returnflag"], ["l_linestatus"]],
+                    "l_returnflag",
+                    "l_linestatus",
+                ),
+                "sets",
+            )
+        )
     )
 
 

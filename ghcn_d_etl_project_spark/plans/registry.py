@@ -68,7 +68,24 @@ def register(
 
 
 def all_queries() -> dict[str, Query]:
-    """Import all plan modules (side effect: registration) and return them."""
+    """Import all plan modules (side effect: registration) and return them.
+
+    Order = driver evaluation order, and the round driver verifies a
+    bounded PREFIX of it. Oracle-bearing queries therefore come first
+    (each yields a full hash-match row) and rows-only queries last (their
+    row is weaker — count only), each group in registration order, with
+    the most expensive rows-only sketches at the very end so a time
+    bound also cuts least-valuable-last.
+    """
     from ghcn_d_etl_project_spark import plans  # noqa: F401  (triggers imports)
 
-    return dict(_REGISTRY)
+    ordered = sorted(
+        _REGISTRY.values(),
+        key=lambda q: (q.oracle is None, q.oracle is None and q.name in _SLOW_TAIL),
+    )
+    return {q.name: q for q in ordered}
+
+
+# rows-only queries whose sf0.01 runtime dominates the tail (measured in
+# driver_sim: minhash 2.9s / simhash 3.8s / ann_lsh 7.1s vs <=0.4s typical)
+_SLOW_TAIL = frozenset({"minhash_lsh_dedup", "simhash_dedup", "ann_lsh_topk"})
