@@ -276,6 +276,26 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity"))
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF cells (``operators/ivf.py``): a
+    DataFrame-native k-means coarse quantizer (deterministic — decimal
+    accumulation), nearest-cell indexing, 4-of-16-cell probing, exact
+    cosine re-rank of cell members only (~25% of the corpus scored per
+    query vs 100% for the crossJoin). Centroid-defined output =>
+    rows-only; recall vs cosine_topk pinned in tests."""
+    from ghcn_d_etl_project_spark.operators.ivf import ivf_topk
+
+    return ivf_topk(
+        t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language-ID, quality score, token counts
 # ---------------------------------------------------------------------------

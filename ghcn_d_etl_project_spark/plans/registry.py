@@ -87,5 +87,8 @@ def all_queries() -> dict[str, Query]:
 
 
 # rows-only queries whose sf0.01 runtime dominates the tail (measured in
-# driver_sim: minhash 2.9s / simhash 3.8s / ann_lsh 7.1s vs <=0.4s typical)
-_SLOW_TAIL = frozenset({"minhash_lsh_dedup", "simhash_dedup", "ann_lsh_topk"})
+# driver_sim: minhash 2.9s / simhash 3.8s / ann_lsh 7.1s / ann_ivf ~9s
+# vs <=0.4s typical)
+_SLOW_TAIL = frozenset(
+    {"minhash_lsh_dedup", "simhash_dedup", "ann_lsh_topk", "ann_ivf_topk"}
+)

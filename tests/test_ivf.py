@@ -1,0 +1,67 @@
+"""IVF ANN: deterministic k-means fit, output contract, and recall vs
+the exact cosine top-k baseline."""
+
+from __future__ import annotations
+
+from ghcn_d_etl_project_spark.operators.ivf import ivf_topk, kmeans_fit
+from ghcn_d_etl_project_spark.operators.similarity import cosine_topk
+from ghcn_d_etl_project_spark.plans._util import t
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    return t(spark, SF_DIR, "embeddings")
+
+
+def test_kmeans_fit_deterministic(spark):
+    """Decimal accumulation makes the fit bit-identical across runs —
+    float groupBy sums would differ with partition/accumulation order."""
+    emb = _emb(spark)
+    c1 = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    c2 = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
+    assert c1 == c2
+    assert len(c1) == 8
+    assert all(len(v) == 64 for v in c1.values())
+
+
+def test_ivf_topk_contract(spark):
+    """Every query gets <= k neighbors with dense ranks from 1, no self
+    pairs, no duplicate (query, neighbor) pairs."""
+    rows = ivf_topk(
+        _emb(spark), "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.qid != r.nid
+        by_q.setdefault(r.qid, []).append(r)
+    assert len(by_q) == _emb(spark).count()
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        pairs = {(r.qid, r.nid) for r in rs}
+        assert len(pairs) == len(rs)
+        # ranks ordered by descending similarity
+        by_rank = sorted(rs, key=lambda r: r.rank)
+        sims = [r.cos_sim for r in by_rank]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """Probing 4 of 16 cells scores ~25% of the corpus; on this
+    weak-neighbor-structure synthetic corpus that yields 0.60 recall
+    (deterministic — the fit is bit-stable). Floor pinned below the
+    measured value to allow testdata regeneration."""
+    emb = _emb(spark)
+    approx = {
+        (r.qid, r.nid)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"recall@5 {recall:.3f} below floor"

@@ -101,3 +101,26 @@ def test_exact_similarity_is_the_only_cartesian(spark):
     the only registered query family allowed to plan a cross join."""
     plan = _plan(spark, "cosine_topk")
     assert ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+
+
+def test_ivf_candidate_join_not_cartesian(spark):
+    """IVF candidate generation must be an equi-join on the cell id —
+    the whole point of the inverted file; a cross product here means the
+    quantizer routing got dropped."""
+    plan = _plan(spark, "ann_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_single_pass_text_queries_shuffle_free(spark):
+    """text_profile / pii_redact / doc_chunks are pure per-row
+    projections (chunking only adds a generator) — any Exchange means a
+    needless full-corpus shuffle crept in; the scan must also prune to
+    the consumed columns."""
+    for name in ("text_profile", "pii_redact", "doc_chunks"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:800]}"
+        m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+        assert m is not None
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert "title" not in cols and "url" not in cols, cols
