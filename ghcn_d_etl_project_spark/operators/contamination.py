@@ -1,0 +1,70 @@
+"""Benchmark-contamination detection: word-n-gram overlap between a
+training corpus and an evaluation set.
+
+The standard decontamination step of a pre-training pipeline (GPT-3
+trained with 13-gram collision filtering — Brown et al. 2020, appendix
+C; followed by PaLM/Llama variants): any training document sharing a
+long-enough word n-gram with an eval document is flagged (and usually
+dropped) so benchmark numbers aren't inflated by memorized test items.
+
+Construction is the inverted-index equi-join — the same linear-ish shape
+as the shingle index in ``operators/dedup.py``: explode each side's
+DISTINCT n-grams, join on the n-gram, count collisions per (corpus doc,
+eval doc). No pair is materialized unless the two documents actually
+share an n-gram, so cost scales with collisions, not with
+|corpus| x |eval|. At 100 TB the eval side is tiny (benchmarks are
+thousands of items), so Spark broadcasts it and the corpus side never
+shuffles at all.
+
+The per-document n-gram construction mirrors the chunking/shingling
+transform: ``transform(sequence(...), i -> array_join(slice(toks,i,n)))``
+— a per-row HOF whose iteration count is ~tokens-per-doc (see the
+measured HOF note in ``operators/dedup.py``: this shape beats the
+explode+window rewrite at realistic doc lengths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.textops import tokens
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word n-grams of a text column (space-joined), empty when
+    the document has fewer than ``n`` tokens."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    eval_id: str,
+    eval_text: str,
+    n: int = 8,
+) -> DataFrame:
+    """(corpus doc, eval doc, shared n-gram count) for every colliding
+    pair. Callers drop / review corpus docs appearing here. The eval
+    side is broadcast — benchmarks are small by nature, so the corpus
+    scan proceeds shuffle-free."""
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.explode(word_ngrams(corpus_text, n)).alias("gram"),
+    )
+    e = eval_set.select(
+        F.col(eval_id).alias("eval_id"),
+        F.explode(word_ngrams(eval_text, n)).alias("gram"),
+    )
+    return (
+        c.join(F.broadcast(e), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )

@@ -1,0 +1,151 @@
+"""Training-corpus preparation pipeline — the LLM-side medallion.
+
+The GHCN pipeline (``pipelines/ghcn.py``) is the reference-parity
+medallion; this is its counterpart for the documents corpus, chaining
+the engine's LLM-data operators into the standard pre-training prep
+ladder:
+
+  1. **profile + filter** — one scan computes language ID, quality
+     score, and token counts (``text_profile`` columns); rows failing
+     the language allowlist / quality floor / token-length band drop
+     here, so every later stage touches less data (filter-early is the
+     100 TB rule: each stage's input is the previous stage's survivors).
+  2. **PII redaction** — email/phone/SSN shapes replaced in-place.
+  3. **exact dedup** — one shuffle on the normalized-content
+     fingerprint, keep the minimum doc_id per group.
+  4. **near-dup dedup** — MinHash-LSH verified pairs → connected
+     components (``operators/graph.py``) → keep each component's
+     canonical (minimum) id. Pairs alone cannot dedup correctly: with
+     A~B, B~C but not A~C, pairwise keep-one logic either drops too
+     much or leaves B,C both alive; the component closure is what makes
+     keep-one-per-group well-defined.
+  5. **chunking** — sliding token windows (default 32/stride 24) turn
+     surviving documents into training examples.
+
+Every stage is lazy; the filtered+redacted base is persisted once and
+shared by the exact-dedup, near-dup, and chunk branches (a DataFrame
+used by several branches is otherwise recomputed per branch —
+see the persist-per-branch note in the repo docs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.dedup import minhash_lsh_dedup
+from ghcn_d_etl_project_spark.operators.graph import connected_components
+from ghcn_d_etl_project_spark.operators.textops import (
+    lang_id,
+    fingerprint,
+    pii_redact,
+    text_quality_score,
+    token_count,
+    tokens,
+)
+from ghcn_d_etl_project_spark.plans._util import t
+
+
+@dataclass(frozen=True)
+class CorpusPrepConfig:
+    langs: tuple[str, ...] = ("en",)
+    min_quality: float = 0.65
+    min_tokens: int = 8
+    max_tokens: int = 100_000
+    jaccard_threshold: float = 0.5
+    chunk_tokens: int = 32
+    stride: int = 24
+
+
+def filtered_redacted(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
+    """Stages 1+2 fused into a single scan: profile columns, the
+    language/quality/length gates, and PII redaction of survivors."""
+    profiled = docs.select(
+        "doc_id",
+        pii_redact("text").alias("text"),
+        lang_id("text").alias("pred_lang"),
+        text_quality_score("text").alias("quality_score"),
+        token_count("text").alias("n_tokens"),
+    )
+    return profiled.filter(
+        F.col("pred_lang").isin(*cfg.langs)
+        & (F.col("quality_score") >= cfg.min_quality)
+        & F.col("n_tokens").between(cfg.min_tokens, cfg.max_tokens)
+    )
+
+
+def exact_dedup_keep_min(base: DataFrame) -> DataFrame:
+    """Stage 3: keep the minimum doc_id per normalized fingerprint —
+    a self-semi-join against the per-group min, both sides one shuffle
+    on the fingerprint key."""
+    keyed = base.withColumn("fp", fingerprint("text"))
+    keep = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return keyed.join(keep, ["fp", "doc_id"], "left_semi").drop("fp")
+
+
+def neardup_dedup_keep_canonical(
+    base: DataFrame, cfg: CorpusPrepConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 4: MinHash-LSH verified pairs → connected components →
+    survivors are each component's minimum id. Returns (survivors,
+    components) so callers can audit cluster assignments."""
+    pairs = minhash_lsh_dedup(
+        base, "doc_id", "text", threshold=cfg.jaccard_threshold
+    ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    comps = connected_components(
+        pairs, nodes=base.select(F.col("doc_id").alias("node"))
+    )
+    survivors = base.join(
+        comps.filter(F.col("node") == F.col("component")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    return survivors, comps
+
+
+def chunk_documents(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
+    """Stage 5: sliding-window chunks (same construction as the
+    ``doc_chunks`` registered query, parameterized)."""
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(cfg.stride)
+            )
+        ).alias("chunk_id", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(cfg.chunk_tokens))
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def corpus_prep(
+    spark: SparkSession, sf_dir: str, cfg: CorpusPrepConfig | None = None
+) -> dict[str, DataFrame]:
+    """Run the full ladder over ``documents``; returns every stage so
+    callers (and tests) can audit the funnel:
+    ``filtered`` → ``exact_deduped`` → ``survivors`` (+ ``components``)
+    → ``chunks``."""
+    cfg = cfg or CorpusPrepConfig()
+    docs = t(spark, sf_dir, "documents")
+    base = filtered_redacted(docs, cfg).persist()
+    exact = exact_dedup_keep_min(base).persist()
+    survivors, comps = neardup_dedup_keep_canonical(exact, cfg)
+    survivors = survivors.persist()
+    return {
+        "filtered": base,
+        "exact_deduped": exact,
+        "survivors": survivors,
+        "components": comps,
+        "chunks": chunk_documents(survivors, cfg),
+    }

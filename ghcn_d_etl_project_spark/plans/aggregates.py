@@ -164,28 +164,11 @@ def freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISTINCT_ORACLE = """
+_TABLE_PROFILE_ORACLE = """
 SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
-       CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders
-"""
-
-
-@register("distinct_count", oracle=_DISTINCT_ORACLE, tags=("agg",))
-def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts (A9), reference ``bronze_processor.py:151``.
-    Spark expands multi-distinct into an expand+two-phase agg; exact (not
-    approx) to match the reference's semantics."""
-    return t(spark, sf_dir, "orders").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-_GLOBAL_MINMAX_ORACLE = """
-SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
        strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
@@ -195,11 +178,18 @@ FROM orders
 """
 
 
-@register("global_minmax", oracle=_GLOBAL_MINMAX_ORACLE, tags=("agg",))
-def global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global min/max/avg statistics (A10), reference
-    ``bronze_processor.py:152-155``; date bounds emitted as strings."""
+@register("table_profile", oracle=_TABLE_PROFILE_ORACLE, tags=("agg",))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (A9) + global min/max/avg statistics (A10)
+    in ONE aggregation pass — reference ``bronze_processor.py:151-155``
+    runs these as separate actions; fusing them halves the scans. Spark
+    expands the multi-distinct into an expand+two-phase agg and computes
+    the plain aggregates alongside. (Was distinct_count / global_minmax
+    in round 1.)"""
     return t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
         as_date_str(F.min("o_orderdate")).alias("min_date"),
         as_date_str(F.max("o_orderdate")).alias("max_date"),
         F.min("o_totalprice").alias("min_price"),

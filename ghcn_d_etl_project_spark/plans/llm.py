@@ -296,6 +296,53 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id % 10 = 0)
+SELECT g.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM grams g JOIN ev e ON g.gram = e.gram AND g.doc_id <> e.eval_id
+GROUP BY g.doc_id, e.eval_id
+"""
+
+
+@register("contamination_check", oracle=_CONTAM_ORACLE, tags=("llm", "decontam"))
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (``operators/contamination.py``):
+    corpus docs sharing any 8-word n-gram with the simulated eval set
+    (every 10th doc), counted per colliding pair. Inverted-index
+    equi-join with the (small) eval side broadcast — the corpus side
+    never shuffles; cost scales with collisions, not corpus x eval."""
+    from ghcn_d_etl_project_spark.operators.contamination import ngram_overlap
+
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    return ngram_overlap(
+        d, ev, "doc_id", "text", "doc_id", "text", n=8
+    ).filter(F.col("doc_id") != F.col("eval_id"))
+
+
+@register("corpus_prep_chunks", oracle=None, tags=("llm", "pipeline"))
+def corpus_prep_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep (``pipelines/corpus.py``): one
+    fused profile+filter+PII scan, exact dedup on the normalized
+    fingerprint, MinHash-LSH near-dup pairs closed into components with
+    keep-min-per-component, then sliding-window chunking of survivors.
+    MinHash stage is hash-defined => rows-only; stage funnel invariants
+    pinned in tests/test_corpus_pipeline.py."""
+    from ghcn_d_etl_project_spark.pipelines.corpus import corpus_prep
+
+    return corpus_prep(spark, sf_dir)["chunks"]
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language-ID, quality score, token counts
 # ---------------------------------------------------------------------------

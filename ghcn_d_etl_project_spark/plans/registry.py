@@ -90,5 +90,11 @@ def all_queries() -> dict[str, Query]:
 # driver_sim: minhash 2.9s / simhash 3.8s / ann_lsh 7.1s / ann_ivf ~9s
 # vs <=0.4s typical)
 _SLOW_TAIL = frozenset(
-    {"minhash_lsh_dedup", "simhash_dedup", "ann_lsh_topk", "ann_ivf_topk"}
+    {
+        "minhash_lsh_dedup",
+        "simhash_dedup",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "corpus_prep_chunks",
+    }
 )

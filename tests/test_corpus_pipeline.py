@@ -1,0 +1,78 @@
+"""Corpus-prep pipeline: funnel monotonicity, gate semantics, PII
+removal, dedup keep-min invariants, and chunk/source consistency."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.textops import PII_PATTERNS
+from ghcn_d_etl_project_spark.pipelines.corpus import (
+    CorpusPrepConfig,
+    corpus_prep,
+    exact_dedup_keep_min,
+)
+from ghcn_d_etl_project_spark.plans._util import t
+from tests.conftest import SF_DIR
+
+
+def test_funnel_and_gates(spark):
+    cfg = CorpusPrepConfig()
+    stages = corpus_prep(spark, SF_DIR, cfg)
+    n_raw = t(spark, SF_DIR, "documents").count()
+    n_filtered = stages["filtered"].count()
+    n_exact = stages["exact_deduped"].count()
+    n_surv = stages["survivors"].count()
+    assert n_raw >= n_filtered >= n_exact >= n_surv > 0
+
+    # gates hold on every surviving row
+    bad = stages["filtered"].filter(
+        ~F.col("pred_lang").isin(*cfg.langs)
+        | (F.col("quality_score") < cfg.min_quality)
+        | ~F.col("n_tokens").between(cfg.min_tokens, cfg.max_tokens)
+    )
+    assert bad.count() == 0
+
+
+def test_pii_absent_from_survivors(spark):
+    stages = corpus_prep(spark, SF_DIR)
+    pats = [re.compile(p) for p, _ in PII_PATTERNS]
+    for row in stages["survivors"].select("text").collect():
+        for pat in pats:
+            assert not pat.search(row.text), (pat.pattern, row.text[:80])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "Hello,   WORLD!"),
+            (1, "hello world"),
+            (2, "totally different"),
+            (7, "hello world."),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in exact_dedup_keep_min(df).collect())
+    # 1,3,7 share a normalized fingerprint -> min id 1 survives
+    assert got == [1, 2]
+
+
+def test_chunks_come_from_survivors_only(spark):
+    stages = corpus_prep(spark, SF_DIR)
+    surv_ids = {r.doc_id for r in stages["survivors"].select("doc_id").collect()}
+    chunk_ids = {r.doc_id for r in stages["chunks"].select("doc_id").collect()}
+    assert chunk_ids == surv_ids  # every survivor chunks (n_tokens >= 8 gate)
+    cfg = CorpusPrepConfig()
+    assert stages["chunks"].filter(
+        F.col("n_tokens") > cfg.chunk_tokens
+    ).count() == 0
+
+
+def test_components_cover_exact_dedup_output(spark):
+    stages = corpus_prep(spark, SF_DIR)
+    n_exact = stages["exact_deduped"].count()
+    assert stages["components"].count() == n_exact
+    # survivors are exactly the component representatives
+    reps = stages["components"].filter(F.col("node") == F.col("component"))
+    assert stages["survivors"].count() == reps.count()

@@ -122,3 +122,27 @@ def test_doc_chunks_cover_and_overlap(spark):
         for r in rows:
             covered.update(range(r.chunk_id * 24, r.chunk_id * 24 + r.n_tokens))
         assert covered == set(range(n))
+
+
+def test_ngram_overlap_planted(spark):
+    """A corpus doc sharing an 8-word span with an eval doc is flagged
+    with the right collision count; non-overlapping docs are absent."""
+    from ghcn_d_etl_project_spark.operators.contamination import ngram_overlap
+
+    span = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + span + " suffix words"),
+            (2, "completely unrelated content with many distinct tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, span)], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared_ngrams
+        for r in ngram_overlap(
+            corpus, ev, "doc_id", "text", "doc_id", "text", n=8
+        ).collect()
+    }
+    # 10-token span => 3 distinct 8-grams, all shared
+    assert got == {(1, 100): 3}

@@ -102,3 +102,31 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bktdb.customer_b")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_clustered_layout_disjoint_ranges(spark, tmp_path):
+    """Range clustering must give files pairwise-disjoint key ranges —
+    the property parquet min/max skipping needs to prune scans."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.sources.writers import write_clustered
+
+    out = str(tmp_path / "orders_clustered")
+    orders = t(spark, SF_DIR, "orders")
+    write_clustered(orders, out, ["o_orderdate"], target_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    ranges = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1
+        assert lo2 > hi1, f"overlapping file ranges: {hi1} vs {lo2}"
