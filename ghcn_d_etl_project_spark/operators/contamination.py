@@ -31,15 +31,16 @@ from pyspark.sql import functions as F
 from ghcn_d_etl_project_spark.operators.textops import tokens
 
 
-def word_ngrams(col: Column | str, n: int) -> Column:
-    """Distinct word n-grams of a text column (space-joined), empty when
-    the document has fewer than ``n`` tokens."""
+def word_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Word n-grams of a text column (space-joined), empty when the
+    document has fewer than ``n`` tokens. ``distinct=False`` keeps
+    multiplicities (needed by repetition profiling)."""
     toks = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def ngram_overlap(

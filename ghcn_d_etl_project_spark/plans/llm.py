@@ -330,6 +330,99 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("doc_id") != F.col("eval_id"))
 
 
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS ls,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 1], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         CAST(MAX(c) AS BIGINT) AS top_2gram_count
+  FROM gc GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines,
+       round(CASE WHEN len(ls) > 0
+                  THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       coalesce(a.n_2grams, 0) AS n_2grams,
+       coalesce(a.top_2gram_count, 0) AS top_2gram_count,
+       round(CASE WHEN coalesce(a.n_2grams, 0) > 0
+                  THEN CAST(a.top_2gram_count AS DOUBLE) / a.n_2grams
+                  ELSE 0.0 END, 6) AS top_2gram_frac
+FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id
+"""
+
+
+@register(
+    "repetition_profile", oracle=_REPETITION_ORACLE, tags=("llm", "text"), late=True
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1): duplicate-line fraction (pure per-row array exprs, no shuffle)
+    and top word-2-gram fraction (explode -> per-doc gram counts ->
+    max/total — two partial-aggregated shuffles on the doc key; the
+    scale-safe shape, since a per-row O(grams^2) mode search would blow
+    up on long documents). High values flag boilerplate/spam for the
+    corpus filter."""
+    from ghcn_d_etl_project_spark.operators.contamination import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    prof = d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_distinct_lines"),
+    ).withColumn(
+        "dup_line_frac",
+        F.round(
+            F.when(
+                F.col("n_lines") > 0,
+                1.0 - F.col("n_distinct_lines").cast("double") / F.col("n_lines"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams("text", 2, distinct=False)).alias("gram")
+    )
+    agg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.max("c").cast("long").alias("top_2gram_count"),
+        )
+    )
+    return (
+        prof.join(agg, "doc_id", "left")
+        .withColumn("n_2grams", F.coalesce(F.col("n_2grams"), F.lit(0)))
+        .withColumn(
+            "top_2gram_count", F.coalesce(F.col("top_2gram_count"), F.lit(0))
+        )
+        .withColumn(
+            "top_2gram_frac",
+            F.round(
+                F.when(
+                    F.col("n_2grams") > 0,
+                    F.col("top_2gram_count").cast("double") / F.col("n_2grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
 @register("corpus_prep_chunks", oracle=None, tags=("llm", "pipeline"))
 def corpus_prep_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep (``pipelines/corpus.py``): one

@@ -33,6 +33,7 @@ class Query:
     oracle: str | None = None
     tags: frozenset[str] = field(default_factory=frozenset)
     bench: bool = False  # include in bench.py headline set
+    late: bool = False  # sort after the core oracle block (see all_queries)
     doc: str = ""
 
 
@@ -44,11 +45,15 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    late: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the registry.
 
     ``oracle`` is DuckDB-flavoured ANSI SQL over the pre-registered table
-    views; ``None`` marks a rows-only-checked query.
+    views; ``None`` marks a rows-only-checked query. ``late`` demotes an
+    oracle query behind the core 50-query block in evaluation order (for
+    extensions added after the block filled — graceful degradation if
+    the driver's correctness budget is a fixed entry count).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -60,6 +65,7 @@ def register(
             oracle=oracle,
             tags=frozenset(tags),
             bench=bench,
+            late=late,
             doc=(fn.__doc__ or "").strip(),
         )
         return fn
@@ -81,7 +87,11 @@ def all_queries() -> dict[str, Query]:
 
     ordered = sorted(
         _REGISTRY.values(),
-        key=lambda q: (q.oracle is None, q.oracle is None and q.name in _SLOW_TAIL),
+        key=lambda q: (
+            q.oracle is None,
+            q.late,
+            q.oracle is None and q.name in _SLOW_TAIL,
+        ),
     )
     return {q.name: q for q in ordered}
 

@@ -146,3 +146,26 @@ def test_ngram_overlap_planted(spark):
     }
     # 10-token span => 3 distinct 8-grams, all shared
     assert got == {(1, 100): 3}
+
+
+def test_repetition_profile_planted(spark):
+    """Duplicate lines and a dominating 2-gram are quantified exactly."""
+    import ghcn_d_etl_project_spark.plans.llm as llm_mod
+
+    doc = "spam spam spam spam"  # 3 x "spam spam" 2-grams, all identical
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d", "en", "t"), (2, doc, "en", "t")],
+        "doc_id long, text string, lang string, title string",
+    )
+    orig = llm_mod.t
+    try:
+        llm_mod.t = lambda spark, sf, name: df  # noqa: ARG005
+        out = {r.doc_id: r for r in llm_mod.repetition_profile(spark, "x").collect()}
+    finally:
+        llm_mod.t = orig
+    r1 = out[1]
+    assert (r1.n_lines, r1.n_distinct_lines) == (3, 2)
+    assert abs(r1.dup_line_frac - (1 - 2 / 3)) < 1e-6
+    r2 = out[2]
+    assert (r2.n_2grams, r2.top_2gram_count) == (3, 3)
+    assert r2.top_2gram_frac == 1.0
