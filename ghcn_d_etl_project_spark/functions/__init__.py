@@ -9,6 +9,9 @@ Everything here is a pure Column expression or JVM-side fold — UDF-free,
 codegen-friendly, scale-safe (SURVEY.md §2.9, §2.11).
 """
 
+from ghcn_d_etl_project_spark.operators.contamination import (  # noqa: F401
+    word_ngrams,
+)
 from ghcn_d_etl_project_spark.operators.dedup import simhash64  # noqa: F401
 from ghcn_d_etl_project_spark.operators.similarity import (  # noqa: F401
     cosine,
@@ -19,9 +22,11 @@ from ghcn_d_etl_project_spark.operators.similarity import (  # noqa: F401
 from ghcn_d_etl_project_spark.operators.textops import (  # noqa: F401
     bpe_ish_token_count,
     char_shingles,
+    chunk_spans,
     fingerprint,
     lang_id,
     normalize_text,
+    pii_redact,
     punct_ratio,
     rolling_hash,
     stopword_hits,
@@ -42,6 +47,7 @@ __all__ = [
     "as_date_str",
     "bpe_ish_token_count",
     "char_shingles",
+    "chunk_spans",
     "cosine",
     "count_if",
     "davg",
@@ -52,6 +58,7 @@ __all__ = [
     "lsum",
     "norm",
     "normalize_text",
+    "pii_redact",
     "punct_ratio",
     "rolling_hash",
     "sign_lsh_bucket",
@@ -60,5 +67,6 @@ __all__ = [
     "text_quality_score",
     "token_count",
     "tokens",
+    "word_ngrams",
     "word_shingles",
 ]

@@ -34,12 +34,20 @@ from ghcn_d_etl_project_spark.operators.textops import tokens
 def word_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     """Word n-grams of a text column (space-joined), empty when the
     document has fewer than ``n`` tokens. ``distinct=False`` keeps
-    multiplicities (needed by repetition profiling)."""
+    multiplicities (needed by repetition profiling).
+
+    The short-document case must be gated explicitly: Spark's
+    ``sequence(1, 0)`` generates a DESCENDING [1, 0] (step inference),
+    whose 0 then crashes ``slice`` — found by the hypothesis property
+    suite, invisible on corpora where every document is long."""
     toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
 
 

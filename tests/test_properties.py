@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the text operators: invariants
+that must hold on ARBITRARY input, not just the synthetic corpus.
+
+One Spark job per property (the whole example batch evaluates in a
+single createDataFrame+collect) so hypothesis's many examples don't
+multiply Spark job latency.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.contamination import word_ngrams
+from ghcn_d_etl_project_spark.operators.textops import PII_PATTERNS, pii_redact, tokens
+
+TEXT = st.text(
+    alphabet=st.characters(codec="ascii", exclude_categories=("Cs", "Cc")),
+    max_size=120,
+)
+
+
+def _eval_batch(spark, texts: list[str], col):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i long, s string")
+    return [r.v for r in df.select(col.alias("v")).orderBy("i").collect()]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_pii_redact_idempotent_and_clean(spark, texts):
+    """Redaction is idempotent (tokens never re-match) and output never
+    contains a raw PII shape."""
+    once = _eval_batch(spark, texts, pii_redact("s"))
+    twice = _eval_batch(spark, once, pii_redact("s"))
+    assert once == twice
+    pats = [re.compile(p) for p, _ in PII_PATTERNS]
+    for s in once:
+        for pat in pats:
+            assert not pat.search(s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(min_value=2, max_value=5))
+def test_word_ngrams_counts(spark, texts, n):
+    """Non-distinct n-gram count is exactly max(tokens - n + 1, 0), and
+    every n-gram has exactly n tokens."""
+    grams = _eval_batch(spark, texts, word_ngrams("s", n, distinct=False))
+    toks = _eval_batch(spark, texts, tokens("s"))
+    for g, t in zip(grams, toks):
+        assert len(g) == max(len(t) - n + 1, 0)
+        for gram in g:
+            assert len(gram.split(" ")) == n
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_token_reconstruction(spark, texts):
+    """tokens() splits on whitespace with no empty tokens — joining back
+    equals Python's canonical split."""
+    toks = _eval_batch(spark, texts, tokens("s"))
+    for spark_toks, s in zip(toks, texts):
+        assert spark_toks == s.split()
