@@ -49,21 +49,33 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def char_shingles(col: Column | str, n: int = 4, lowercase: bool = True) -> Column:
     """Distinct character n-grams as array<string> — pure Catalyst
     (sequence + transform + substring), no UDF, no explode needed until
-    the caller wants one row per shingle."""
+    the caller wants one row per shingle. Texts shorter than ``n`` yield
+    an EMPTY array: ``sequence(1, 0)`` infers a negative step and emits
+    [1, 0], whose lenient substr(0, n) would otherwise smuggle in a
+    duplicated truncated shingle (and diverge from the SQL oracles,
+    which generate none)."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+    idx = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    return F.when(
+        F.length(c) >= n,
+        F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n)))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) as array<string>."""
+    """Distinct k-word shingles (space-joined) as array<string>. The
+    short-document gate mirrors char_shingles — here the descending
+    [1, 0] sequence would CRASH slice() outright (start 0 illegal)."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def normalize_text(col: Column | str) -> Column:

@@ -62,3 +62,26 @@ def test_token_reconstruction(spark, texts):
     toks = _eval_batch(spark, texts, tokens("s"))
     for spark_toks, s in zip(toks, texts):
         assert spark_toks == s.split()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(min_value=2, max_value=5))
+def test_shingles_short_text_empty(spark, texts, n):
+    """Shingle families return EMPTY (never crash, never emit truncated
+    shingles) below the window size, and every shingle has exactly the
+    window size."""
+    from ghcn_d_etl_project_spark.operators.textops import char_shingles, word_shingles
+
+    chars = _eval_batch(spark, texts, char_shingles("s", n=n))
+    toks = _eval_batch(spark, texts, tokens("s"))
+    words = _eval_batch(spark, texts, word_shingles("s", k=n))
+    for sh, s in zip(chars, texts):
+        if len(s.lower()) < n:
+            assert sh == []
+        for g in sh:
+            assert len(g) == n
+    for sh, t in zip(words, toks):
+        if len(t) < n:
+            assert sh == []
+        for g in sh:
+            assert len(g.split(" ")) == n
