@@ -123,6 +123,79 @@ def write_clustered(
     )
 
 
+def _morton16(a, b):
+    """Interleave the low 16 bits of two long columns (Morton / Z-order
+    code). Statically unrolled shift/or chain — pure codegen, 16 steps."""
+    from pyspark.sql import functions as F
+
+    code = F.lit(0).cast("long")
+    for i in range(16):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        code = (
+            code
+            .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Two-dimensional Z-order clustering for min/max data skipping.
+
+    ``write_clustered`` on one key leaves the OTHER dimension spread
+    across the full range in every file, so predicates on it prune
+    nothing. Z-ordering interleaves the bits of both (rank-normalized)
+    keys into a Morton code and range-clusters on that — each file then
+    covers a small bounding BOX in (a, b) space, so min/max footer stats
+    prune scans for predicates on EITHER column — what Delta's
+    ``OPTIMIZE ... ZORDER BY`` does, built from vanilla Spark ops.
+
+    Keys are min/max-scaled to 16 bits with ONE distributed aggregate
+    (the constants ride along as literals — no window, no global sort;
+    a global ``ntile`` rank would funnel every row through a single
+    task). Heavily skewed value distributions would crowd the curve —
+    the production upgrade is equi-depth boundaries from
+    ``df.stat.approxQuantile`` instead of linear scaling, same Morton
+    step. Pinned by
+    ``tests/test_writers.py::test_zorder_files_bound_both_dims``.
+    """
+    from pyspark.sql import functions as F
+
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    top = (1 << 16) - 1
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+
+    def scaled(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        return F.least(
+            F.lit(top),
+            ((F.col(c) - F.lit(lo)).cast("double") / span * top).cast("long"),
+        )
+
+    coded = df.withColumn(
+        "__z", _morton16(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b))
+    )
+    (
+        coded.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -130,3 +130,39 @@ def test_clustered_layout_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert lo1 <= hi1
         assert lo2 > hi1, f"overlapping file ranges: {hi1} vs {lo2}"
+
+
+def test_zorder_files_bound_both_dims(spark, tmp_path):
+    """Z-ordering must bound BOTH key dimensions per file: every file's
+    (x, y) bounding box is much smaller than the global range in both
+    axes — single-key range clustering leaves the second axis at full
+    width, so this separates the two layouts."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.sources.writers import write_zordered
+
+    out = str(tmp_path / "li_zordered")
+    li = t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    write_zordered(li, out, "l_orderkey", "l_partkey", target_files=16)
+
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    glob = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("rx"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("ry"),
+    ).first()
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("rx"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("ry"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    avg_rx = sum(r.rx for r in per_file) / len(per_file)
+    avg_ry = sum(r.ry for r in per_file) / len(per_file)
+    # 16 files over a 2-D curve -> each axis should shrink well below
+    # the global span on average (a 1-D sort keeps one axis at ~100%)
+    assert avg_rx < 0.6 * glob.rx, (avg_rx, glob.rx)
+    assert avg_ry < 0.6 * glob.ry, (avg_ry, glob.ry)
