@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -31,3 +32,34 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if 0 < n_files < target:
         return df.repartition(target)
     return df
+
+
+def hash_split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable split bucket in [0, n_buckets).
+
+    The reproducible train/val/test assignment primitive: bucket is
+    derived from the md5 of the STRING form of the id, so the same row
+    lands in the same split on any engine, any partitioning, any run —
+    unlike ``randomSplit`` (partition-order-sensitive) or engine-native
+    hashes (xxhash64 seeds differ across engines). Only the first 4 hex
+    chars feed the modulus (16 bits is plenty for percent-grain splits)
+    because that keeps the SQL-oracle twin a one-liner.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex4 = F.substring(F.md5(c.cast("string")), 1, 4)
+    return (F.conv(hex4, 16, 10).cast("long") % n_buckets).alias("bucket")
+
+
+def dataset_split(
+    id_col: Column | str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> Column:
+    """'train' / 'val' / 'test' label from ``hash_split_bucket`` —
+    disjoint, exhaustive, and stable under any reshuffle or re-run."""
+    b = hash_split_bucket(id_col)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )

@@ -42,3 +42,39 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"), late=True)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (``operators/common.py:hash_split_bucket``): md5-derived bucket, so
+    the SAME row gets the SAME split on any engine, partitioning, or
+    re-run — unlike randomSplit (partition-order-sensitive). Pure
+    projection, no shuffle; md5 is engine-portable, so the DuckDB
+    oracle reproduces the assignment bit-for-bit."""
+    from ghcn_d_etl_project_spark.operators.common import (
+        dataset_split,
+        hash_split_bucket,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_split_bucket("doc_id").alias("bucket"),
+        dataset_split("doc_id").alias("split"),
+    )

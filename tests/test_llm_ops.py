@@ -169,3 +169,18 @@ def test_repetition_profile_planted(spark):
     r2 = out[2]
     assert (r2.n_2grams, r2.top_2gram_count) == (3, 3)
     assert r2.top_2gram_frac == 1.0
+
+
+def test_chunk_spans_starts(spark):
+    """chunk_spans yields stride-spaced 1-indexed starts covering every
+    token: last start begins a non-empty chunk, none start past the end."""
+    from ghcn_d_etl_project_spark.operators.textops import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b"), (3, "")],
+        "id long, text string",
+    )
+    got = {r.id: r.v for r in df.select("id", chunk_spans("text", 32, 24).alias("v")).collect()}
+    assert got[1] == [1, 25, 49]  # 50 tokens: starts 1, 25, 49
+    assert got[2] == [1]
+    assert got[3] == [1]  # degenerate: single start, empty chunk downstream

@@ -31,3 +31,27 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_dataset_split_stable_disjoint_proportional(spark):
+    """Hash split: every id gets exactly one label, re-running (and
+    reshuffling) never moves a row, and proportions land near 80/10/10."""
+    from ghcn_d_etl_project_spark.operators.common import dataset_split
+
+    d = t(spark, SF_DIR, "documents")
+    a = {r.doc_id: r.s for r in d.select("doc_id", dataset_split("doc_id").alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in d.repartition(7)
+        .select("doc_id", dataset_split("doc_id").alias("s"))
+        .collect()
+    }
+    assert a == b  # partitioning-independent
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert sum(c.values()) == n
+    assert 0.7 * n <= c["train"] <= 0.9 * n
+    assert c["val"] + c["test"] <= 0.3 * n
