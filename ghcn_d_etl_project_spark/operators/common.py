@@ -50,6 +50,35 @@ def hash_split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     return (F.conv(hex4, 16, 10).cast("long") % n_buckets).alias("bucket")
 
 
+def stratified_keep(
+    id_col: Column | str,
+    stratum_col: Column | str,
+    fractions: dict[str, float],
+    salt: str = "sample",
+    n_buckets: int = 100,
+) -> Column:
+    """Engine-portable per-stratum sampling keep-flag (BIGINT 0/1).
+
+    Keeps a row iff its salted md5 bucket falls below
+    ``fraction[stratum] * n_buckets`` — the deterministic replacement for
+    ``DataFrame.sampleBy`` (whose Bernoulli draws come from Spark's seeded
+    XORShift and are irreproducible on any other engine or even across
+    Spark partitionings). Strata absent from ``fractions`` get fraction 0,
+    matching sampleBy. The salt decorrelates the sampling decision from
+    ``hash_split_bucket``'s split assignment on the same id. Granularity
+    is 1/n_buckets; no shuffle — each task evaluates its own rows.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    bucket = hash_split_bucket(F.concat(c.cast("string"), F.lit(":" + salt)), n_buckets)
+    thr: Column | None = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(round(frac * n_buckets)))
+        thr = F.when(s == stratum, t) if thr is None else thr.when(s == stratum, t)
+    threshold = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return (bucket < threshold).cast("bigint")
+
+
 def dataset_split(
     id_col: Column | str,
     train_pct: int = 80,

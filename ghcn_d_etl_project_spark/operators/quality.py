@@ -108,6 +108,89 @@ def summary_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def column_stats_with_outliers(
+    df: DataFrame, cols: list[str], k: float = 1.5, round_digits: int = 6
+) -> DataFrame:
+    """A13 describe()-stats + Q5 exact-quantile IQR outlier counts for
+    EVERY column in two passes total, regardless of column count: one
+    moments+quantiles aggregate, then one outlier-count aggregate against
+    the broadcast 1-row bounds. (Round-3 fusion of ``summary_stats`` and
+    ``iqr_bounds`` — same per-column math, one shared scan pair.)
+
+    ORACLE ANCHOR ONLY: exact ``percentile`` buffers all values of each
+    column in one aggregation buffer — fine at oracle scale, OOM at
+    100 TB. Production quality suites use ``approx_quantile_bounds``
+    (mergeable sketch); ``pipelines/corpus.py`` is pinned to never call
+    the exact form (tests/test_quality_recs.py).
+
+    Output: one row per column — ``column_name, n, mean, stddev,
+    min_val, max_val, q1, q3, iqr, lower_bound, upper_bound,
+    n_outliers``.
+    """
+    aggs: list[Column] = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.count(x).alias(f"{c}__n"),
+            F.sum(x.cast("decimal(28,4)")).cast("double").alias(f"{c}__s"),
+            F.sum((x * x).cast("decimal(30,6)")).cast("double").alias(f"{c}__ssq"),
+            F.min(x).cast("double").alias(f"{c}__min"),
+            F.max(x).cast("double").alias(f"{c}__max"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), round_digits).alias(f"{c}__q1"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), round_digits).alias(f"{c}__q3"),
+        ]
+    wide = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(wide))
+    # The stats columns ride THROUGH the outlier aggregation via first()
+    # (every joined row carries the same broadcast value), so `wide` is
+    # computed exactly once — scan 1 for moments+quantiles, scan 2 for
+    # outlier counts. Degenerate case: an empty input yields one all-NULL
+    # row (crossJoin with zero rows leaves nothing for first()).
+    _STATS = ("n", "s", "ssq", "min", "max", "q1", "q3")
+    oaggs: list[Column] = []
+    for c in cols:
+        iqr = F.col(f"{c}__q3") - F.col(f"{c}__q1")
+        lower = F.col(f"{c}__q1") - k * iqr
+        upper = F.col(f"{c}__q3") + k * iqr
+        oaggs.append(
+            F.sum(((F.col(c) < lower) | (F.col(c) > upper)).cast("long"))
+            .cast("long")
+            .alias(f"{c}__out")
+        )
+        oaggs += [F.first(f"{c}__{s}").alias(f"{c}__{s}") for s in _STATS]
+    both = joined.agg(*oaggs)
+    parts = [
+        f"'{c}', `{c}__n`, `{c}__s`, `{c}__ssq`, `{c}__min`, `{c}__max`, "
+        f"`{c}__q1`, `{c}__q3`, `{c}__out`"
+        for c in cols
+    ]
+    stacked = both.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) as "
+            "(column_name, n, s, ssq, min_val, max_val, q1, q3, n_outliers)"
+        )
+    )
+    n = F.col("n").cast("double")
+    iqr = F.col("q3") - F.col("q1")
+    return stacked.select(
+        "column_name",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s") / n).alias("mean"),
+        F.when(
+            F.col("n") > 1,
+            F.round(F.sqrt((F.col("ssq") - F.col("s") * F.col("s") / n) / (n - 1)), 6),
+        ).alias("stddev"),
+        "min_val",
+        "max_val",
+        "q1",
+        "q3",
+        iqr.alias("iqr"),
+        (F.col("q1") - k * iqr).alias("lower_bound"),
+        (F.col("q3") + k * iqr).alias("upper_bound"),
+        F.col("n_outliers").cast("long").alias("n_outliers"),
+    )
+
+
 def iqr_bounds(
     df: DataFrame, col: str, k: float = 1.5, round_digits: int = 6
 ) -> DataFrame:
@@ -115,9 +198,10 @@ def iqr_bounds(
 
     The reference uses approxQuantile(0.25/0.75, 0.05) then flags values
     outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] (``data_validator.py:99-115``).
-    This exact variant is oracle-checkable; bounds are rounded so the
-    outlier comparison is stable across engines. See
-    ``approx_quantile_bounds`` for the sketch-based scale path.
+    This exact variant is ORACLE-ANCHOR ONLY (the all-values percentile
+    buffer OOMs at 100 TB); bounds are rounded so the outlier comparison
+    is stable across engines. Production default for the scale path is
+    ``approx_quantile_bounds`` (single-pass mergeable sketch).
     """
     x = F.col(col)
     q = df.agg(

@@ -143,31 +143,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A11: frequency table; A9: exact distinct count; A10: global min/max/avg
+# A9 exact distinct count + A10 global min/max/avg + A11 frequency table,
+# fused into ONE rollup pass (was distinct_count / global_minmax in round 1
+# and table_profile + freq_table in round 2 — merged in round 3 to free a
+# driver correctness slot; COVERAGE.md records the mapping)
 # ---------------------------------------------------------------------------
 
-_FREQ_ORACLE = """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-
-@register("freq_table", oracle=_FREQ_ORACLE, tags=("agg",))
-def freq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequency table (A11): groupBy(k).count(), reference
-    ``02_bronze_processing.py:65``."""
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
 _TABLE_PROFILE_ORACLE = """
-SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
        strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
        strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
        MIN(o_totalprice) AS min_price,
@@ -175,26 +162,46 @@ SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) / COUNT(o_totalprice)
          AS avg_price
 FROM orders
+GROUP BY ROLLUP(o_orderpriority)
 """
 
 
 @register("table_profile", oracle=_TABLE_PROFILE_ORACLE, tags=("agg",))
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts (A9) + global min/max/avg statistics (A10)
-    in ONE aggregation pass — reference ``bronze_processor.py:151-155``
-    runs these as separate actions; fusing them halves the scans. Spark
-    expands the multi-distinct into an expand+two-phase agg and computes
-    the plain aggregates alongside. (Was distinct_count / global_minmax
-    in round 1.)"""
-    return t(spark, sf_dir, "orders").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderstatus").alias("n_statuses"),
-        F.count(F.lit(1)).alias("n_orders"),
-        as_date_str(F.min("o_orderdate")).alias("min_date"),
-        as_date_str(F.max("o_orderdate")).alias("max_date"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-        davg("o_totalprice").alias("avg_price"),
+    """Frequency table (A11, reference ``02_bronze_processing.py:65``) +
+    exact distinct counts (A9) + global min/max/avg statistics (A10) in
+    ONE rollup pass — per-priority rows carry the segment frequency and
+    segment stats, the GROUPING()-marked 'ALL' row carries the global
+    profile. The reference runs these as separate actions
+    (``bronze_processor.py:151-155``); the fused rollup is one
+    expand+two-phase agg over a single scan."""
+    agged = (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            as_date_str(F.min("o_orderdate")).alias("min_date"),
+            as_date_str(F.max("o_orderdate")).alias("max_date"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.grouping("o_orderpriority").alias("_g"),
+        )
+    )
+    return agged.select(
+        F.when(F.col("_g") == 1, "ALL")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        "n_orders",
+        "n_customers",
+        "n_statuses",
+        "min_date",
+        "max_date",
+        "min_price",
+        "max_price",
+        "avg_price",
     )
 
 

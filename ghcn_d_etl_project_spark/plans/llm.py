@@ -363,9 +363,7 @@ FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id
 """
 
 
-@register(
-    "repetition_profile", oracle=_REPETITION_ORACLE, tags=("llm", "text"), late=True
-)
+@register("repetition_profile", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, table
     A1): duplicate-line fraction (pure per-row array exprs, no shuffle)

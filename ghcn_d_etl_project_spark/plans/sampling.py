@@ -17,18 +17,6 @@ from ghcn_d_etl_project_spark.plans.registry import register
 STRATA_FRACTIONS = {"en": 0.5, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 0.1}
 
 
-@register("stratified_sample", oracle=None, tags=("sampling",))
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum Bernoulli sampling (sampleBy on the lang column with
-    per-language fractions, seed-deterministic). The standard corpus
-    rebalancing op: no shuffle at all — each task coin-flips its own
-    rows against the broadcast fraction map."""
-    d = t(spark, sf_dir, "documents")
-    return d.sampleBy("lang", STRATA_FRACTIONS, seed=42).select(
-        "doc_id", "lang", "source"
-    )
-
-
 @register("approx_distinct", oracle=None, tags=("sampling", "sketch"))
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type, with the
@@ -46,35 +34,49 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_ORACLE = """
 WITH b AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-              AS INTEGER) % 100 AS bucket
+              AS INTEGER) % 100 AS bucket,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 4))
+              AS INTEGER) % 100 AS sbucket
   FROM documents
 )
-SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
        CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END AS split,
+       CAST(sbucket < CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 50
+                                WHEN 'fr' THEN 50 WHEN 'de' THEN 50
+                                WHEN 'zh' THEN 10 ELSE 0 END
+            AS BIGINT) AS sampled
 FROM b
 """
 
 
-@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"), late=True)
+@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
 def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment
-    (``operators/common.py:hash_split_bucket``): md5-derived bucket, so
-    the SAME row gets the SAME split on any engine, partitioning, or
-    re-run — unlike randomSplit (partition-order-sensitive). Pure
-    projection, no shuffle; md5 is engine-portable, so the DuckDB
-    oracle reproduces the assignment bit-for-bit."""
+    (``operators/common.py:hash_split_bucket``) + per-stratum sampling
+    keep-flag (``stratified_keep``, fractions from STRATA_FRACTIONS;
+    merged from round 2's sampleBy-based ``stratified_sample`` — now
+    md5-threshold, so it's reproducible on ANY engine). Both columns are
+    md5-derived from doc_id (the sample bucket salted so the two
+    decisions are uncorrelated): the SAME row gets the SAME split and
+    sample fate on any engine, partitioning, or re-run — unlike
+    randomSplit/sampleBy (partition-order / Spark-RNG-sensitive). Pure
+    projection, no shuffle; the DuckDB oracle reproduces both
+    assignments bit-for-bit."""
     from ghcn_d_etl_project_spark.operators.common import (
         dataset_split,
         hash_split_bucket,
+        stratified_keep,
     )
 
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        "lang",
         hash_split_bucket("doc_id").alias("bucket"),
         dataset_split("doc_id").alias("split"),
+        stratified_keep("doc_id", "lang", STRATA_FRACTIONS).alias("sampled"),
     )

@@ -9,20 +9,23 @@ from tests.conftest import SF_DIR
 
 
 def test_stratified_sample_deterministic_and_proportional(spark):
-    q = all_queries()["stratified_sample"]
-    a = sorted(r.doc_id for r in q.fn(spark, SF_DIR).collect())
-    b = sorted(r.doc_id for r in q.fn(spark, SF_DIR).collect())
-    assert a == b, "same seed must give the same sample"
-    totals = {
-        r.lang: r.n
-        for r in t(spark, SF_DIR, "documents").groupBy("lang").count()
-        .withColumnRenamed("count", "n").collect()
-    }
-    sampled = q.fn(spark, SF_DIR).groupBy("lang").count().collect()
-    for r in sampled:
-        frac = r["count"] / totals[r.lang]
-        want = STRATA_FRACTIONS[r.lang]
-        assert abs(frac - want) < 0.15, (r.lang, frac, want)
+    """The portable md5-threshold stratified sample (merged into the
+    dataset_split query in round 3) is re-run- AND partitioning-stable,
+    and hits each stratum's fraction within tolerance."""
+    q = all_queries()["dataset_split"]
+    rows = q.fn(spark, SF_DIR).collect()
+    a = sorted(r.doc_id for r in rows if r.sampled)
+    b = sorted(r.doc_id for r in q.fn(spark, SF_DIR).collect() if r.sampled)
+    assert a == b, "hash-threshold sample must be exactly reproducible"
+    totals: dict[str, int] = {}
+    kept: dict[str, int] = {}
+    for r in rows:
+        totals[r.lang] = totals.get(r.lang, 0) + 1
+        kept[r.lang] = kept.get(r.lang, 0) + int(r.sampled)
+    for lang, n in totals.items():
+        frac = kept.get(lang, 0) / n
+        want = STRATA_FRACTIONS.get(lang, 0.0)
+        assert abs(frac - want) < 0.15, (lang, frac, want)
 
 
 def test_approx_distinct_error_bound(spark):
