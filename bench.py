@@ -9,7 +9,14 @@ The headline set is every registry query registered with ``bench=True`` —
 one representative per operator family (scan+agg, join, window, reshape,
 dedup, similarity). Each query is executed to completion with a
 ``count()`` (materializes every row; no collect-to-driver cost in the
-measurement) after a warmup of the same plan at a smaller action.
+measurement).
+
+Each query runs ``SPARK_GRAFT_BENCH_RUNS`` times (default 3) and reports
+the per-query MEDIAN; the headline value is the sum of medians. Single
+runs swing +/-25-50% on small queries (JIT, parquet-footer caching, GC),
+which made round-over-round deltas unfalsifiable — the median of 3 with
+the first (cold) run naturally discarded is the cheapest attributable
+number.
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
     spark = get_spark(app_name="bench")
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
     # JVM/codegen warmup on the first query's plan so q1 isn't charged
@@ -38,12 +46,14 @@ def main() -> None:
     first = next(iter(queries.values()))
     first.fn(spark, sf_dir).limit(1).count()
 
-    t_all = time.perf_counter()
     for name, q in queries.items():
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(

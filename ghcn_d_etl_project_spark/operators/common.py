@@ -34,6 +34,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def maybe_cache(df: DataFrame, min_rows: int = 10_000) -> DataFrame:
+    """Size-gated cache: cache iff the frame exceeds ``min_rows``.
+
+    Ports the reference's "cache if beneficial" rule
+    (``src/utils/spark_utils.py:26-28`` caches when
+    ``df.count() > 10000``) — but the reference pays a FULL count just
+    to make the decision, which at 100 TB costs more than the cache
+    ever saves. Here the probe is ``limit(min_rows + 1).count()``:
+    the limit stops the scan after min_rows+1 rows regardless of input
+    size, so the decision is O(min_rows), not O(data). Frames at or
+    under the gate are cheaper to recompute than to occupy
+    block-manager memory.
+    """
+    if df.limit(min_rows + 1).count() > min_rows:
+        return df.cache()
+    return df
+
+
 def hash_split_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic, engine-portable split bucket in [0, n_buckets).
 
@@ -67,10 +85,17 @@ def stratified_keep(
     matching sampleBy. The salt decorrelates the sampling decision from
     ``hash_split_bucket``'s split assignment on the same id. Granularity
     is 1/n_buckets; no shuffle — each task evaluates its own rows.
+
+    NULL ids are coalesced to '' before salting so the keep-flag is
+    always 0/1, never NULL — and so Spark (NULL-propagating ``concat``)
+    and DuckDB (NULL-skipping ``concat``) agree: both hash ':salt' for a
+    NULL id. Without the coalesce the two engines' oracles diverge on
+    NULL ids (Spark → NULL, DuckDB → 0/1).
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
-    bucket = hash_split_bucket(F.concat(c.cast("string"), F.lit(":" + salt)), n_buckets)
+    id_str = F.coalesce(c.cast("string"), F.lit(""))
+    bucket = hash_split_bucket(F.concat(id_str, F.lit(":" + salt)), n_buckets)
     thr: Column | None = None
     for stratum, frac in fractions.items():
         t = F.lit(int(round(frac * n_buckets)))

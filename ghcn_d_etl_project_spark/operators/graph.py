@@ -18,11 +18,14 @@ large-star/small-star MapReduce formulation (Kiveris et al., "Connected
 Components in MapReduce and Beyond").
 
 Scale posture per iteration: two shuffles (the edge join and the
-groupBy-min), both on the node key; labels are ``localCheckpoint``-ed
-each round so the plan's lineage stays O(1) instead of O(iterations)
-(an unbounded iterative lineage is the classic Spark OOM/stack-overflow
-trap). Dedup graphs in practice have tiny components (diameter <= ~3),
-so the loop body executes 2-4 times regardless of corpus size.
+groupBy-min), both on the node key; labels are checkpointed each round
+so the plan's lineage stays O(1) instead of O(iterations) (an unbounded
+iterative lineage is the classic Spark OOM/stack-overflow trap). Pass
+``checkpoint_dir`` for RELIABLE checkpoints on a cluster (survives
+executor loss); the default ``localCheckpoint`` is faster but
+executor-local — fine for local mode and short jobs. Dedup graphs in
+practice have tiny components (diameter <= ~3), so the loop body
+executes 2-4 times regardless of corpus size.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
@@ -47,7 +51,24 @@ def connected_components(
     Returns ``(node, component)`` where ``component`` is the minimum id
     in the node's component. Raises if not converged within
     ``max_iter`` rounds (log2 of the largest component diameter).
+
+    ``checkpoint_dir`` selects the lineage-truncation strategy:
+    when set, per-round labels use RELIABLE ``df.checkpoint()`` into
+    that directory (HDFS/object-store path on a cluster) — blocks
+    survive executor loss, the right choice for a multi-hour 100 TB
+    job. When None (default), the faster ``localCheckpoint`` is used:
+    blocks live on executors, so an executor loss mid-iteration kills
+    the job — acceptable on local[...] or short-running jobs only.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     und = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -59,10 +80,8 @@ def connected_components(
     n = und.select(F.col("src").alias("node"))
     if nodes is not None:
         n = n.union(nodes.select(F.col(node_col).alias("node")))
-    labels = (
-        n.distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+    labels = truncate(
+        n.distinct().select("node", F.col("node").alias("component"))
     )
 
     # Convergence witness: labels only ever decrease, so for numeric ids
@@ -88,12 +107,11 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.component") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.component").alias("component"))
         )
-        new_labels = (
+        new_labels = truncate(
             labels.union(neighbor)
             .union(jump)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         if numeric:
             cur = metric(new_labels)

@@ -120,8 +120,9 @@ def column_stats_with_outliers(
     ORACLE ANCHOR ONLY: exact ``percentile`` buffers all values of each
     column in one aggregation buffer — fine at oracle scale, OOM at
     100 TB. Production quality suites use ``approx_quantile_bounds``
-    (mergeable sketch); ``pipelines/corpus.py`` is pinned to never call
-    the exact form (tests/test_quality_recs.py).
+    (mergeable sketch); no pipeline module calls the exact form, pinned
+    by ``tests/test_quality_recs.py::
+    test_pipelines_never_call_exact_percentile``.
 
     Output: one row per column — ``column_name, n, mean, stddev,
     min_val, max_val, q1, q3, iqr, lower_bound, upper_bound,

@@ -183,11 +183,14 @@ def pii_redact(col: Column | str) -> Column:
     return c
 
 
-def chunk_spans(col: Column | str, chunk_tokens: int, stride: int) -> Column:
+def chunk_spans(col: Column | str, stride: int) -> Column:
     """Sliding-window chunk start positions (1-indexed into the token
     array): 1, 1+stride, ... up to the last start that begins a non-empty
-    chunk. Overlap = chunk_tokens - stride."""
+    chunk; empty/whitespace-only documents yield an EMPTY array (no
+    phantom ``[1]`` start). Any start <= n_tokens begins a non-empty
+    chunk regardless of chunk width, so only the stride parameterizes
+    the starts (the former ``chunk_tokens`` parameter was dead weight)."""
     toks = tokens(col)
-    return F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)) + 1, F.lit(stride)
-    )
+    return F.when(
+        F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))

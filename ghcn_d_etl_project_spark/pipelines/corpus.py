@@ -107,12 +107,18 @@ def neardup_dedup_keep_canonical(
     return survivors, comps
 
 
-def chunk_documents(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
+def chunk_documents(
+    docs: DataFrame, cfg: CorpusPrepConfig, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Stage 5: sliding-window chunks (same construction as the
-    ``doc_chunks`` registered query, parameterized)."""
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    ``doc_chunks`` registered query, parameterized). ``carry`` names
+    extra input columns (e.g. the predicted language) to pass through
+    onto every chunk — per-row metadata rides the narrow explode for
+    free, vs joining it back later (a full shuffle on doc_id)."""
+    toked = docs.select("doc_id", *carry, tokens(F.col("text")).alias("toks"))
     starts = toked.select(
         "doc_id",
+        *carry,
         "toks",
         F.posexplode(
             F.sequence(
@@ -123,29 +129,86 @@ def chunk_documents(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
     chunk = F.slice(F.col("toks"), F.col("start"), F.lit(cfg.chunk_tokens))
     return starts.select(
         "doc_id",
+        *carry,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
 
+class CorpusStages(dict):
+    """``corpus_prep``'s stage map, plus a cache-release handle.
+
+    The pipeline persists three intermediates (filtered base, exact-dedup
+    output, survivors) so the dedup/chunk branches share one computation.
+    Callers own their lifetime: ``release()`` unpersists all three once
+    downstream consumers have materialized — without it, repeated
+    pipeline invocations in one session accumulate cached blocks until
+    the executor store evicts under pressure (driver-verified leak,
+    round 3)."""
+
+    _PERSISTED = ("filtered", "exact_deduped", "survivors")
+
+    def release(self) -> None:
+        for key in self._PERSISTED:
+            df = self.get(key)
+            if df is not None:
+                df.unpersist()
+
+
 def corpus_prep(
     spark: SparkSession, sf_dir: str, cfg: CorpusPrepConfig | None = None
-) -> dict[str, DataFrame]:
+) -> CorpusStages:
     """Run the full ladder over ``documents``; returns every stage so
     callers (and tests) can audit the funnel:
     ``filtered`` → ``exact_deduped`` → ``survivors`` (+ ``components``)
-    → ``chunks``."""
+    → ``chunks``. Call ``.release()`` on the result when done to drop
+    the pipeline's cached intermediates."""
     cfg = cfg or CorpusPrepConfig()
     docs = t(spark, sf_dir, "documents")
     base = filtered_redacted(docs, cfg).persist()
     exact = exact_dedup_keep_min(base).persist()
     survivors, comps = neardup_dedup_keep_canonical(exact, cfg)
     survivors = survivors.persist()
-    return {
-        "filtered": base,
-        "exact_deduped": exact,
-        "survivors": survivors,
-        "components": comps,
-        "chunks": chunk_documents(survivors, cfg),
-    }
+    return CorpusStages(
+        filtered=base,
+        exact_deduped=exact,
+        survivors=survivors,
+        components=comps,
+        chunks=chunk_documents(survivors, cfg, carry=("pred_lang",)),
+    )
+
+
+def write_corpus(
+    stages: dict,
+    path: str,
+    fmt: str = "parquet",
+    max_records_per_file: int | None = 1_000_000,
+) -> None:
+    """Materialize prepared chunks as a real training-data layout.
+
+    Adds the engine-portable train/val/test label
+    (``operators/common.py:dataset_split`` — md5-derived, so the same
+    doc lands in the same split on any engine or re-run) and writes via
+    ``sources/writers.py:write_partitioned`` hive-partitioned by
+    ``(split, lang)``: one shuffle onto the partition values so each
+    directory gets a bounded file count, with ``max_records_per_file``
+    capping individual file size. Readers then prune whole splits /
+    languages from the path alone — the layout a 100 TB pre-training
+    run actually consumes."""
+    from ghcn_d_etl_project_spark.operators.common import dataset_split
+    from ghcn_d_etl_project_spark.sources.writers import write_partitioned
+
+    chunks = stages["chunks"]
+    out = chunks.withColumn("split", dataset_split("doc_id"))
+    partition_by = ["split"]
+    if "pred_lang" in out.columns:
+        out = out.withColumnRenamed("pred_lang", "lang")
+        partition_by.append("lang")
+    write_partitioned(
+        out,
+        path,
+        partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+        fmt=fmt,
+    )

@@ -347,12 +347,17 @@ def run_pipeline(
     stations_path: str,
     state: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Full medallion composition. Silver is cached before the 4-mart
-    fan-out (the reference re-derives it per mart — SURVEY §4 caching row).
+    """Full medallion composition. Silver is size-gate cached before the
+    4-mart fan-out (the reference re-derives it per mart — SURVEY §4
+    caching row; the gate ports ``spark_utils.py:26-28``'s cache-if-
+    beneficial rule with a bounded probe, see
+    ``operators/common.py:maybe_cache``).
     """
+    from ghcn_d_etl_project_spark.operators.common import maybe_cache
+
     bronze = bronze_from_dly(spark, dly_paths)
     stations = read_stations(spark, stations_path, state=state)
-    silver = silver_from_bronze(bronze, stations).cache()
+    silver = maybe_cache(silver_from_bronze(bronze, stations), min_rows=1000)
     return {
         "bronze": bronze,
         "silver": silver,

@@ -36,10 +36,13 @@ def download_file(
     filename: str | None = None,
     force: bool = False,
     chunk_size: int = 8192,
+    timeout: float = 60.0,
 ) -> str:
     """Stream ``url`` into ``dest_dir``; skip when the file already exists
     (unless ``force``); remove the partial file on any failure so a retry
-    never resumes from a truncated artifact."""
+    never resumes from a truncated artifact. ``timeout`` (seconds) bounds
+    both connect and per-read stalls — without it a dead connection hangs
+    the driver forever (urlopen's default is no timeout)."""
     if filename is None:
         filename = os.path.basename(urlparse(url).path)
         if not filename:
@@ -50,7 +53,7 @@ def download_file(
     if path.exists() and not force:
         return str(path)
     try:
-        with urllib.request.urlopen(url) as resp, open(path, "wb") as out:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(path, "wb") as out:
             while True:
                 chunk = resp.read(chunk_size)
                 if not chunk:

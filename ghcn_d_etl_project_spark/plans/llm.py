@@ -276,14 +276,19 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity"))
+@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity"), bench=True)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF cells (``operators/ivf.py``): a
     DataFrame-native k-means coarse quantizer (deterministic — decimal
     accumulation), nearest-cell indexing, 4-of-16-cell probing, exact
     cosine re-rank of cell members only (~25% of the corpus scored per
     query vs 100% for the crossJoin). Centroid-defined output =>
-    rows-only; recall vs cosine_topk pinned in tests."""
+    rows-only; recall vs cosine_topk pinned in tests.
+
+    Benched (bench=True) alongside the exact ``cosine_topk`` anchor so
+    the plan shape that actually survives 100 TB has its own
+    round-over-round trendline — the exact N-squared crossJoin is the
+    recall baseline, not the scale path."""
     from ghcn_d_etl_project_spark.operators.ivf import ivf_topk
 
     return ivf_topk(

@@ -37,7 +37,7 @@ WITH b AS (
   SELECT doc_id, lang,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
               AS INTEGER) % 100 AS bucket,
-         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 4))
+         CAST(concat('0x', substr(md5(concat(coalesce(CAST(doc_id AS VARCHAR), ''), ':sample')), 1, 4))
               AS INTEGER) % 100 AS sbucket
   FROM documents
 )

@@ -167,24 +167,54 @@ def write_zordered(
     ``df.stat.approxQuantile`` instead of linear scaling, same Morton
     step. Pinned by
     ``tests/test_writers.py::test_zorder_files_bound_both_dims``.
+
+    Cluster keys must be numeric, date, or timestamp (date/timestamp are
+    rank-scaled through their epoch values); other types raise
+    ``TypeError`` up front rather than failing mid-job. An empty input
+    (or all-NULL keys — no min/max to scale by) short-circuits to a
+    plain write: there is nothing to cluster.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    def numeric_key(name: str):
+        dt = dtypes.get(name)
+        if isinstance(dt, T.NumericType):
+            return F.col(name)
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(name))
+        if isinstance(dt, T.TimestampType):
+            return F.col(name).cast("double")
+        if isinstance(dt, T.TimestampNTZType):
+            # NTZ has no direct numeric cast; routing through TIMESTAMP
+            # (session tz) is monotonic, which is all scaling needs.
+            return F.col(name).cast("timestamp").cast("double")
+        raise TypeError(
+            f"write_zordered cluster key {name!r} must be numeric/date/"
+            f"timestamp, got {dt.simpleString() if dt else 'missing column'}"
+        )
+
+    key_a, key_b = numeric_key(col_a), numeric_key(col_b)
     n = target_files or df.sparkSession.sparkContext.defaultParallelism
     top = (1 << 16) - 1
     lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        F.min(key_a), F.max(key_a), F.min(key_b), F.max(key_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        df.write.mode(mode).format(fmt).save(path)
+        return
 
     def scaled(c, lo, hi):
         span = float(hi - lo) or 1.0
         return F.least(
             F.lit(top),
-            ((F.col(c) - F.lit(lo)).cast("double") / span * top).cast("long"),
+            ((c - F.lit(lo)).cast("double") / span * top).cast("long"),
         )
 
     coded = df.withColumn(
-        "__z", _morton16(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b))
+        "__z", _morton16(scaled(key_a, lo_a, hi_a), scaled(key_b, lo_b, hi_b))
     )
     (
         coded.repartitionByRange(n, "__z")

@@ -76,3 +76,39 @@ def test_components_cover_exact_dedup_output(spark):
     # survivors are exactly the component representatives
     reps = stages["components"].filter(F.col("node") == F.col("component"))
     assert stages["survivors"].count() == reps.count()
+
+
+def test_release_unpersists_cached_stages(spark):
+    """corpus_prep persists three intermediates; release() must drop all
+    of them so repeated invocations don't accumulate cached blocks."""
+    stages = corpus_prep(spark, SF_DIR)
+    stages["survivors"].count()  # materialize through the whole ladder
+    cached = [stages[k] for k in ("filtered", "exact_deduped", "survivors")]
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
+    stages.release()
+    for df in cached:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
+
+
+def test_write_corpus_training_layout(spark, tmp_path):
+    """write_corpus materializes chunks hive-partitioned by
+    (split, lang): directories prune whole splits/languages from the
+    path alone, and the round-trip preserves every chunk."""
+    from ghcn_d_etl_project_spark.pipelines.corpus import write_corpus
+
+    stages = corpus_prep(spark, SF_DIR)
+    out = tmp_path / "corpus"
+    write_corpus(stages, str(out))
+    n_chunks = stages["chunks"].count()
+    stages.release()
+
+    splits = {p.name for p in out.iterdir() if p.name.startswith("split=")}
+    assert splits <= {"split=train", "split=val", "split=test"} and splits
+    langs = {
+        q.name for p in out.iterdir() if p.is_dir() for q in p.iterdir()
+    }
+    assert any(name.startswith("lang=") for name in langs), langs
+    back = spark.read.parquet(str(out))
+    assert back.count() == n_chunks
+    assert {"split", "lang", "chunk_text", "n_tokens"} <= set(back.columns)

@@ -315,3 +315,22 @@ def test_normal_temp_row_midpoint_semantics(spark):
     assert r2.normal_temp == pytest.approx(19.0)   # only day 1 midpoint
     assert (r2.normal_tmax + r2.normal_tmin) / 2 == pytest.approx(24.0)
     assert r2.climate_zone == "Temperate"  # keyed off 19, not 24
+
+
+def test_maybe_cache_size_gate(spark):
+    """maybe_cache caches only above the row gate, and the probe is
+    bounded (limit+count), not a full count of the input."""
+    from ghcn_d_etl_project_spark.operators.common import maybe_cache
+
+    small = spark.range(10).toDF("id")
+    big = spark.range(5000).toDF("id")
+    got_small = maybe_cache(small, min_rows=100)
+    got_big = maybe_cache(big, min_rows=100)
+    try:
+        assert not (
+            got_small.storageLevel.useMemory or got_small.storageLevel.useDisk
+        )
+        assert got_big.storageLevel.useMemory or got_big.storageLevel.useDisk
+        assert got_big.count() == 5000
+    finally:
+        got_big.unpersist()

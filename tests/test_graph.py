@@ -91,3 +91,23 @@ def test_dedup_clusters_invariants(spark):
     sizes = {r.component: r.component_size for r in rows}
     for comp, members in by_comp.items():
         assert sizes[comp] == len(members)
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to RELIABLE
+    df.checkpoint() — blocks written under the given directory (what a
+    cluster job needs to survive executor loss), with identical
+    results."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    ckpt = tmp_path / "ccckpt"
+    got = sorted(
+        (r.node, r.component)
+        for r in connected_components(
+            edges, checkpoint_dir=str(ckpt)
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+    # reliable checkpoints materialize on disk under the directory
+    assert any(ckpt.rglob("*")), "no reliable checkpoint files written"

@@ -114,3 +114,21 @@ def test_ingest_composition(fixtures, tmp_path):
     )
     assert len(res["dly_paths"]) == 2
     assert Path(res["stations_path"]).exists()
+
+
+def test_download_sets_socket_timeout(fixtures, tmp_path, monkeypatch):
+    """download_file must pass a finite timeout to urlopen — the default
+    (None) hangs the driver forever on a stalled connection."""
+    import urllib.request
+
+    seen: dict[str, object] = {}
+    real = urllib.request.urlopen
+
+    def spy(url, *args, timeout=None, **kwargs):
+        seen["timeout"] = timeout
+        return real(url, *args, timeout=timeout, **kwargs)
+
+    monkeypatch.setattr(urllib.request, "urlopen", spy)
+    stations, _ = fixtures
+    download_file(stations.as_uri(), str(tmp_path / "raw2"), timeout=12.5)
+    assert seen["timeout"] == 12.5

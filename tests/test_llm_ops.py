@@ -180,7 +180,7 @@ def test_chunk_spans_starts(spark):
         [(1, " ".join(f"t{i}" for i in range(50))), (2, "a b"), (3, "")],
         "id long, text string",
     )
-    got = {r.id: r.v for r in df.select("id", chunk_spans("text", 32, 24).alias("v")).collect()}
+    got = {r.id: r.v for r in df.select("id", chunk_spans("text", 24).alias("v")).collect()}
     assert got[1] == [1, 25, 49]  # 50 tokens: starts 1, 25, 49
     assert got[2] == [1]
-    assert got[3] == [1]  # degenerate: single start, empty chunk downstream
+    assert got[3] == []  # empty doc → no starts, not a phantom [1]

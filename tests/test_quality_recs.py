@@ -59,3 +59,21 @@ def test_report_from_completeness_pass(spark):
     comp = {c: getattr(row, f"{c}_pct") for c in ("TMAX", "TMIN")}
     recs = recommendations({"completeness": comp})
     assert any("completeness" in r for r in recs)  # TMIN at 25% < 80%
+
+
+def test_pipelines_never_call_exact_percentile():
+    """The exact-percentile operators (column_stats_with_outliers,
+    iqr_bounds) buffer EVERY value of a column in one aggregation
+    buffer — fine as sf0.01 oracle anchors, OOM at 100 TB. This is the
+    grep-able guarantee that no pipeline module reaches them: the
+    sketch-based approx_quantile_bounds is the only production path."""
+    from pathlib import Path
+
+    import ghcn_d_etl_project_spark
+
+    pkg = Path(ghcn_d_etl_project_spark.__file__).parent
+    banned = ("column_stats_with_outliers", "iqr_bounds", "percentile(")
+    for mod in sorted((pkg / "pipelines").glob("*.py")):
+        src = mod.read_text()
+        for name in banned:
+            assert name not in src, (mod.name, name)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from ghcn_d_etl_project_spark.plans import all_queries
 from ghcn_d_etl_project_spark.plans.sampling import STRATA_FRACTIONS
 from ghcn_d_etl_project_spark.plans._util import t
@@ -25,7 +27,13 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     for lang, n in totals.items():
         frac = kept.get(lang, 0) / n
         want = STRATA_FRACTIONS.get(lang, 0.0)
-        assert abs(frac - want) < 0.15, (lang, frac, want)
+        # Size-aware bound: 4 binomial sigmas plus the 1/100 bucket
+        # granularity. A flat tolerance fails deterministically on tiny
+        # strata (sf0.001's ~41-doc 'fr' stratum sits 2 sigma off its
+        # 50% target FOREVER, because md5 is fixed) — the md5-threshold
+        # sample is one draw, not a random variable per run.
+        tol = 4.0 * math.sqrt(want * (1.0 - want) / n) + 0.01
+        assert abs(frac - want) < tol, (lang, frac, want, n, tol)
 
 
 def test_approx_distinct_error_bound(spark):

@@ -166,3 +166,28 @@ def test_zorder_files_bound_both_dims(spark, tmp_path):
     # the global span on average (a 1-D sort keeps one axis at ~100%)
     assert avg_rx < 0.6 * glob.rx, (avg_rx, glob.rx)
     assert avg_ry < 0.6 * glob.ry, (avg_ry, glob.ry)
+
+
+def test_zorder_empty_input_and_typed_keys(spark, tmp_path):
+    """Edge contracts: an empty input short-circuits to a plain write
+    (min/max are NULL — nothing to scale by), date keys scale through
+    their epoch, and a string key is rejected up front with TypeError
+    instead of exploding mid-job."""
+    import pytest
+
+    from ghcn_d_etl_project_spark.sources.writers import write_zordered
+
+    li = t(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate", "l_returnflag"
+    )
+
+    empty_out = str(tmp_path / "z_empty")
+    write_zordered(li.filter(F.lit(False)), empty_out, "l_orderkey", "l_partkey")
+    assert spark.read.parquet(empty_out).count() == 0
+
+    date_out = str(tmp_path / "z_date")
+    write_zordered(li.limit(1000), date_out, "l_shipdate", "l_orderkey", target_files=4)
+    assert spark.read.parquet(date_out).count() == 1000
+
+    with pytest.raises(TypeError, match="l_returnflag"):
+        write_zordered(li, str(tmp_path / "z_bad"), "l_orderkey", "l_returnflag")
