@@ -9,23 +9,27 @@ its ``n_probe`` nearest cells — the classic IVF-Flat construction
 centroids-as-routing idea goes back to inverted file systems in
 Jegou et al.'s product-quantization line).
 
-Everything is distributed DataFrame ops — no MLlib, no UDFs:
+Index + search are distributed DataFrame ops — no MLlib, no UDFs:
 
-  * k-means is Lloyd's iteration with the explode->broadcast-join->
-    groupBy shape: distances are computed on ``(id, dim, x)`` rows
-    joined against a broadcast ``(cluster, dim, c)`` table and summed
-    per (id, cluster) with map-side partial aggregation, so the shuffle
-    carries N x k rows, not N x k x dim. Centroid updates collect only
-    k x dim doubles to the driver (the definition of a COARSE quantizer
-    is that k x dim is tiny).
-  * All floating accumulations (distances, centroid means) go through
-    DECIMAL, making the fit bit-deterministic regardless of partition
-    count or accumulation order — same recipe as the oracle-parity sums
+  * the coarse quantizer (k-means) trains driver-side on a BOUNDED
+    hash-ordered sample (``train_rows`` x dim doubles, the same
+    bounded-collect legitimacy as the k x dim centroid table) — see
+    ``kmeans_fit``; the corpus itself is never collected.
+  * cell assignment is one distributed pass: distances computed on
+    ``(id, dim, x)`` rows joined against the broadcast
+    ``(cluster, dim, c)`` table, summed per (id, cluster) with
+    map-side partial aggregation (shuffle carries N x k rows, not
+    N x k x dim), with DECIMAL accumulation so near-tie argmins can't
+    flip with partition count — same recipe as the oracle-parity sums
     in ``plans/_util.py``.
-  * Scale: each Lloyd round is two shuffles; search is one equi-join on
-    the cell id (candidates per query ~ n_probe/k of the corpus) plus
-    the exact re-rank. At 100 TB one raises k so cells stay
-    executor-sized (k ~ sqrt(N) keeps candidate sets ~sqrt(N)).
+  * Scale: the quantizer trains on a bounded hash-ordered sample
+    (``train_rows`` — a coarse quantizer needs ~10-100x k vectors, not
+    the corpus), so Lloyd cost is O(train_rows x k) per round no matter
+    the corpus size; only the one-pass cell ASSIGNMENT touches all N.
+    Search is one equi-join on the cell id (candidates per query ~
+    n_probe/k of the corpus) plus the exact re-rank. At 100 TB one
+    raises k so cells stay executor-sized (k ~ sqrt(N) keeps candidate
+    sets ~sqrt(N)).
 
 Like the LSH variants, output is hash/centroid-defined — rows-only
 checked by the driver, with recall-vs-exact pinned in pytest.
@@ -39,13 +43,6 @@ from pyspark.sql import functions as F
 
 from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
 from ghcn_d_etl_project_spark.operators.similarity import _as_double, dot, norm
-
-
-def _vec_long(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, d, x) exploded vector elements; d is the 0-based dimension."""
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(_as_double(vec_col)).alias("d", "x")
-    )
 
 
 def _centroid_df(spark: SparkSession, cents: dict[int, list[float]]) -> DataFrame:
@@ -76,49 +73,48 @@ def kmeans_fit(
     k: int = 16,
     n_iter: int = 3,
     seed: int = 7,
+    train_rows: int = 4096,
 ) -> dict[int, list[float]]:
-    """Lloyd's k-means over an embedding column, returning centroids as a
-    driver-side dict (k x dim doubles — tiny by construction).
+    """Lloyd's k-means coarse quantizer, trained DRIVER-SIDE on a
+    bounded deterministic sample; returns centroids as a dict
+    (k x dim doubles).
 
-    Init picks k corpus vectors by hash order (``xxhash64(id, seed)`` +
-    TakeOrderedAndProject — no full sort), so the fit is deterministic
-    end-to-end. Empty cells keep their previous centroid."""
-    spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    init = base.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id")).limit(k)
-    cents = {i: [float(x) for x in r.v] for i, r in enumerate(init.collect())}
+    The training set is the first ``train_rows`` corpus vectors in
+    ``xxhash64(id, seed)`` order (TakeOrderedAndProject — no full
+    sort), collected to the driver: train_rows x dim doubles, bounded
+    BY CONSTRUCTION regardless of corpus size — the same bounded-
+    collect legitimacy as the centroid table itself. A coarse quantizer
+    needs ~10-100x k training vectors, not the corpus (FAISS trains IVF
+    quantizers on in-process samples for the same reason); the corpus
+    is only ever touched by the distributed one-pass cell assignment in
+    ``ivf_topk``. Init = the sample's first k vectors; empty cells keep
+    their previous centroid; numpy argmin breaks distance ties toward
+    the lower cluster id, and identical input yields an identical fit.
 
-    vec_long = _vec_long(df, id_col, vec_col).persist()
-    try:
-        for _ in range(n_iter):
-            cl = _centroid_df(spark, cents)
-            assign = _dist2(vec_long, cl)
-            w = Window.partitionBy("id").orderBy(
-                F.col("dist2").asc(), F.col("cluster").asc()
-            )
-            home = (
-                assign.withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1)
-                .select("id", "cluster")
-            )
-            upd = (
-                home.join(vec_long, "id")
-                .groupBy("cluster", "d")
-                .agg(
-                    F.avg(F.col("x").cast("decimal(28,14)"))
-                    .cast("double")
-                    .alias("c")
-                )
-                .collect()
-            )
-            dims_by_cluster: dict[int, dict[int, float]] = {}
-            for r in upd:
-                dims_by_cluster.setdefault(r.cluster, {})[r.d] = r.c
-            for cid, dims in dims_by_cluster.items():
-                cents[cid] = [dims[d] for d in range(len(dims))]
-    finally:
-        vec_long.unpersist()
-    return cents
+    (Round 4 change: the previous DISTRIBUTED Lloyd's paid per-round
+    fixed costs — a broadcast, two shuffles, and a collect, ~3 s/round
+    on local[32] — that dwarf the actual arithmetic at ANY corpus size,
+    precisely because the training set is bounded. Cluster time belongs
+    to the assignment pass, not the fit.)
+    """
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(train_rows)
+        .collect()
+    )
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(min(k, C.shape[0])):
+            members = X[a == c]
+            if members.shape[0]:
+                C[c] = members.mean(axis=0)
+    return {i: [float(x) for x in C[i]] for i in range(C.shape[0])}
 
 
 def ivf_topk(
@@ -131,6 +127,8 @@ def ivf_topk(
     n_iter: int = 3,
     seed: int = 7,
     round_digits: int = 6,
+    train_rows: int = 4096,
+    broadcast_rows: int = 65536,
 ) -> DataFrame:
     """Approximate cosine top-k per corpus vector via IVF cells.
 
@@ -140,9 +138,30 @@ def ivf_topk(
     neighbor) pair appears at most once since a neighbor has exactly one
     home cell. Output: (qid, nid, cos_sim, rank) — same contract as
     ``cosine_topk`` / ``ann_lsh_topk`` so recall is directly
-    measurable."""
+    measurable.
+
+    The corpus-to-centroid assignment is computed ONCE (sorted top-
+    ``n_probe`` cells per id in a single partial-aggregating pass) and
+    persisted; ``home`` (element 0) and the probe list both read that
+    one small table. The previous shape re-derived the full distance
+    computation per branch — twice the dominant cost for zero benefit
+    (the persist-per-branch rule).
+
+    Join strategy for the scoring join: when the corpus provably fits a
+    broadcast (bounded ``limit(broadcast_rows+1).count()`` probe — the
+    probe cost is O(broadcast_rows) regardless of corpus size), the
+    member table is broadcast, which matters because the cell id has
+    only ``n_centroids`` distinct values — a shuffle join on 16 cells
+    caps parallelism at 16 tasks and pays two exchanges + sorts
+    (measured 8x slower at sf0.1). Above the probe bound the join
+    shuffles on the cell id, which is the correct 100 TB shape: there
+    production ``n_centroids`` ~ sqrt(N) supplies thousands of join
+    keys, so the small-k parallelism collapse cannot occur."""
     spark = df.sparkSession
-    cents = kmeans_fit(df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed)
+    cents = kmeans_fit(
+        df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed,
+        train_rows=train_rows,
+    )
 
     base = (
         ensure_parallelism(df)
@@ -151,16 +170,22 @@ def ivf_topk(
         .persist()
     )
     vec_long = base.select("id", F.posexplode("vec").alias("d", "x"))
-    ranked = _dist2(vec_long, _centroid_df(spark, cents)).withColumn(
-        "crank",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(
-                F.col("dist2").asc(), F.col("cluster").asc()
-            )
-        ),
+    top_cells = (
+        _dist2(vec_long, _centroid_df(spark, cents))
+        .groupBy("id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dist2", "cluster"))),
+                1,
+                n_probe,
+            ).alias("cells")
+        )
+        .persist()
     )
-    home = ranked.filter(F.col("crank") == 1).select("id", "cluster")
-    probes = ranked.filter(F.col("crank") <= n_probe).select("id", "cluster")
+    home = top_cells.select("id", F.col("cells")[0]["cluster"].alias("cluster"))
+    probes = top_cells.select(
+        "id", F.explode("cells").alias("cell")
+    ).select("id", F.col("cell.cluster").alias("cluster"))
 
     members = home.join(base, "id").select(
         F.col("id").alias("nid"),
@@ -174,6 +199,8 @@ def ivf_topk(
         F.col("nrm").alias("qnorm"),
         "cluster",
     )
+    if df.limit(broadcast_rows + 1).count() <= broadcast_rows:
+        members = F.broadcast(members)
     scored = (
         queries.join(members, "cluster")
         .filter(F.col("qid") != F.col("nid"))

@@ -14,8 +14,9 @@ def _emb(spark):
 
 
 def test_kmeans_fit_deterministic(spark):
-    """Decimal accumulation makes the fit bit-identical across runs —
-    float groupBy sums would differ with partition/accumulation order."""
+    """The hash-ordered bounded sample and driver-side Lloyd's make the
+    fit bit-identical across runs — there is no partition-order or
+    accumulation-order dependence left to vary."""
     emb = _emb(spark)
     c1 = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
     c2 = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iter=2)
