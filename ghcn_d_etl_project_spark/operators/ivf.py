@@ -129,6 +129,7 @@ def ivf_topk(
     round_digits: int = 6,
     train_rows: int = 4096,
     broadcast_rows: int = 65536,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k per corpus vector via IVF cells.
 
@@ -156,7 +157,16 @@ def ivf_topk(
     (measured 8x slower at sf0.1). Above the probe bound the join
     shuffles on the cell id, which is the correct 100 TB shape: there
     production ``n_centroids`` ~ sqrt(N) supplies thousands of join
-    keys, so the small-k parallelism collapse cannot occur."""
+    keys, so the small-k parallelism collapse cannot occur.
+
+    Cache lifetime: two intermediates are persisted (``base``,
+    ``top_cells``) so the home/probe/score branches share one
+    computation. Pass ``release_into`` (a list) to receive them and
+    ``unpersist()`` once the result has materialized — the same
+    caller-owned-lifetime contract as ``CorpusStages.release()``
+    (``pipelines/corpus.py``); without it, repeated invocations in one
+    session accumulate cached blocks until the store evicts under
+    pressure."""
     spark = df.sparkSession
     cents = kmeans_fit(
         df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed,
@@ -182,6 +192,8 @@ def ivf_topk(
         )
         .persist()
     )
+    if release_into is not None:
+        release_into.extend([base, top_cells])
     home = top_cells.select("id", F.col("cells")[0]["cluster"].alias("cluster"))
     probes = top_cells.select(
         "id", F.explode("cells").alias("cell")

@@ -87,7 +87,13 @@ def asof_join(
     null-outs matches older than the window (pandas merge_asof
     semantics).
     """
-    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__payload")
+    # The tolerance check reads the matched row's timestamp out of the
+    # payload struct — carry right_ts internally even when the caller
+    # didn't list it (only the caller's columns are emitted as asof_*).
+    payload_cols = list(right_payload)
+    if tolerance_seconds is not None and right_ts not in payload_cols:
+        payload_cols.append(right_ts)
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("__payload")
     l_tagged = left.select(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
@@ -121,9 +127,14 @@ def asof_join(
         .filter(F.col("__is_left") == 1)
     )
     if tolerance_seconds is not None:
+        # Cast defensively: unix_micros rejects TIMESTAMP_NTZ, and the ts
+        # columns arrive straight from the caller (no loader in between).
+        # No-op for TIMESTAMP inputs; see range_join_pairs for the
+        # session-timezone caveat.
         match_ts = F.col("__match").getField(right_ts)
         in_window = (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(match_ts)
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(match_ts.cast("timestamp"))
         ) <= int(tolerance_seconds * 1_000_000)
         filled = filled.withColumn(
             "__match", F.when(in_window, F.col("__match"))
@@ -155,12 +166,18 @@ def range_join_pairs(
     Databricks; expressed here with plain operators.
     """
     us = int(max_gap_seconds * 1_000_000)
+    # Cast defensively: unix_micros rejects TIMESTAMP_NTZ (the shape
+    # tz-less pandas/pyarrow parquet loads as), so the operator must not
+    # depend on callers routing input through load_table's normalization.
+    # On a TIMESTAMP column the cast is a no-op; the session tz decides
+    # the NTZ wall-clock interpretation (engine sessions pin UTC).
+    ts_c = F.col(ts_col).cast("timestamp")
     base = df.select(
         F.col(key).alias("k"),
         F.col(id_col).alias("id"),
-        F.col(ts_col).alias("ts"),
-        F.unix_micros(F.col(ts_col)).alias("us"),
-        F.floor(F.unix_micros(F.col(ts_col)) / us).alias("bucket"),
+        ts_c.alias("ts"),
+        F.unix_micros(ts_c).alias("us"),
+        F.floor(F.unix_micros(ts_c) / us).alias("bucket"),
     )
     probe = base.select(
         "k", "id", "ts", "us",

@@ -233,6 +233,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_ORACLE = """
 SELECT l.event_id, l.user_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       CAST(epoch_us(l.ts) AS BIGINT) AS ts_epoch_us,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
        r.event_id AS purchase_event_id,
        r.value AS purchase_value
@@ -247,7 +248,14 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each error event picks the latest preceding
     purchase by the same user. Implemented as the union-and-fill pattern
     (one shuffle + per-key sort, linear — no range explosion); the oracle
-    is DuckDB's native ASOF JOIN."""
+    is DuckDB's native ASOF JOIN.
+
+    ``ts_epoch_us`` is the timestamp-drift tripwire (round-4 postmortem):
+    an ABSOLUTE ``unix_micros`` value, unlike the tz-invariant epoch
+    DIFFERENCES elsewhere in the oracle set, hash-mismatches the moment
+    the loader mis-normalizes a new physical timestamp encoding or the
+    session timezone unpins from UTC — the drift class that silently
+    passed 49/50 in round 4 now turns a row red by name."""
     from ghcn_d_etl_project_spark.operators.joins import asof_join
 
     e = t(spark, sf_dir, "events")
@@ -262,6 +270,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("ts", fmt).alias("ts"),
+        F.unix_micros(F.col("ts")).alias("ts_epoch_us"),
         F.date_format("asof_ts", fmt).alias("purchase_ts"),
         F.col("asof_event_id").alias("purchase_event_id"),
         F.col("asof_value").alias("purchase_value"),

@@ -56,6 +56,11 @@ def get_spark(
         # loader (sources.readers.nanos_to_ts) — lossless for micro-aligned
         # data.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # tz-less parquet timestamp[us] (pandas/pyarrow default) would
+        # otherwise infer as TIMESTAMP_NTZ, which unix_micros/withWatermark
+        # reject; read natively as TIMESTAMP (UTC session pins the
+        # wall-clock interpretation).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))

@@ -51,22 +51,55 @@ def nanos_to_ts(col_name: str) -> Column:
     return F.expr(f"timestamp_micros(`{col_name}` div 1000)")
 
 
+def normalize_temporal(df: DataFrame) -> DataFrame:
+    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Parquet written by pandas/pyarrow without a timezone
+    (``timestamp[us]``, no ``isAdjustedToUTC``) reads natively as
+    ``TIMESTAMP_NTZ`` — a type several Spark expression families reject
+    (``unix_micros`` → DATATYPE_MISMATCH, ``withWatermark`` →
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The NTZ→TIMESTAMP cast
+    reinterprets the wall-clock in the SESSION timezone, so the session
+    MUST be pinned to UTC for values to be stable (``load_table`` pins it;
+    foreign callers must do the same — see that docstring).
+
+    Works identically on batch and streaming DataFrames (pure projection).
+    """
+    ntz_cols = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic test table (``<sf_dir>/<name>.parquet``).
 
-    Normalizes nano-timestamp columns read as LONG back to timestamps so
-    downstream plans see proper temporal types.
+    Normalizes temporal columns so downstream plans always see proper
+    ``TIMESTAMP`` types, whichever physical shape the parquet carries:
 
-    The nanos conf is set here (runtime-settable) rather than relying on the
+      * TIMESTAMP(NANOS) read as LONG (``nanosAsLong``) → timestamp_micros
+      * tz-less ``timestamp[us]`` → read natively as TIMESTAMP by
+        disabling ``inferTimestampNTZ`` (NOT a post-read cast: a cast is
+        a projection over the scan that blocks predicate pushdown on the
+        very columns queries range-filter). ``normalize_temporal`` stays
+        as a belt-and-braces no-op backstop.
+
+    The confs are set here (runtime-settable) rather than relying on the
     session factory: callers may pass any SparkSession — including one this
-    engine did not build — and ``spark.read.parquet`` on a
-    TIMESTAMP(NANOS) column throws PARQUET_TYPE_ILLEGAL without it.
+    engine did not build — and (a) ``spark.read.parquet`` on a
+    TIMESTAMP(NANOS) column throws PARQUET_TYPE_ILLEGAL without the nanos
+    conf, (b) tz-less parquet timestamps are session-timezone-dependent
+    once read as TIMESTAMP, so the timezone is pinned to UTC to keep
+    wall-clock values (and oracle hashes) stable on unpinned foreign
+    sessions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", nanos_to_ts("ts"))
-    return df
+    return normalize_temporal(df)
 
 
 def load_tables(

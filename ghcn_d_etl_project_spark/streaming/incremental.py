@@ -13,12 +13,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ghcn_d_etl_project_spark.sources.readers import nanos_to_ts
+from ghcn_d_etl_project_spark.sources.readers import nanos_to_ts, normalize_temporal
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with the same schema
-    normalization as the batch loader."""
+    normalization as the batch loader (nanos-as-long AND timestamp_ntz
+    both land as TIMESTAMP; session tz pinned UTC so the NTZ cast is
+    stable — see ``load_table``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -27,7 +31,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", nanos_to_ts("ts"))
-    return raw
+    return normalize_temporal(raw)
 
 
 def dedup_stream(

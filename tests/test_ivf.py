@@ -48,6 +48,26 @@ def test_ivf_topk_contract(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_release_unpersists_cached_intermediates(spark):
+    """ivf_topk persists two intermediates (base, top_cells); the
+    release_into handle must surface both so callers can drop them —
+    repeated invocations in one session must not accumulate cached
+    blocks (same contract as CorpusStages.release())."""
+    handles: list = []
+    out = ivf_topk(
+        _emb(spark), "vec_id", "embedding", k=3, n_centroids=8, n_probe=2,
+        release_into=handles,
+    )
+    assert out.count() > 0  # materialize through both persisted stages
+    assert len(handles) == 2
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in handles)
+    for df in handles:
+        df.unpersist()
+    for df in handles:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
+
+
 def test_ivf_recall_vs_exact(spark):
     """Probing 4 of 16 cells scores ~25% of the corpus; on this
     weak-neighbor-structure synthetic corpus that yields 0.60 recall

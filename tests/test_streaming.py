@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ghcn_d_etl_project_spark.plans._util import dsum
-from ghcn_d_etl_project_spark.sources.readers import nanos_to_ts
+from ghcn_d_etl_project_spark.streaming.incremental import read_events_stream
 from ghcn_d_etl_project_spark.streaming.stateful import running_totals
 from ghcn_d_etl_project_spark.streaming.windows import (
     session_window_agg,
@@ -21,17 +21,10 @@ from tests.oracle_check import compare_frames
 
 
 def _events_stream(spark):
-    """events.parquet as a file-source stream (schema from the batch
-    reader, incl. the nanos-as-long ts normalization)."""
-    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-    )
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", nanos_to_ts("ts"))
-    return raw
+    """events.parquet as a file-source stream, via the package's own
+    reader so tests exercise the SAME temporal normalization
+    (nanos-as-long + timestamp_ntz) the pipelines use."""
+    return read_events_stream(spark, SF_DIR)
 
 
 def _events_batch(spark):
