@@ -243,7 +243,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
-@register("asof_join_events", oracle=_ASOF_ORACLE, tags=("join", "temporal"))
+@register("asof_join_events", oracle=_ASOF_ORACLE, tags=("join", "temporal"), bench=True)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each error event picks the latest preceding
     purchase by the same user. Implemented as the union-and-fill pattern
@@ -290,7 +290,7 @@ JOIN events b
 """
 
 
-@register("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("join", "temporal"))
+@register("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("join", "temporal"), bench=True)
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-key temporal range join: ordered same-user event pairs at
     most 5 minutes apart, via gap-width timestamp bucketing (each probe

@@ -689,3 +689,54 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard packing: distributed global prefix sum
+# ---------------------------------------------------------------------------
+
+_TOKEN_SHARDS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // 65536 AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+@register("token_shards", oracle=_TOKEN_SHARDS_ORACLE, tags=("llm", "shard"), late=True)
+def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into fixed-token-budget training shards: each doc
+    is assigned the shard containing its starting token offset (a global
+    running total of whitespace token counts, 64Ki tokens per shard).
+
+    The running total is ``operators/prefix.py:global_cumsum`` in its
+    value-bucketed 1-shuffle shape (dense doc ids) — NOT the naive
+    ``Window.orderBy`` global window, whose Exchange SinglePartition
+    funnels the whole corpus through one task. The oracle states the
+    same semantics with SQL's single-threaded running-total window —
+    identical answers, scalable plan."""
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    cum = global_cumsum(
+        docs, "doc_id", "n_tokens", out_col="cum_tokens", bucket_width=4096
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.expr("(cum_tokens - n_tokens) div 65536").cast("long").alias("shard_id"),
+    )

@@ -1,0 +1,84 @@
+"""Distributed global prefix sum: exactness vs the naive single-partition
+window on both plan shapes, and the scale pins that justify its existence
+(bounded SinglePartition exchange, broadcast offsets join)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+from ghcn_d_etl_project_spark.plans import all_queries
+from tests.conftest import SF_DIR
+
+
+def _naive(df, order_col, value_col):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return {
+        r[0]: r[1]
+        for r in df.withColumn("cum", F.sum(value_col).over(w))
+        .select(order_col, "cum")
+        .collect()
+    }
+
+
+def _mk(spark):
+    import random
+
+    rng = random.Random(11)
+    # sparse, unordered, negative-and-positive keys; values incl. zero
+    rows = [(k, rng.randrange(0, 50)) for k in rng.sample(range(-500, 4000), 700)]
+    return spark.createDataFrame(rows, "k long, v long").repartition(7)
+
+
+def test_bucketed_matches_naive_window(spark):
+    df = _mk(spark)
+    want = _naive(df, "k", "v")
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, "k", "v", bucket_width=64).collect()
+    }
+    assert got == want
+
+
+def test_generic_range_shape_matches_naive_window(spark):
+    df = _mk(spark)
+    want = _naive(df, "k", "v")
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, "k", "v", num_partitions=5).collect()
+    }
+    assert got == want
+
+
+def test_null_order_keys_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (None, 99), (2, 5)], "k long, v long"
+    )
+    out = global_cumsum(df, "k", "v", bucket_width=10).collect()
+    assert {r.k: r.cum for r in out} == {1: 10, 2: 15}
+
+
+def test_token_shards_plan_is_scale_shaped(spark):
+    """The registered shard-packing query must keep the prefix sum
+    distributed: the ONLY single-partition exchange is the exclusive
+    prefix over bucket TOTALS (bounded summary rows), the local cumsum
+    window shuffles hash-on-bucket, and the offsets return via a
+    broadcast join (fact side unshuffled)."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        df = all_queries()["token_shards"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert plan.count("Exchange SinglePartition") == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-side scan reads only (doc_id, text)
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"doc_id", "text"}, cols
