@@ -82,3 +82,35 @@ def test_token_shards_plan_is_scale_shaped(spark):
     assert m is not None
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols <= {"doc_id", "text"}, cols
+
+
+# -- property: both plan shapes equal the sequential prefix sum on
+# arbitrary unique-key input (hypothesis; few examples — each runs real
+# Spark jobs)
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_KV = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**20), max_value=2**20),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda kv: kv[0],
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_KV, st.booleans())
+def test_cumsum_property_matches_sequential(spark, kv, bucketed):
+    df = spark.createDataFrame(kv, "k long, v long")
+    out = global_cumsum(
+        df, "k", "v", bucket_width=257 if bucketed else None, num_partitions=3
+    )
+    got = {r.k: r.cum for r in out.collect()}
+    run, want = 0, {}
+    for k, v in sorted(kv):
+        run += v
+        want[k] = run
+    assert got == want
