@@ -7,34 +7,41 @@ what training-shard packing, offset assignment, and cursorless pagination
 need). No reference analog — the reference's windowing is per-station
 (``gold_processor.py``); this is new scale surface.
 
-Two scalable shapes, both pure DataFrame ops (UDF-free, codegen-friendly):
+Both shapes assign every row a VALUE-DERIVED, order-monotone bucket id,
+then: per-bucket totals partial-aggregate map-side (the agg shuffle moves
+one row per bucket per map partition, not data), the exclusive prefix
+over bucket totals runs single-partition over a BOUNDED summary
+(#buckets rows), and the offsets broadcast-join back onto the per-bucket
+local cumsum — whose hash exchange is the operator's only full shuffle.
+All pure DataFrame ops: UDF-free, codegen-friendly, AQE-skew-splittable.
 
-* **value-bucketed** (``bucket_width`` given; order key numeric and
-  roughly uniform — dense surrogate ids, epoch timestamps): bucket id is
-  derived from the VALUE (``k div width``), so the per-bucket local
-  cumsum needs only ONE full shuffle (hash on bucket). Per-bucket totals
-  partial-aggregate map-side (the agg shuffle moves one row per bucket
-  per map partition, not data), the exclusive prefix over bucket totals
-  runs on a BOUNDED summary (#buckets rows — size it with
-  ``bucket_width``), and the offsets broadcast-join back WITHOUT
-  re-shuffling the fact side. The same gap-bucketing idea as
-  ``range_join_pairs``, applied to prefix aggregation.
+* **fixed-width buckets** (``bucket_width`` given; dense roughly-uniform
+  keys — surrogate ids, epoch timestamps): bucket = ``floor(k/width)``,
+  zero extra passes. The same gap-bucketing idea as ``range_join_pairs``.
+* **quantile buckets** (default; any numeric key, any skew): bucket
+  boundaries come from ONE bounded ``approxQuantile`` pass (driver gets
+  ``num_partitions - 1`` doubles — the same bounded-collect legitimacy
+  as ``ivf.kmeans_fit``), and bucket = #boundaries ≤ key, a deterministic
+  monotone expression. Sketch error only skews bucket BALANCE, never
+  correctness.
 
-* **generic** (no ``bucket_width``; any orderable key, any skew):
-  ``repartitionByRange`` assigns order-respecting partitions, the
-  partition id becomes the bucket, and the per-bucket window then
-  hash-shuffles on it — two full shuffles total. Still linear, still
-  parallel; the price of not assuming key geometry.
+Why not ``repartitionByRange`` + ``spark_partition_id()``: the offsets
+branch and the fact branch would evaluate the range exchange separately
+(exchange reuse is not guaranteed under AQE, verified), and each
+evaluation samples its own boundaries — rows near a boundary can land in
+DIFFERENT partitions per branch, silently corrupting offsets. Buckets
+derived from the row's own value cannot disagree between branches.
 
-A mapInPandas carry-across-batches variant would reach one shuffle in the
-generic case too, but this engine pins its hot-path queries UDF-free
+A mapInPandas carry-across-batches variant exists in theory, but this
+engine pins its hot-path queries UDF-free
 (``tests/test_plans.py::test_hot_path_queries_are_udf_free``) — an Arrow
-round-trip of the full corpus buys back one exchange at the cost of
-leaving whole-stage codegen; the declarative shape wins at both test and
-cluster scale.
+round-trip of the full corpus buys nothing the declarative shape doesn't
+already deliver in one shuffle.
 
 Ties in ``order_col`` make per-row running totals ambiguous (same as any
 ROWS-frame SQL window); use a unique key. NULL order keys are excluded.
+Non-numeric order keys: cast to a numeric total order first (e.g.
+``unix_micros(ts)``).
 """
 
 from __future__ import annotations
@@ -56,31 +63,41 @@ def global_cumsum(
 ) -> DataFrame:
     """Add ``out_col`` = running total of ``value_col`` in ``order_col``
     order, computed distributively (see module docstring for the two
-    plan shapes). Output columns: input columns + ``out_col``.
+    bucketing shapes). Output columns: input columns + ``out_col``.
 
-    ``bucket_width``: enables the 1-shuffle value-bucketed shape; choose
+    ``bucket_width``: fixed-width buckets, ``floor(key/width)`` — choose
     it so #buckets ≈ rows/width stays comfortably bounded (the exclusive
     prefix over bucket totals is a single-partition window over #buckets
     SUMMARY rows — e.g. width 1e6 over 1e11 rows → 100k summary rows).
-    ``num_partitions``: generic-shape range partition count (default:
-    ``spark.sql.shuffle.partitions``).
+    ``num_partitions``: quantile-bucket count for the default shape
+    (default: ``spark.sql.shuffle.partitions``).
     """
     df = df.filter(F.col(order_col).isNotNull())
+    key = F.col(order_col).cast("double")
     if bucket_width is not None:
         # floor-div (not `div`, which truncates toward 0) so negative
         # keys still bucket monotonically
-        base = df.withColumn(
-            _PID,
-            F.floor(F.col(order_col).cast("long") / F.lit(int(bucket_width))).cast(
-                "long"
-            ),
-        )
+        bucket = F.floor(
+            F.col(order_col).cast("long") / F.lit(int(bucket_width))
+        ).cast("long")
     else:
         spark = df.sparkSession
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        base = df.repartitionByRange(n, F.col(order_col)).withColumn(
-            _PID, F.spark_partition_id().cast("long")
+        probs = [i / n for i in range(1, n)]
+        # one bounded sketch pass; n-1 doubles to the driver
+        cuts = (
+            df.select(key.alias("__k")).approxQuantile("__k", probs, 0.001)
+            if probs
+            else []
         )
+        cuts = sorted(set(cuts))
+        if cuts:
+            bucket = F.size(
+                F.filter(F.lit(cuts).cast("array<double>"), lambda b: b <= key)
+            ).cast("long")
+        else:  # degenerate: one bucket (empty input or num_partitions=1)
+            bucket = F.lit(0).cast("long")
+    base = df.withColumn(_PID, bucket)
 
     # Exclusive prefix over per-bucket totals: the groupBy partial-
     # aggregates map-side (tiny shuffle), and the orderBy window runs
@@ -98,7 +115,7 @@ def global_cumsum(
 
     # Local cumsum per bucket (parallel window) + broadcast offsets back:
     # BroadcastHashJoin streams the fact side with NO exchange, so the
-    # value-bucketed shape's only full shuffle is the window's.
+    # window's hash shuffle is the operator's only full shuffle.
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(order_col)

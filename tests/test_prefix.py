@@ -43,12 +43,27 @@ def test_bucketed_matches_naive_window(spark):
     assert got == want
 
 
-def test_generic_range_shape_matches_naive_window(spark):
+def test_quantile_shape_matches_naive_window(spark):
+    df = _mk(spark)
+    want = _naive(df, "k", "v")
+    out = global_cumsum(df, "k", "v", num_partitions=5)
+    got = {r.k: r.cum for r in out.collect()}
+    assert got == want
+    # buckets are value-derived: no range-sampled exchange may appear
+    # (repartitionByRange boundaries are re-sampled per evaluation and
+    # can disagree between the offsets and fact branches)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    # the fact-side cumsum window shuffles hash-on-bucket, never globally
+    assert "Exchange hashpartitioning(__cumsum_bucket" in plan
+
+
+def test_single_bucket_degenerate(spark):
     df = _mk(spark)
     want = _naive(df, "k", "v")
     got = {
         r.k: r.cum
-        for r in global_cumsum(df, "k", "v", num_partitions=5).collect()
+        for r in global_cumsum(df, "k", "v", num_partitions=1).collect()
     }
     assert got == want
 
