@@ -129,3 +129,28 @@ def test_cumsum_property_matches_sequential(spark, kv, bucketed):
         run += v
         want[k] = run
     assert got == want
+
+
+def test_shard_packed_training_export(spark, tmp_path):
+    """End-to-end shard materialization: token_shards assignment joined
+    back onto the corpus, written one file per shard directory via
+    write_partitioned (repartition on shard_id → each hive dir gets
+    exactly one parquet part), and the round trip preserves every doc
+    with its shard."""
+    from ghcn_d_etl_project_spark.plans._util import t
+    from ghcn_d_etl_project_spark.sources.writers import write_partitioned
+
+    shards = all_queries()["token_shards"].fn(spark, SF_DIR)
+    docs = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    packed = docs.join(shards.select("doc_id", "shard_id"), "doc_id")
+    out = tmp_path / "shards"
+    write_partitioned(packed, str(out), partition_by=["shard_id"])
+
+    dirs = [p for p in out.iterdir() if p.name.startswith("shard_id=")]
+    assert dirs, list(out.iterdir())
+    for d in dirs:
+        parts = [q for q in d.iterdir() if q.name.endswith(".parquet")]
+        assert len(parts) == 1, (d.name, len(parts))
+    back = spark.read.parquet(str(out))
+    assert back.count() == docs.count()
+    assert {"doc_id", "text", "shard_id"} <= set(back.columns)
