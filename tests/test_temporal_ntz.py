@@ -16,6 +16,7 @@ prevent a recurrence:
 from __future__ import annotations
 
 from datetime import datetime
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -96,13 +97,24 @@ EXPECTED_DTYPES = {
 }
 
 
+_SF_DIRS = [
+    d
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    if Path(d).exists()
+] or [SF_DIR]
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
 @pytest.mark.parametrize("table", sorted(EXPECTED_DTYPES))
-def test_loaded_schema_canary(spark, table):
-    got = dict(load_table(spark, SF_DIR, table).dtypes)
+def test_loaded_schema_canary(spark, table, sf_dir):
+    """Cheap at every SF (dtypes touch only parquet footers): the driver
+    runs correctness at sf0.01 and bench at sf0.1, so a drift in ANY of
+    the three directories must fail here by name."""
+    got = dict(load_table(spark, sf_dir, table).dtypes)
     assert got == EXPECTED_DTYPES[table], (
-        f"load_table({table!r}) dtype drift — the driver's parquet encoding "
-        f"changed and sources/readers.py:load_table did not normalize it. "
-        f"got={got} want={EXPECTED_DTYPES[table]}"
+        f"load_table({table!r}) dtype drift at {sf_dir} — the driver's "
+        f"parquet encoding changed and sources/readers.py:load_table did "
+        f"not normalize it. got={got} want={EXPECTED_DTYPES[table]}"
     )
 
 
