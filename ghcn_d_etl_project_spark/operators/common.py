@@ -117,3 +117,41 @@ def dataset_split(
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
+
+
+def keyset_page(
+    df: DataFrame,
+    key_cols: list[str],
+    after: tuple | None = None,
+    n: int = 1000,
+) -> DataFrame:
+    """Cursor (keyset) pagination: the next ``n`` rows strictly after the
+    composite key ``after`` in ``key_cols`` lexicographic order.
+
+    The scale-correct replacement for the reference's LIMIT/OFFSET batch
+    loop (``spark_utils.py:58-84``, SURVEY §4 anti-pattern): OFFSET must
+    compute and DISCARD every preceding row on every page — O(pages x
+    rows) total work and non-deterministic without a sort — while a
+    keyset cursor is one pruned scan per page: the strictly-increasing
+    key predicate PUSHES DOWN to the parquet scan (row groups before the
+    cursor are skipped via min/max stats) and ``orderBy + limit`` plans
+    TakeOrderedAndProject (per-partition top-n, driver merge — no full
+    sort shuffle). ``key_cols`` must be a total order (unique composite)
+    for gap-free, overlap-free pages; pass the last row of one page as
+    ``after`` to get the next.
+    """
+    out = df
+    if after is not None:
+        if len(after) != len(key_cols):
+            raise ValueError(
+                f"cursor arity {len(after)} != key arity {len(key_cols)}"
+            )
+        # lexicographic strict-after: (k1 > a1) OR (k1 = a1 AND k2 > a2) ...
+        pred = None
+        for i in range(len(key_cols)):
+            clause = F.col(key_cols[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = clause & (F.col(key_cols[j]) == F.lit(after[j]))
+            pred = clause if pred is None else pred | clause
+        out = out.filter(pred)
+    return out.orderBy(*key_cols).limit(n)

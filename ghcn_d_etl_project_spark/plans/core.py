@@ -294,3 +294,33 @@ def sql_cte_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL_CTE.format(orders="v_orders", customer="v_customer", nation="v_nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset pagination: the scale-correct answer to O3 (reference
+# spark_utils.py:58-84 pages with limit/offset — SURVEY §4 anti-pattern)
+# ---------------------------------------------------------------------------
+
+_KEYSET_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey > 1250
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+
+@register("keyset_page_orders", oracle=_KEYSET_ORACLE, tags=("sort", "page"), late=True)
+def keyset_page_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keyset page: the 100 orders strictly after cursor
+    o_orderkey=1250 (inside every SF's key range, so the page is non-empty
+    at each scale). Replaces the reference's limit/offset batch loop
+    (O3, ``spark_utils.py:58-84``): the cursor predicate reaches the
+    parquet scan as a pushed filter (row groups before the cursor are
+    skipped) and the sort+limit plans TakeOrderedAndProject — per-page
+    cost is one pruned scan regardless of how deep the cursor sits,
+    where OFFSET re-scans and discards everything before it each page."""
+    from ghcn_d_etl_project_spark.operators.common import keyset_page
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return keyset_page(o, ["o_orderkey"], after=(1250,), n=100)
