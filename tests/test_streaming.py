@@ -68,6 +68,26 @@ def test_streaming_tumbling_matches_batch(spark):
     assert not problems, "\n".join(problems)
 
 
+def test_streaming_sliding_matches_batch(spark):
+    """Sliding windows (1h duration, 30-min slide — each event in 2
+    windows) through the real streaming path converge to the batch
+    answer, completing stream-mode coverage of all three window
+    families (tumbling/sliding/session)."""
+    from ghcn_d_etl_project_spark.streaming.windows import sliding_window_agg
+
+    stream_agg = sliding_window_agg(
+        _events_stream(spark), "ts", "1 hour", "30 minutes", ["event_type"],
+        _aggs(), watermark="2 hours",
+    )
+    _run_to_memory(stream_agg, "sliding_stream", "complete")
+    got = spark.sql("SELECT * FROM sliding_stream").toPandas()
+    want = sliding_window_agg(
+        _events_batch(spark), "ts", "1 hour", "30 minutes", ["event_type"], _aggs()
+    ).toPandas()
+    problems = compare_frames(got, want)
+    assert not problems, "\n".join(problems)
+
+
 def test_streaming_session_matches_batch(spark):
     """Session windows (30-min gap, per user) through the streaming path
     equal the batch gaps-and-islands-verified answer."""
