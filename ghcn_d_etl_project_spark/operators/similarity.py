@@ -257,3 +257,58 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int = 17) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) projection matrix, ``out_dim`` rows
+    of ``in_dim`` signs, from a seeded PRNG — the Achlioptas-style
+    database-friendly Johnson-Lindenstrauss transform (signs instead of
+    Gaussians: same distortion guarantees, exact float products)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 17,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding
+    column: ``out = (1/sqrt(out_dim)) * R @ vec`` with a seeded ±1
+    matrix. Output: (id, vec: array<double> of ``out_dim``).
+
+    The standard pre-ANN compression step at corpus scale — pairwise
+    distances are preserved within (1±eps) for out_dim ~ O(log N / eps²),
+    so LSH/IVF indexing over the projected vectors keeps its neighbor
+    structure while scans, shuffles, and dot products shrink by
+    in_dim/out_dim. A pure per-row projection (the matrix rides the plan
+    as a literal, same pattern as IVF's ``_cell_ranking``): no shuffle,
+    no UDF, deterministic sequential folds.
+    """
+    rows = rademacher_matrix(_infer_dim(df, vec_col), out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(out_dim)),
+        lambda j: dot(_as_double(vec_col), F.element_at(mat, j)) * F.lit(scale),
+    )
+    if round_digits is not None:
+        proj = F.transform(proj, lambda x: F.round(x, round_digits))
+    return df.select(F.col(id_col).alias("id"), proj.alias("vec"))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first row (bounded action; the engine's
+    tables carry fixed-width vectors)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer vector dim from empty {vec_col!r}")
+    return row.d

@@ -740,3 +740,57 @@ def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.expr("(cum_tokens - n_tokens) div 65536").cast("long").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIM = 16
+_RP_SEED = 17
+
+
+def _rp_oracle() -> str:
+    """The oracle restates the SAME seeded ±1 matrix as SQL list
+    literals — projection is exact dot-product arithmetic, so the two
+    engines agree to the digit. Output formatting: micro-unit BIGINTs
+    joined into ONE string per row — array-valued result columns hash by
+    their engine-specific repr in the driver's comparator (numpy vs
+    list), so the oracle contract uses the same format-to-string
+    convention as timestamps."""
+    from ghcn_d_etl_project_spark.operators.similarity import rademacher_matrix
+
+    rows = rademacher_matrix(64, _RP_OUT_DIM, _RP_SEED)
+    scale = 1.0 / (_RP_OUT_DIM ** 0.5)
+    dims = ", ".join(
+        f"CAST(round(list_dot_product(embedding::DOUBLE[], {row}) * {scale!r} "
+        f"* 1000000) AS BIGINT)"
+        for row in rows
+    )
+    return (
+        f"SELECT vec_id AS id, array_to_string([{dims}], ',') AS vec_micro "
+        f"FROM embeddings"
+    )
+
+
+@register("embedding_project", oracle=_rp_oracle(), tags=("llm", "similarity"), late=True)
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims (seeded Rademacher matrix as a
+    plan literal, shuffle-free per-row fold): the standard pre-ANN
+    compression step — pairwise geometry preserved within (1 ± eps) while
+    downstream index/scan/shuffle cost shrinks 4x. Distortion bound
+    pinned in tests; the DuckDB oracle restates the identical matrix via
+    list_dot_product. Components emitted as comma-joined micro-units
+    (round(x*1e6) as long) so the comparator sees one canonical string
+    per row instead of an engine-specific array repr."""
+    from ghcn_d_etl_project_spark.operators.similarity import random_projection
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = random_projection(
+        emb, "vec_id", "embedding", out_dim=_RP_OUT_DIM, seed=_RP_SEED
+    )
+    micro = F.transform(
+        F.col("vec"),
+        lambda x: F.round(x * 1_000_000).cast("long").cast("string"),
+    )
+    return proj.select("id", F.concat_ws(",", micro).alias("vec_micro"))

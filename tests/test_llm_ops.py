@@ -184,3 +184,45 @@ def test_chunk_spans_starts(spark):
     assert got[1] == [1, 25, 49]  # 50 tokens: starts 1, 25, 49
     assert got[2] == [1]
     assert got[3] == []  # empty doc → no starts, not a phantom [1]
+
+
+def test_random_projection_deterministic_and_jl_bounded(spark):
+    """JL projection 64->16: bit-identical across invocations (seeded
+    matrix, sequential folds), and pairwise squared-distance ratios
+    projected/original concentrate around 1 (E[ratio]=1, sd ~
+    sqrt(2/16) ~ 0.35 — the median over ~60 pairs sits well inside
+    [0.6, 1.4] and individual pairs inside a ~4-sigma envelope).
+    Deterministic: fixed corpus + fixed seed."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.similarity import random_projection
+
+    emb = t(spark, SF_DIR, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", out_dim=16, seed=17)
+    a = [tuple(r.vec) for r in proj.orderBy("id").limit(40).collect()]
+    b = [
+        tuple(r.vec)
+        for r in random_projection(emb, "vec_id", "embedding", out_dim=16, seed=17)
+        .orderBy("id")
+        .limit(40)
+        .collect()
+    ]
+    assert a == b
+
+    orig = {
+        r.vec_id: np.asarray(r.embedding, dtype=float)
+        for r in emb.orderBy("vec_id").limit(60).collect()
+    }
+    pr = {r.id: np.asarray(r.vec) for r in proj.filter(F.col("id").isin(*orig)).collect()}
+    ids = sorted(orig)
+    ratios = []
+    for x, y in zip(ids, ids[1:]):
+        d0 = float(np.sum((orig[x] - orig[y]) ** 2))
+        d1 = float(np.sum((pr[x] - pr[y]) ** 2))
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    assert ratios
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.6 <= med <= 1.4, med
+    assert all(0.15 <= r <= 3.0 for r in ratios), (min(ratios), max(ratios))
