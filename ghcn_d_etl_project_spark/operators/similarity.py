@@ -287,11 +287,18 @@ def random_projection(
 
     The standard pre-ANN compression step at corpus scale — pairwise
     distances are preserved within (1±eps) for out_dim ~ O(log N / eps²),
-    so LSH/IVF indexing over the projected vectors keeps its neighbor
-    structure while scans, shuffles, and dot products shrink by
-    in_dim/out_dim. A pure per-row projection (the matrix rides the plan
-    as a literal, same pattern as IVF's ``_cell_ranking``): no shuffle,
-    no UDF, deterministic sequential folds.
+    so scans, shuffles, and dot products shrink by in_dim/out_dim. A pure
+    per-row projection (the matrix rides the plan as a literal, same
+    pattern as IVF's ``_cell_ranking``): no shuffle, no UDF,
+    deterministic sequential folds.
+
+    Operating-point caveat (measured on the synthetic corpus): JL
+    guarantees DISTANCES, not ranks — top-k neighbor identity survives
+    only when the neighbor/noise margin exceeds eps. This corpus's weak
+    margins (exact top-5 at cos~0.37 vs ~0.30 noise — the same property
+    documented on ``ann_lsh_topk``) are below eps at out_dim 16-32
+    (recall@5 0.10-0.18), so size ``out_dim`` to the margin YOUR corpus
+    has; the distortion bound itself is pinned in tests either way.
     """
     rows = rademacher_matrix(_infer_dim(df, vec_col), out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
