@@ -136,16 +136,27 @@ def keyset_page(
     key predicate PUSHES DOWN to the parquet scan (row groups before the
     cursor are skipped via min/max stats) and ``orderBy + limit`` plans
     TakeOrderedAndProject (per-partition top-n, driver merge — no full
-    sort shuffle). ``key_cols`` must be a total order (unique composite)
-    for gap-free, overlap-free pages; pass the last row of one page as
-    ``after`` to get the next.
+    sort shuffle). ``key_cols`` must be a total order (unique composite,
+    NO NULLs) for gap-free, overlap-free pages; pass the last row of one
+    page as ``after`` to get the next.
+
+    NULL keys break cursor semantics silently (they sort first on the
+    cursorless page, then a NULL cursor element makes the strict-after
+    predicate NULL-out every row — the chain truncates): NULL-keyed rows
+    are excluded from paging, and a NULL cursor element raises.
     """
-    out = df
+    pred = None
+    for k in key_cols:
+        clause = F.col(k).isNotNull()
+        pred = clause if pred is None else pred & clause
+    out = df.filter(pred)
     if after is not None:
         if len(after) != len(key_cols):
             raise ValueError(
                 f"cursor arity {len(after)} != key arity {len(key_cols)}"
             )
+        if any(v is None for v in after):
+            raise ValueError(f"NULL cursor element in {after!r}")
         # lexicographic strict-after: (k1 > a1) OR (k1 = a1 AND k2 > a2) ...
         pred = None
         for i in range(len(key_cols)):

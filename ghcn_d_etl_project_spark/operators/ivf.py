@@ -168,6 +168,7 @@ def ivf_topk(
     train_rows: int = 4096,
     broadcast_rows: int = 65536,
     release_into: list[DataFrame] | None = None,
+    literal_budget: int = 262144,
 ) -> DataFrame:
     """Approximate cosine top-k per corpus vector via IVF cells.
 
@@ -186,8 +187,9 @@ def ivf_topk(
     (element 0) and the probe list both read that one table. Earlier
     shapes paid a posexplode + broadcast join + N x k partial agg — a
     whole shuffle stage — for this per-row-local arithmetic; at
-    plan-literal-prohibitive centroid counts (k x dim in the tens of
-    MB) switch back to the retained ``_dist2`` join form.
+    plan-literal-prohibitive centroid counts (k x dim >
+    ``literal_budget`` elements) the dispatch below switches to the
+    ``_dist2`` broadcast-join form, which carries centroids as data.
 
     Join strategy for the scoring join: when the corpus provably fits a
     broadcast (bounded ``limit(broadcast_rows+1).count()`` probe — the
@@ -213,13 +215,36 @@ def ivf_topk(
         train_rows=train_rows,
     )
 
-    assigned = (
+    base = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
         .withColumn("nrm", norm(F.col("vec")))
-        .withColumn("cells", F.slice(_cell_ranking(cents, "vec"), 1, n_probe))
-        .persist()
     )
+    dim = len(next(iter(cents.values())))
+    if len(cents) * dim <= literal_budget:
+        assigned = base.withColumn(
+            "cells", F.slice(_cell_ranking(cents, "vec"), 1, n_probe)
+        )
+    else:
+        # centroid table too large to embed in the plan (production
+        # k ~ sqrt(N)): carry it as data via the _dist2 broadcast-join +
+        # partial-agg form instead
+        cells_df = (
+            _dist2(
+                base.select("id", F.posexplode("vec").alias("d", "x")),
+                _centroid_df(df.sparkSession, cents),
+            )
+            .groupBy("id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct("dist2", "cluster"))),
+                    1,
+                    n_probe,
+                ).alias("cells")
+            )
+        )
+        assigned = base.join(cells_df, "id")
+    assigned = assigned.persist()
     if release_into is not None:
         release_into.append(assigned)
 

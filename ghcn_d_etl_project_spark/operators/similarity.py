@@ -280,6 +280,7 @@ def random_projection(
     out_dim: int,
     seed: int = 17,
     round_digits: int | None = None,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction of an embedding
     column: ``out = (1/sqrt(out_dim)) * R @ vec`` with a seeded ±1
@@ -300,7 +301,10 @@ def random_projection(
     (recall@5 0.10-0.18), so size ``out_dim`` to the margin YOUR corpus
     has; the distortion bound itself is pinned in tests either way.
     """
-    rows = rademacher_matrix(_infer_dim(df, vec_col), out_dim, seed)
+    # the PRNG stream depends on in_dim, so callers with a schema-fixed
+    # width should pass it explicitly (skips the bounded inference job
+    # AND pins the matrix independent of the data)
+    rows = rademacher_matrix(in_dim or _infer_dim(df, vec_col), out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
     mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
     proj = F.transform(

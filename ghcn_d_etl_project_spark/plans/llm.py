@@ -746,6 +746,7 @@ def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding compression: Johnson-Lindenstrauss random projection
 # ---------------------------------------------------------------------------
 
+_RP_IN_DIM = 64  # embeddings width — shared by the Spark matrix AND the oracle
 _RP_OUT_DIM = 16
 _RP_SEED = 17
 
@@ -760,7 +761,7 @@ def _rp_oracle() -> str:
     convention as timestamps."""
     from ghcn_d_etl_project_spark.operators.similarity import rademacher_matrix
 
-    rows = rademacher_matrix(64, _RP_OUT_DIM, _RP_SEED)
+    rows = rademacher_matrix(_RP_IN_DIM, _RP_OUT_DIM, _RP_SEED)
     scale = 1.0 / (_RP_OUT_DIM ** 0.5)
     dims = ", ".join(
         f"CAST(round(list_dot_product(embedding::DOUBLE[], {row}) * {scale!r} "
@@ -787,7 +788,8 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     proj = random_projection(
-        emb, "vec_id", "embedding", out_dim=_RP_OUT_DIM, seed=_RP_SEED
+        emb, "vec_id", "embedding", out_dim=_RP_OUT_DIM, seed=_RP_SEED,
+        in_dim=_RP_IN_DIM,
     )
     micro = F.transform(
         F.col("vec"),

@@ -92,6 +92,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     once read as TIMESTAMP, so the timezone is pinned to UTC to keep
     wall-clock values (and oracle hashes) stable on unpinned foreign
     sessions.
+
+    SIDE EFFECT — the UTC pin is SESSION-WIDE and persists after this
+    call: the returned DataFrame is lazy, so the timezone must still be
+    UTC when the plan executes — a scoped set/restore would silently
+    undo the normalization before evaluation. Callers whose own queries
+    depend on a non-UTC session timezone should use a separate
+    SparkSession for this engine's tables.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -23,6 +23,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable — see ``load_table``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # without this a TIMESTAMP(NANOS) encoding fails the schema probe
+    # below with PARQUET_TYPE_ILLEGAL on foreign sessions (same defense
+    # as load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)

@@ -86,3 +86,23 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"recall@5 {recall:.3f} below floor"
+
+
+def test_large_k_join_path_matches_projection_path(spark):
+    """literal_budget=1 forces the _dist2 broadcast-join assignment (the
+    production large-k shape); its output must equal the plan-literal
+    projection path exactly — the dispatch is a plan-size decision, not
+    a semantics change."""
+    emb = _emb(spark)
+    kw = dict(k=3, n_centroids=8, n_probe=2)
+    a = sorted(
+        (r.qid, r.nid, r.cos_sim, r.rank)
+        for r in ivf_topk(emb, "vec_id", "embedding", **kw).collect()
+    )
+    b = sorted(
+        (r.qid, r.nid, r.cos_sim, r.rank)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", literal_budget=1, **kw
+        ).collect()
+    )
+    assert a == b

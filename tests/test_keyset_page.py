@@ -67,3 +67,15 @@ def test_keyset_plan_pushes_cursor_and_avoids_full_sort(spark):
     assert "GreaterThan(o_orderkey" in pushed, plan[:1500]
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_null_keys_excluded_and_null_cursor_raises(spark):
+    """NULL keys would silently truncate the page chain (NULLS FIRST on
+    page 1, then a NULL cursor element nulls the strict-after predicate
+    for every row) — the operator excludes them and rejects NULL
+    cursors."""
+    df = spark.createDataFrame([(None, 1), (2, 2), (1, 3)], "k long, v long")
+    page = keyset_page(df, ["k"], None, n=10).collect()
+    assert [r.k for r in page] == [1, 2]
+    with pytest.raises(ValueError, match="NULL cursor"):
+        keyset_page(df, ["k"], after=(None,), n=10)
