@@ -46,6 +46,13 @@ from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
 from ghcn_d_etl_project_spark.operators.similarity import _as_double, dot, norm
 
 
+def _bounded_count(df: DataFrame, bound: int) -> int:
+    """``min(count, bound + 1)`` via a bounded ``limit`` — the probe cost
+    is O(bound) regardless of input size. Factored out so tests can pin
+    that ``ivf_topk`` probes exactly once, against the persisted table."""
+    return df.limit(bound + 1).count()
+
+
 def _centroid_df(spark: SparkSession, cents: dict[int, list[float]]) -> DataFrame:
     rows = [(c, d, float(v)) for c, vec in cents.items() for d, v in enumerate(vec)]
     return spark.createDataFrame(rows, "cluster int, d int, c double")
@@ -160,7 +167,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 2,
     n_iter: int = 3,
     seed: int = 7,
@@ -192,15 +199,27 @@ def ivf_topk(
     ``_dist2`` broadcast-join form, which carries centroids as data.
 
     Join strategy for the scoring join: when the corpus provably fits a
-    broadcast (bounded ``limit(broadcast_rows+1).count()`` probe — the
-    probe cost is O(broadcast_rows) regardless of corpus size), the
-    member table is broadcast, which matters because the cell id has
-    only ``n_centroids`` distinct values — a shuffle join on 16 cells
-    caps parallelism at 16 tasks and pays two exchanges + sorts
-    (measured 8x slower at sf0.1). Above the probe bound the join
-    shuffles on the cell id, which is the correct 100 TB shape: there
-    production ``n_centroids`` ~ sqrt(N) supplies thousands of join
-    keys, so the small-k parallelism collapse cannot occur.
+    broadcast (ONE bounded ``_bounded_count`` probe — O(broadcast_rows)
+    regardless of corpus size — run against the already-PERSISTED
+    ``assigned`` table, so it warms the cache the member/probe branches
+    reuse instead of re-scanning the raw source), the member table is
+    broadcast, which matters because the cell id has only
+    ``n_centroids`` distinct values — a shuffle join on 16 cells caps
+    parallelism at 16 tasks and pays two exchanges + sorts (measured 8x
+    slower at sf0.1). Above the probe bound the join shuffles on the
+    cell id, which is the correct 100 TB shape: there production
+    ``n_centroids`` ~ sqrt(N) supplies thousands of join keys, so the
+    small-k parallelism collapse cannot occur.
+
+    ``n_centroids=None`` auto-sizes the quantizer from the same single
+    probe (run against the raw source in that case, since the count is
+    needed before the fit): k ~ sqrt(min(N, broadcast_rows + 1)),
+    clamped to [4, train_rows // 8] so the bounded training sample keeps
+    >= 8 vectors per cell. The sqrt saturates at the probe bound by
+    construction — callers at production scale should size
+    ``n_centroids`` explicitly from their known corpus size. Either
+    path, exactly ONE bounded count action runs per invocation
+    (pinned by ``tests/test_ivf.py``).
 
     Cache lifetime: ONE intermediate is persisted (``assigned`` — id,
     normalized vector, norm, sorted probe cells) so the member/probe
@@ -210,6 +229,12 @@ def ivf_topk(
     (``pipelines/corpus.py``); without it, repeated invocations in one
     session accumulate cached blocks until the store evicts under
     pressure."""
+    probe_count: int | None = None
+    if n_centroids is None:
+        # sizing must precede the fit, so the one probe runs on the
+        # source here and is REUSED for the broadcast decision below
+        probe_count = _bounded_count(df, broadcast_rows)
+        n_centroids = max(4, min(train_rows // 8, int(probe_count**0.5)))
     cents = kmeans_fit(
         df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed,
         train_rows=train_rows,
@@ -260,7 +285,12 @@ def ivf_topk(
         F.col("nrm").alias("qnorm"),
         F.explode("cells").alias("cell"),
     ).select("qid", "qvec", "qnorm", F.col("cell.cluster").alias("cluster"))
-    if df.limit(broadcast_rows + 1).count() <= broadcast_rows:
+    if probe_count is None:
+        # probe the PERSISTED assignment, not the raw source: the rows it
+        # touches land in (and later come from) the cache the scoring
+        # branches read, so no second scan of the input ever happens
+        probe_count = _bounded_count(assigned, broadcast_rows)
+    if probe_count <= broadcast_rows:
         members = F.broadcast(members)
     scored = (
         queries.join(members, "cluster")

@@ -23,7 +23,12 @@ All pure DataFrame ops: UDF-free, codegen-friendly, AQE-skew-splittable.
   ``num_partitions - 1`` doubles — the same bounded-collect legitimacy
   as ``ivf.kmeans_fit``), and bucket = #boundaries ≤ key, a deterministic
   monotone expression. Sketch error only skews bucket BALANCE, never
-  correctness.
+  correctness. Honest cost note: the sketch is a separate ACTION — an
+  extra full scan of the fact table before the main job (its driver-side
+  result is bounded, the scan is not). Callers with dense, roughly
+  uniform keys (surrogate ids, epoch micros) should prefer
+  ``bucket_width``, which derives buckets from the value alone with zero
+  extra passes.
 
 Why not ``repartitionByRange`` + ``spark_partition_id()``: the offsets
 branch and the fact branch would evaluate the range exchange separately
@@ -53,12 +58,25 @@ _PID = "__cumsum_bucket"
 _OFFSET = "__cumsum_offset"
 
 
+def _shuffle_partitions(spark, df: DataFrame) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, robust to platforms
+    where the conf is non-numeric (``"auto"`` under some AQE setups):
+    fall back to the input's current partition count, then 200."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        try:
+            return df.rdd.getNumPartitions() or 200
+        except Exception:  # noqa: BLE001 — conf probe must never fail
+            return 200
+
+
 def global_cumsum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     out_col: str = "cum",
-    bucket_width: int | None = None,
+    bucket_width: float | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = running total of ``value_col`` in ``order_col``
@@ -75,14 +93,14 @@ def global_cumsum(
     df = df.filter(F.col(order_col).isNotNull())
     key = F.col(order_col).cast("double")
     if bucket_width is not None:
-        # floor-div (not `div`, which truncates toward 0) so negative
-        # keys still bucket monotonically
-        bucket = F.floor(
-            F.col(order_col).cast("long") / F.lit(int(bucket_width))
-        ).cast("long")
+        # floor-div on DOUBLE (not a long pre-cast, which would collapse
+        # fractional keys onto integer buckets; not `div`, which
+        # truncates toward 0) so fractional and negative keys both
+        # bucket monotonically
+        bucket = F.floor(key / F.lit(float(bucket_width))).cast("long")
     else:
         spark = df.sparkSession
-        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = num_partitions or _shuffle_partitions(spark, df)
         probs = [i / n for i in range(1, n)]
         # one bounded sketch pass; n-1 doubles to the driver
         cuts = (

@@ -3,6 +3,7 @@ the exact cosine top-k baseline."""
 
 from __future__ import annotations
 
+from ghcn_d_etl_project_spark.operators import ivf as ivf_mod
 from ghcn_d_etl_project_spark.operators.ivf import ivf_topk, kmeans_fit
 from ghcn_d_etl_project_spark.operators.similarity import cosine_topk
 from ghcn_d_etl_project_spark.plans._util import t
@@ -86,6 +87,62 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"recall@5 {recall:.3f} below floor"
+
+
+def test_ivf_probes_once_against_persisted_assignment(spark, monkeypatch):
+    """Exactly ONE bounded count action per invocation, and (with
+    n_centroids given) it runs against the PERSISTED assignment — not
+    the raw source, which would re-scan the input just to throw the
+    count away (round-5 verdict item)."""
+    calls: list = []
+    real = ivf_mod._bounded_count
+
+    def spy(df, bound):
+        calls.append(df)
+        return real(df, bound)
+
+    monkeypatch.setattr(ivf_mod, "_bounded_count", spy)
+    handles: list = []
+    ivf_topk(
+        _emb(spark), "vec_id", "embedding", k=3, n_centroids=8, n_probe=2,
+        release_into=handles,
+    ).count()
+    assert len(calls) == 1
+    lvl = calls[0].storageLevel
+    assert lvl.useMemory or lvl.useDisk, "probe must hit the persisted table"
+    for df in handles:
+        df.unpersist()
+
+
+def test_ivf_auto_n_centroids_sizes_from_probe(spark, monkeypatch):
+    """n_centroids=None derives k ~ sqrt(min(N, bound)) from the single
+    probe (reused for the broadcast decision — still exactly one count),
+    clamped so the bounded training sample keeps >= 8 vectors/cell."""
+    calls: list = []
+    real = ivf_mod._bounded_count
+
+    def spy(df, bound):
+        calls.append(df)
+        return real(df, bound)
+
+    monkeypatch.setattr(ivf_mod, "_bounded_count", spy)
+    emb = _emb(spark)
+    n = emb.count()
+    handles: list = []
+    out = ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=None, n_probe=2,
+        release_into=handles,
+    )
+    clusters = out.count()  # materialize
+    assert clusters > 0
+    assert len(calls) == 1  # sizing probe REUSED for broadcast decision
+    expected_k = max(4, min(4096 // 8, int(n**0.5)))
+    homes = handles[0].select(
+        handles[0]["cells"][0]["cluster"]
+    ).distinct().count()
+    assert homes <= expected_k
+    for df in handles:
+        df.unpersist()
 
 
 def test_large_k_join_path_matches_projection_path(spark):
