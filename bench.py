@@ -14,9 +14,23 @@ measurement).
 Each query runs ``SPARK_GRAFT_BENCH_RUNS`` times (default 3) and reports
 the per-query MEDIAN; the headline value is the sum of medians. Single
 runs swing +/-25-50% on small queries (JIT, parquet-footer caching, GC),
-which made round-over-round deltas unfalsifiable — the median of 3 with
-the first (cold) run naturally discarded is the cheapest attributable
-number.
+which made round-over-round deltas unfalsifiable.
+
+Round-6 lesson: median-of-3 is still not enough for the heavy
+similarity-family queries — their 3-run medians swung +/-30-40% ACROSS
+harness invocations (BENCH_r05 2.97/2.70/1.49 vs a same-code re-run
+2.36/2.59/2.10), larger than any delta a round tries to measure. Runs
+are therefore ADAPTIVE: after the initial runs, a query keeps re-running
+until its relative IQR (IQR / median over all runs so far) drops under
+``SPARK_GRAFT_BENCH_SPREAD_TARGET`` (default 0.10) or it hits
+``SPARK_GRAFT_BENCH_MAX_RUNS`` (default 9) or its cumulative run time
+exceeds ``SPARK_GRAFT_BENCH_QUERY_BUDGET`` seconds (default 90 —
+bounds total harness wall time when a heavy pipeline query is also
+noisy; the emitted ``runs`` count shows when the budget, not the
+target, stopped it). Every query's dispersion is
+emitted under ``"spread"`` (per-query ``min``/``iqr``/``runs``), so a
+round-over-round delta smaller than the reported IQR is visibly noise —
+the consumer no longer has to guess whether a 20% swing is real.
 
 Failure posture (round-4 lesson: one broken plan must not silence the
 whole bench):
@@ -33,6 +47,13 @@ whole bench):
   * the cache is cleared between query families so a persist leaked by
     one query can't occupy memory during another's measurement (within
     one query's runs the cache is left warm — same semantics as r4).
+    EXCEPTION: queries tagged ``pipeline`` (corpus_prep_chunks) persist
+    intermediates with a caller-owned release handle the harness cannot
+    invoke mid-measurement, so their cache is cleared between RUNS too —
+    otherwise each run stacks another set of cached stage blocks and the
+    later runs measure memory pressure, not the query (observed as a
+    4.7s IQR on a 8s median). Cold-cache per run is also the honest
+    posture for a pipeline that runs once per corpus.
 """
 
 from __future__ import annotations
@@ -53,6 +74,20 @@ def _err(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"[:300]
 
 
+def _pct(sorted_runs: list[float], p: float) -> float:
+    """Linear-interpolation percentile over an already-sorted list."""
+    i = p * (len(sorted_runs) - 1)
+    lo = int(i)
+    hi = min(lo + 1, len(sorted_runs) - 1)
+    return sorted_runs[lo] + (sorted_runs[hi] - sorted_runs[lo]) * (i - lo)
+
+
+def _stats(runs: list[float]) -> tuple[float, float, float]:
+    """(median, min, iqr) of the run sample."""
+    s = sorted(runs)
+    return _pct(s, 0.5), s[0], _pct(s, 0.75) - _pct(s, 0.25)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
@@ -69,22 +104,34 @@ def main() -> None:
     build_dir = os.environ.get(
         "SPARK_GRAFT_BENCH_BUILD_SF_DIR", str(Path(sf_dir).parent / "sf0.001")
     )
-    if not Path(build_dir).exists():
-        build_dir = sf_dir
     build_errors: dict[str, str] = {}
-    for name, q in registry.items():
-        try:
-            q.fn(spark, build_dir)
-        except Exception as e:  # noqa: BLE001 — record and keep benching
-            build_errors[name] = _err(e)
-    spark.catalog.clearCache()
+    # No small build SF -> SKIP the gate rather than build every plan
+    # (including materializing builders like IVF's quantizer fit and the
+    # iterative connected components) at the full bench SF, which adds
+    # unbounded pre-bench wall time; the skip is flagged in the JSON.
+    build_gate_skipped = not Path(build_dir).exists()
+    if not build_gate_skipped:
+        for name, q in registry.items():
+            try:
+                q.fn(spark, build_dir)
+            except Exception as e:  # noqa: BLE001 — record and keep benching
+                build_errors[name] = _err(e)
+        spark.catalog.clearCache()
 
     # The gate is INFORMATIONAL for the bench set: a small-SF failure may
     # be data-dependent (empty table, missing sibling), so every bench
     # query still gets its timing attempt — a real breakage lands in
     # `errors` with the bench SF's own exception.
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "9"))
+    spread_target = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SPREAD_TARGET", "0.10")
+    )
+    query_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_BUDGET", "90")
+    )
     queries = {n: q for n, q in registry.items() if q.bench}
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     # JVM/codegen warmup on the first query's plan so q1 isn't charged
     # for session startup.
     if queries:
@@ -95,12 +142,29 @@ def main() -> None:
 
     for name, q in queries.items():
         runs: list[float] = []
+        per_run_clear = "pipeline" in q.tags
         try:
-            for _ in range(n_runs):
+            # adaptive: initial n_runs, then keep running while the
+            # relative IQR exceeds the target (up to max_runs) — the
+            # similarity family needs 5-9 runs for a stable median,
+            # the sub-second queries settle at 3
+            while len(runs) < n_runs or (
+                len(runs) < max_runs
+                and sum(runs) < query_budget
+                and _stats(runs)[2] > spread_target * _stats(runs)[0]
+            ):
                 t0 = time.perf_counter()
                 q.fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+                if per_run_clear:
+                    spark.catalog.clearCache()
+            med, mn, iqr = _stats(runs)
+            timings[name] = round(med, 3)
+            spreads[name] = {
+                "min": round(mn, 3),
+                "iqr": round(iqr, 3),
+                "runs": len(runs),
+            }
         except Exception as e:  # noqa: BLE001 — name it, keep going
             errors[name] = _err(e)
         finally:
@@ -112,6 +176,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": sf,
     }
     if errors:
@@ -121,6 +186,8 @@ def main() -> None:
         out["value_incomplete"] = True
     if build_errors:
         out["build_errors"] = build_errors
+    if build_gate_skipped:
+        out["build_gate_skipped"] = True
     print(json.dumps(out))
 
 

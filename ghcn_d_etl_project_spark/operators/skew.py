@@ -1,4 +1,4 @@
-"""Skew-mitigation operators: salted two-phase aggregation.
+"""Skew-mitigation operators: salted two-phase aggregation + salted join.
 
 AQE splits skewed JOIN partitions automatically, but a groupBy on a hot
 key still funnels that key's every row through one reducer. Salting
@@ -13,6 +13,21 @@ diversity defeats hash-map partials (many groups per partition but one
 giant group overall) or when the partial-agg map spills. The operator
 exists for those hot-key distributions; the result is identical to the
 plain groupBy, so its oracle check is the UNsalted SQL.
+
+``salted_join`` is the JOIN-side counterpart (SURVEY §7.4.3 names skew a
+design obligation): at 100 TB a hot join key is MORE common than a hot
+group key (one whale customer, one default supplier id, one NULL-ish
+sentinel). AQE's ``OptimizeSkewedJoin`` splits oversized sort-merge /
+shuffled-hash partitions at runtime and is the first line of defense —
+but it only triggers post-shuffle on stats Spark collected, can't help
+when the skew hides behind a preceding stage boundary, and isn't
+portable to engines without runtime re-planning. The explicit salt is
+the deterministic rewrite: fact rows get a uniform salt in
+``[0, n_salts)``, the dim side is replicated once per salt value, and
+the join runs on ``(key, salt)`` — the hot key's rows spread over
+``n_salts`` reducers no matter what the planner estimated. The join
+RESULT is salt-invariant (each fact row meets exactly the same dim rows
+whatever its salt), so the oracle check is the plain unsalted join.
 """
 
 from __future__ import annotations
@@ -56,3 +71,46 @@ def salted_agg(
         *[_COMBINE[fn](alias).alias(alias) for _, fn, alias in specs]
     )
     return phase2
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+    dim_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """Hot-key-safe equi-join: salt the fact side, replicate the dim side.
+
+    Use when the FACT key is skewed and the dim is too large to broadcast
+    (a broadcast join has no reducer to skew — salt only in shuffle-join
+    land). The dim is replicated ``n_salts``x, so keep
+    ``|dim| * n_salts`` well under the fact size; the fact side's salt is
+    ``F.rand``-derived, which is fine because the join output is
+    salt-invariant — determinism of the RESULT does not depend on
+    determinism of the salt.
+
+    ``dim_hint`` (default ``"shuffle_hash"``) pins the replicated dim to
+    a shuffled-hash join: salting exists to spread a shuffle, so letting
+    the planner broadcast the replicated dim would silently discard the
+    mitigation being asked for (pass ``None`` to let the planner choose).
+    Columns: fact columns + dim columns (minus the internal salt).
+
+    Prefer AQE's skew-join handling when it applies (it splits oversized
+    SMJ partitions with no dim replication cost); this operator is the
+    explicit, planner-independent form for when it doesn't.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    replicated = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    if dim_hint:
+        replicated = replicated.hint(dim_hint)
+    cond = (salted_fact[fact_key] == replicated[dim_key]) & (
+        salted_fact["__salt"] == replicated["__salt"]
+    )
+    return salted_fact.join(replicated, cond, how).drop("__salt")

@@ -310,3 +310,62 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts2", fmt).alias("ts2"),
         F.col("gap_micros").cast("long").alias("gap_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed-join posture (extension): hot fact key joined via salt-and-explode
+# ---------------------------------------------------------------------------
+
+_SKEW_JOIN_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1
+              ELSE 1 + (l_suppkey % 50) END AS skew_key,
+         l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS supp_key,
+       s.s_name AS supp_name,
+       CAST(SUM(CAST(f.l_extendedprice * (1 - f.l_discount) AS DECIMAL(24,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM f JOIN supplier s ON f.skew_key = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "skew_salted_join",
+    oracle=_SKEW_JOIN_ORACLE,
+    tags=("join", "skew"),
+    late=True,
+    bench=True,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key JOIN survival (SURVEY §7.4.3): ~90% of lineitem rows are
+    remapped onto ONE supplier key, then joined to supplier via
+    ``salted_join`` — fact rows take a uniform salt, the dim is
+    replicated per salt, and the join runs on (key, salt) so the whale
+    key spreads over 16 reducers instead of funneling through one. The
+    oracle is the plain unsalted join: salting changes only the shuffle
+    shape, never the result. The plan shape (shuffled join keyed on the
+    salt, no broadcast) is pinned in tests/test_plans.py."""
+    from ghcn_d_etl_project_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(1 + F.col("l_suppkey") % 50)
+        .alias("skew_key"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, s, "skew_key", "s_suppkey", n_salts=16)
+    return joined.groupBy(
+        F.col("s_suppkey").cast("long").alias("supp_key"),
+        F.col("s_name").alias("supp_name"),
+    ).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -426,7 +426,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_prep_chunks", oracle=None, tags=("llm", "pipeline"))
+@register("corpus_prep_chunks", oracle=None, tags=("llm", "pipeline"), bench=True)
 def corpus_prep_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep (``pipelines/corpus.py``): one
     fused profile+filter+PII scan, exact dedup on the normalized
@@ -714,7 +714,7 @@ FROM c
 """
 
 
-@register("token_shards", oracle=_TOKEN_SHARDS_ORACLE, tags=("llm", "shard"), late=True)
+@register("token_shards", oracle=_TOKEN_SHARDS_ORACLE, tags=("llm", "shard"), late=True, bench=True)
 def token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into fixed-token-budget training shards: each doc
     is assigned the shard containing its starting token offset (a global
@@ -774,7 +774,7 @@ def _rp_oracle() -> str:
     )
 
 
-@register("embedding_project", oracle=_rp_oracle(), tags=("llm", "similarity"), late=True)
+@register("embedding_project", oracle=_rp_oracle(), tags=("llm", "similarity"), late=True, bench=True)
 def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64 -> 16 dims (seeded Rademacher matrix as a
     plan literal, shuffle-free per-row fold): the standard pre-ANN

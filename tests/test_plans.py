@@ -163,3 +163,19 @@ def test_coverage_md_names_resolve():
     assert not bad, f"COVERAGE.md cites unregistered queries: {bad}"
     undocumented = sorted(n for n in names if f"`{n}`" not in text)
     assert not undocumented, f"registered but not in COVERAGE.md: {undocumented}"
+
+
+def test_skew_salted_join_spreads_hot_key(spark):
+    """The salted join must plan a SHUFFLED join keyed on the salt — a
+    broadcast here would silently discard the skew mitigation (the whole
+    query exists to demonstrate hot-key survival), and the salt column
+    must participate in the join keys so the whale key really spreads
+    over n_salts reducers. The salt must not leak into the output."""
+    plan = _plan(spark, "skew_salted_join")
+    assert "BroadcastHashJoin" not in plan, "salted join got broadcast away"
+    assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "__salt" in plan, "salt column missing from the join"
+    q = all_queries()["skew_salted_join"]
+    cols = q.fn(spark, SF_DIR).columns
+    assert "__salt" not in cols
+    assert cols == ["supp_key", "supp_name", "revenue", "n_items"]
