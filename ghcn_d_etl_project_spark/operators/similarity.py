@@ -299,7 +299,10 @@ def random_projection(
     margins (exact top-5 at cos~0.37 vs ~0.30 noise — the same property
     documented on ``ann_lsh_topk``) are below eps at out_dim 16-32
     (recall@5 0.10-0.18), so size ``out_dim`` to the margin YOUR corpus
-    has; the distortion bound itself is pinned in tests either way.
+    has — ``recommend_out_dim`` below estimates that margin from a
+    bounded sample and does the sizing arithmetic, including telling you
+    when the corpus is NOT compressible at your target dim; the
+    distortion bound itself is pinned in tests either way.
     """
     # the PRNG stream depends on in_dim, so callers with a schema-fixed
     # width should pass it explicitly (skips the bounded inference job
@@ -323,3 +326,75 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     if row is None or row.d is None or row.d <= 0:
         raise ValueError(f"cannot infer vector dim from empty {vec_col!r}")
     return row.d
+
+
+def recommend_out_dim(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    sample_rows: int = 256,
+    seed: int = 17,
+    survival_prob: float = 0.9,
+    min_margin: float = 0.01,
+) -> dict:
+    """Margin-aware ``out_dim`` sizing for ``random_projection`` — the
+    guard against the documented foot-gun of shipping a JL dim the
+    corpus's neighbor structure cannot survive.
+
+    Estimates the top-k NEIGHBOR/NOISE MARGIN on a bounded deterministic
+    sample (``sample_rows`` vectors in ``xxhash64(id, seed)`` order —
+    the same bounded-collect legitimacy as ``ivf.kmeans_fit``): for each
+    sampled vector, margin_i = (its k-th-highest cosine within the
+    sample) − (the 90th percentile of its sims beyond rank 2k); the
+    corpus margin is the median margin_i. Sub-sampling biases the k-th
+    sim DOWN (the sample's neighbors are weaker than the corpus's), so
+    the margin — and therefore the recommendation — is conservative.
+
+    Sizing model: for unit vectors, the Rademacher-JL error on one
+    cosine has variance ≤ 2/out_dim, so the neighbor-vs-noise DIFFERENCE
+    (two sims sharing the query) has variance ≤ 4/out_dim; a neighbor
+    survives when that error stays under the margin, giving
+    ``out_dim = ceil((2·z_p / margin)²)`` with ``z_p`` the normal
+    quantile of ``survival_prob``. A margin of 0.9 at p=0.9 needs ~9
+    dims; 0.3 needs ~73; this synthetic corpus's ~0.05-0.07 needs more
+    dims than it HAS — which is exactly what the caller must find out
+    before shipping, not after.
+
+    Returns ``{"out_dim", "margin", "in_dim", "sampled",
+    "compressible"}``; ``compressible`` is False (and ``out_dim`` is
+    clamped to ``in_dim``) when the margin is below ``min_margin`` or
+    the recommended dim is not smaller than the input dim.
+    """
+    import numpy as np
+    from statistics import NormalDist
+
+    sample = (
+        df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    n, in_dim = X.shape
+    if n < 2 * k + 2:
+        raise ValueError(f"need at least {2 * k + 2} rows to estimate a margin")
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ Xn.T
+    np.fill_diagonal(sims, -np.inf)
+    ordered = -np.sort(-sims, axis=1)  # each row desc, self excluded
+    margins = ordered[:, k - 1] - np.quantile(ordered[:, 2 * k:-1], 0.9, axis=1)
+    margin = float(np.median(margins))
+    z = NormalDist().inv_cdf(survival_prob)
+    if margin < min_margin:
+        return {"out_dim": in_dim, "margin": round(margin, 6),
+                "in_dim": in_dim, "sampled": n, "compressible": False}
+    rec = int(np.ceil((2.0 * z / margin) ** 2))
+    compressible = rec < in_dim
+    return {
+        "out_dim": rec if compressible else in_dim,
+        "margin": round(margin, 6),
+        "in_dim": in_dim,
+        "sampled": n,
+        "compressible": compressible,
+    }

@@ -98,8 +98,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     UTC when the plan executes — a scoped set/restore would silently
     undo the normalization before evaluation. Callers whose own queries
     depend on a non-UTC session timezone should use a separate
-    SparkSession for this engine's tables.
+    SparkSession for this engine's tables (README "Session configuration
+    note"); when the pin actually CHANGES a session's timezone, a
+    one-time warning names the change so the action-at-a-distance is at
+    least visible in logs.
     """
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prev_tz not in (None, "UTC") and not getattr(load_table, "_tz_warned", False):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone to UTC session-wide "
+            f"(was {prev_tz!r}); other timezone-sensitive queries in this "
+            f"session will see UTC semantics from now on — use a dedicated "
+            f"SparkSession for this engine if that matters.",
+            stacklevel=2,
+        )
+        load_table._tz_warned = True
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -226,3 +226,49 @@ def test_random_projection_deterministic_and_jl_bounded(spark):
     med = sorted(ratios)[len(ratios) // 2]
     assert 0.6 <= med <= 1.4, med
     assert all(0.15 <= r <= 3.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_recommend_out_dim_flags_weak_margin_corpus(spark):
+    """The synthetic embeddings corpus has the documented weak
+    neighbor/noise margin — the sizing helper must say NOT compressible
+    (out_dim clamped to in_dim) rather than bless the 16-dim foot-gun.
+    Deterministic: bounded hash-ordered sample + seeded arithmetic."""
+    from ghcn_d_etl_project_spark.operators.similarity import recommend_out_dim
+
+    emb = t(spark, SF_DIR, "embeddings")
+    rec = recommend_out_dim(emb, "vec_id", "embedding", k=5)
+    assert rec["in_dim"] == 64
+    assert rec["sampled"] > 10
+    assert not rec["compressible"]
+    assert rec["out_dim"] == 64  # clamped: no dim this corpus supports
+    rec2 = recommend_out_dim(emb, "vec_id", "embedding", k=5)
+    assert rec == rec2
+
+
+def test_recommend_out_dim_compresses_strong_margin_corpus(spark):
+    """Planted corpus of 16 tight 5-member clusters on orthogonal
+    centers: each point's top-4 are its peers (cos ~1) and everything
+    past rank 8 is cross-cluster noise (cos ~0) — margin ~1, so the
+    helper must recommend a genuinely small out_dim (margin ~1 at p=0.9
+    needs only ~O(10) dims). Note clusters must be <= k+1 members: with
+    LARGER clusters exact top-k identity is genuinely unsurvivable
+    (rank k+1 is another near-identical peer) and the helper correctly
+    refuses — which is what the weak-margin test above pins."""
+    import numpy as np
+
+    from ghcn_d_etl_project_spark.operators.similarity import recommend_out_dim
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, members = 64, 16, 5
+    rows = []
+    for c in range(n_clusters):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        for m in range(members):
+            v = center + rng.normal(0, 0.02, dim)
+            rows.append((c * members + m, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    rec = recommend_out_dim(df, "id", "v", k=4)
+    assert rec["compressible"], rec
+    assert rec["out_dim"] < 64, rec
+    assert rec["margin"] > 0.5, rec

@@ -183,3 +183,30 @@ def test_asof_join_tolerance_accepts_ntz_frames(spark):
     # id=1 matches (59s-old right row within 1h); id=2's only candidate is
     # 8h old — tolerance nulls it out
     assert out == {1: 10.0, 2: None}
+
+
+def test_load_table_warns_once_on_timezone_takeover(spark):
+    """The UTC pin is a session-wide side effect; when it actually
+    CHANGES the session timezone a one-time warning must surface it
+    (ADVICE r5: action-at-a-distance hazard for foreign sessions)."""
+    import warnings
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_table._tz_warned = False
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            load_table(spark, SF_DIR, "region")
+        msgs = [str(x.message) for x in w if "timeZone" in str(x.message)]
+        assert msgs, "expected a timezone-takeover warning"
+        assert "America/New_York" in msgs[0]
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # second call from an already-UTC session: silent
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            load_table(spark, SF_DIR, "region")
+        assert not [x for x in w2 if "timeZone" in str(x.message)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        load_table._tz_warned = False
