@@ -47,7 +47,8 @@ whole bench):
   * the cache is cleared between query families so a persist leaked by
     one query can't occupy memory during another's measurement (within
     one query's runs the cache is left warm — same semantics as r4).
-    EXCEPTION: queries tagged ``pipeline`` (corpus_prep_chunks) persist
+    EXCEPTION: queries tagged ``pipeline`` or ``persists``
+    (corpus_prep_chunks, minhash_lsh_dedup, ann_ivf_topk) persist
     intermediates with a caller-owned release handle the harness cannot
     invoke mid-measurement, so their cache is cleared between RUNS too —
     otherwise each run stacks another set of cached stage blocks and the
@@ -210,7 +211,7 @@ def main() -> None:
 
     for name, q in queries.items():
         runs: list[float] = []
-        per_run_clear = "pipeline" in q.tags
+        per_run_clear = bool({"pipeline", "persists"} & q.tags)
         try:
             # adaptive: initial n_runs, then keep running while the
             # relative IQR exceeds the target (up to max_runs) — the

@@ -201,6 +201,7 @@ def minhash_lsh_dedup(
     n: int = 4,
     threshold: float = 0.5,
     est_margin: float = 0.15,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> signature-estimate pre-filter -> exact-Jaccard verification.
@@ -218,11 +219,20 @@ def minhash_lsh_dedup(
     verification stays exact for everything kept. Intersections run on
     hashed shingles (8-byte longs): same cardinalities as the string
     sets up to a ~2^-64 collision.
+
+    Cache lifetime: TWO intermediates are persisted (the hashed shingle
+    sets and the signatures — each feeds two branches). Pass
+    ``release_into`` (a list) to receive them and ``unpersist()`` once
+    the result has materialized — the same caller-owned-lifetime
+    contract as ``ivf_topk`` / ``CorpusStages.release()``; without it,
+    repeated invocations in one session accumulate cached blocks.
     """
     shingle_sets = hashed_shingle_sets(df, id_col, text_col, n=n).persist()
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes=n_hashes, n=n, shingles=shingle_sets
     ).persist()
+    if release_into is not None:
+        release_into.extend([shingle_sets, sigs])
     cands = minhash_lsh_candidates(sigs, n_hashes=n_hashes, bands=bands)
     sg1 = sigs.select(F.col("doc").alias("doc1"), F.col("sig").alias("sig1"))
     sg2 = sigs.select(F.col("doc").alias("doc2"), F.col("sig").alias("sig2"))

@@ -121,7 +121,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("minhash_lsh_dedup", oracle=None, tags=("llm", "dedup"), bench=True)
+@register("minhash_lsh_dedup", oracle=None, tags=("llm", "dedup", "persists"), bench=True)
 def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 hashes)+LSH(16 bands x 4 rows, ~0.5 Jaccard knee)
     near-dup pipeline: shingle -> signature -> band-bucket join ->
@@ -276,7 +276,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity"), bench=True)
+@register("ann_ivf_topk", oracle=None, tags=("llm", "similarity", "persists"), bench=True)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF cells (``operators/ivf.py``): a
     DataFrame-native k-means coarse quantizer (deterministic — decimal

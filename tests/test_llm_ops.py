@@ -272,3 +272,23 @@ def test_recommend_out_dim_compresses_strong_margin_corpus(spark):
     assert rec["compressible"], rec
     assert rec["out_dim"] < 64, rec
     assert rec["margin"] > 0.5, rec
+
+
+def test_minhash_release_unpersists_cached_intermediates(spark):
+    """minhash_lsh_dedup persists two intermediates (shingle sets and
+    signatures); the release_into handle must surface both so callers
+    can drop them — same caller-owned-lifetime contract as ivf_topk."""
+    from ghcn_d_etl_project_spark.operators.dedup import minhash_lsh_dedup
+
+    handles: list = []
+    out = minhash_lsh_dedup(
+        t(spark, SF_DIR, "documents"), "doc_id", "text", release_into=handles
+    )
+    out.count()  # materialize through the persisted stages
+    assert len(handles) == 2
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    for h in handles:
+        h.unpersist()
+    for h in handles:
+        lvl = h.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), lvl
