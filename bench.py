@@ -27,7 +27,17 @@ until its relative IQR (IQR / median over all runs so far) drops under
 exceeds ``SPARK_GRAFT_BENCH_QUERY_BUDGET`` seconds (default 90 —
 bounds total harness wall time when a heavy pipeline query is also
 noisy; the emitted ``runs`` count shows when the budget, not the
-target, stopped it). Every query's dispersion is
+target, stopped it).
+
+Honest residual: adaptivity controls WITHIN-invocation dispersion; a
+fresh JVM can still settle into a ±20-30% different steady state for a
+multi-second codegen-heavy query (JIT compilation order, heap layout —
+measured on back-to-back otherwise-idle invocations; the minhash case
+turned out to be persist-stacking, fixed via per-run cache clears, but
+e.g. the star join and IVF retain cross-JVM level shifts with tight
+in-run IQRs). Consumers comparing rounds should treat a delta as real
+only when it exceeds BOTH runs' IQRs AND the ~25% cross-JVM band for
+that family, or when it is corroborated by a plan change. Every query's dispersion is
 emitted under ``"spread"`` (per-query ``min``/``iqr``/``runs``), so a
 round-over-round delta smaller than the reported IQR is visibly noise —
 the consumer no longer has to guess whether a 20% swing is real.
