@@ -19,15 +19,22 @@ design obligation): at 100 TB a hot join key is MORE common than a hot
 group key (one whale customer, one default supplier id, one NULL-ish
 sentinel). AQE's ``OptimizeSkewedJoin`` splits oversized sort-merge /
 shuffled-hash partitions at runtime and is the first line of defense —
-but it only triggers post-shuffle on stats Spark collected, can't help
-when the skew hides behind a preceding stage boundary, and isn't
-portable to engines without runtime re-planning. The explicit salt is
-the deterministic rewrite: fact rows get a uniform salt in
-``[0, n_salts)``, the dim side is replicated once per salt value, and
-the join runs on ``(key, salt)`` — the hot key's rows spread over
-``n_salts`` reducers no matter what the planner estimated. The join
-RESULT is salt-invariant (each fact row meets exactly the same dim rows
-whatever its salt), so the oracle check is the plain unsalted join.
+but its split unit is the MAP-OUTPUT RANGE: a skewed reduce partition
+is divided along mapper boundaries, so when the hot key's bytes come
+from few map tasks there is nothing to divide and the rule silently
+declines (verified against Spark 4.1: a hot partition 200x the median
+with detection thresholds trivially met is still skipped when the scan
+side is a single-row-group parquet — one effective mapper; the same
+join with a 16-task map side gets ``SortMergeJoin(skew=true)``. Both
+behaviors are pinned in ``tests/test_plans.py``). That granularity
+limit — plus needing post-shuffle stats at all — is why the explicit
+salt exists: fact rows get a uniform salt in ``[0, n_salts)``, the dim
+side is replicated once per salt value, and the join runs on
+``(key, salt)`` — a per-ROW split that spreads the hot key over
+``n_salts`` reducers regardless of mapper layout or planner estimates.
+The join RESULT is salt-invariant (each fact row meets exactly the
+same dim rows whatever its salt), so the oracle check is the plain
+unsalted join.
 """
 
 from __future__ import annotations

@@ -179,3 +179,69 @@ def test_skew_salted_join_spreads_hot_key(spark):
     cols = q.fn(spark, SF_DIR).columns
     assert "__salt" not in cols
     assert cols == ["supp_key", "supp_name", "revenue", "n_items"]
+
+
+def test_aqe_skew_join_splits_only_splittable_map_sides(spark):
+    """AQE's OptimizeSkewedJoin divides a skewed reduce partition along
+    MAPPER boundaries. Two pins on a 90%-hot-key join (thresholds
+    lowered so local-mode sizes qualify):
+
+    1. With a multi-task map side (explicit repartition(16)), the final
+       adaptive plan marks the join skew-handled: SortMergeJoin(skew=true).
+    2. With the raw single-row-group parquet scan as the map side (one
+       effective mapper), the SAME join is NOT skew-handled — a hot
+       partition 200x the median is silently skipped because a single
+       mapper's output cannot be subdivided. This granularity limit is
+       why operators/skew.py's salted_join (per-ROW splitting) exists.
+    """
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.plans._util import t as _t
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pathlib import Path
+
+        # sf0.1: big enough that the hot partition clears the (lowered)
+        # size thresholds; SF_DIR itself is the tiny test SF
+        sf_big = str(Path(SF_DIR).parent / "sf0.1")
+        li = _t(spark, sf_big, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1))
+            .otherwise(1 + F.col("l_suppkey") % 50)
+            .alias("skew_key"),
+            "l_extendedprice",
+        )
+        s = _t(spark, sf_big, "supplier").select(
+            F.col("s_suppkey").alias("skew_key"), "s_name"
+        ).filter(F.col("skew_key") <= 50)
+
+        def final_plan(fact):
+            j = fact.join(s.hint("merge"), "skew_key").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_extendedprice").alias("rev"),
+            )
+            assert j.collect()[0].n == 600000
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        assert "skew=true" in final_plan(li.repartition(16))
+
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(f"{sf_big}/lineitem.parquet").num_row_groups == 1:
+            # single row group -> one effective mapper -> AQE cannot split
+            assert "skew=true" not in final_plan(li)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
