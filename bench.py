@@ -172,7 +172,9 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
     spark = get_spark(app_name="bench")
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # clamped to >=1: with 0 the adaptive while-clause would evaluate
+    # _stats([]) before any run exists and crash on the empty list
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     registry = all_queries()
     errors: dict[str, str] = {}
 

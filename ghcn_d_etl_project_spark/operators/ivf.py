@@ -214,8 +214,9 @@ def ivf_topk(
     ``n_centroids=None`` auto-sizes the quantizer from the same single
     probe (run against the raw source in that case, since the count is
     needed before the fit): k ~ sqrt(min(N, broadcast_rows + 1)),
-    clamped to [4, train_rows // 8] so the bounded training sample keeps
-    >= 8 vectors per cell. The sqrt saturates at the probe bound by
+    floored at 4 then hard-capped at train_rows // 8 (the cap wins when
+    they conflict) so the bounded training sample keeps >= 8 vectors per
+    cell. The sqrt saturates at the probe bound by
     construction — callers at production scale should size
     ``n_centroids`` explicitly from their known corpus size. Either
     path, exactly ONE bounded count action runs per invocation
@@ -234,7 +235,12 @@ def ivf_topk(
         # sizing must precede the fit, so the one probe runs on the
         # source here and is REUSED for the broadcast decision below
         probe_count = _bounded_count(df, broadcast_rows)
-        n_centroids = max(4, min(train_rows // 8, int(probe_count**0.5)))
+        # floor-of-4 applies to the sqrt target only; train_rows // 8
+        # stays a hard CAP so the >=8-vectors-per-cell invariant holds
+        # even for tiny training samples (max-outside-min inverted it)
+        n_centroids = min(
+            max(4, int(probe_count**0.5)), max(1, train_rows // 8)
+        )
     cents = kmeans_fit(
         df, id_col, vec_col, k=n_centroids, n_iter=n_iter, seed=seed,
         train_rows=train_rows,

@@ -376,10 +376,20 @@ def recommend_out_dim(
         .collect()
     )
     X = np.asarray([r.v for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    # zero vectors have no direction: keeping them would inject NaN sims
+    # (NaN margin silently fails the < min_margin check, then ceil(NaN)
+    # raises an opaque ValueError downstream) — drop them from the sample
+    nonzero = norms[:, 0] > 0.0
+    X, norms = X[nonzero], norms[nonzero]
     n, in_dim = X.shape
     if n < 2 * k + 2:
-        raise ValueError(f"need at least {2 * k + 2} rows to estimate a margin")
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        dropped = int((~nonzero).sum())
+        raise ValueError(
+            f"need at least {2 * k + 2} non-zero rows to estimate a margin "
+            f"(got {n} after dropping {dropped} zero-norm vector(s))"
+        )
+    Xn = X / norms
     sims = Xn @ Xn.T
     np.fill_diagonal(sims, -np.inf)
     ordered = -np.sort(-sims, axis=1)  # each row desc, self excluded

@@ -42,10 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# (combine_fn, needs_long_cast) per decomposable aggregate
+# phase-2 combine fn per simple decomposable aggregate; counts combine by
+# summing partials, avg is handled separately (sum+count partials, derived
+# after phase 2)
 _COMBINE = {
     "sum": F.sum,
-    "count": F.sum,  # counts combine by summing partials
+    "count": F.sum,
     "min": F.min,
     "max": F.max,
 }
@@ -59,25 +61,50 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
-    ``specs`` = [(column_or_expr, fn, alias)] with fn in sum/count/min/max.
-    Phase 1 groups by (keys + random salt in [0, n_salts)) — the hot key's
-    rows spread over n_salts reducers; phase 2 groups by keys alone over
-    n_salts partial rows per key. Deterministic despite the random salt:
-    every decomposable aggregate is salt-partition-invariant.
+    ``specs`` = [(column_or_expr, fn, alias)] with fn in
+    sum/count/min/max/avg. Phase 1 groups by (keys + random salt in
+    [0, n_salts)) — the hot key's rows spread over n_salts reducers;
+    phase 2 groups by keys alone over n_salts partial rows per key.
+    Deterministic despite the random salt: every decomposable aggregate
+    is salt-partition-invariant.
+
+    ``avg`` decomposes into sum+count(non-null) partials and is derived
+    after phase 2 as ``CAST(sum AS DOUBLE) / count`` — so the output is
+    DOUBLE regardless of input type, and matches plain ``F.avg``
+    semantics (nulls excluded, all-null group → NULL). For exact parity
+    under arbitrary combine order, pass a DECIMAL column: the partial
+    sums are then exact and only the final division rounds.
     """
+    bad = [fn for _, fn, _ in specs if fn != "avg" and fn not in _COMBINE]
+    if bad:
+        raise ValueError(
+            f"non-decomposable aggregate(s) {bad}: salted_agg supports "
+            "sum/count/min/max/avg"
+        )
     salted = df.withColumn(
         "__salt", (F.rand(seed=7) * n_salts).cast("int")
     )
-    phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(alias)
-            for col, fn, alias in specs
-        ]
-    )
-    phase2 = phase1.groupBy(*keys).agg(
-        *[_COMBINE[fn](alias).alias(alias) for _, fn, alias in specs]
-    )
-    return phase2
+    p1, p2 = [], []
+    for col, fn, alias in specs:
+        if fn == "avg":
+            # sum + non-null count partials; derive the quotient after
+            # phase 2 (the module docstring's "avg = sum/count" path)
+            p1.append(F.sum(col).alias(f"__p_{alias}_sum"))
+            p1.append(F.count(col).alias(f"__p_{alias}_cnt"))
+            p2.append(
+                (
+                    F.sum(f"__p_{alias}_sum").cast("double")
+                    / F.sum(f"__p_{alias}_cnt")
+                ).alias(alias)
+            )
+        elif fn == "count":
+            p1.append(F.count(F.lit(1)).alias(alias))
+            p2.append(F.sum(alias).alias(alias))
+        else:
+            p1.append(getattr(F, fn)(col).alias(alias))
+            p2.append(_COMBINE[fn](alias).alias(alias))
+    phase1 = salted.groupBy(*keys, "__salt").agg(*p1)
+    return phase1.groupBy(*keys).agg(*p2)
 
 
 def salted_join(
@@ -108,7 +135,35 @@ def salted_join(
     Prefer AQE's skew-join handling when it applies (it splits oversized
     SMJ partitions with no dim replication cost); this operator is the
     explicit, planner-independent form for when it doesn't.
+
+    ``how`` is restricted to inner / left / left_semi / left_anti: the
+    rewrite is only salt-invariant when every OUTPUT row is driven by a
+    fact row. Under right/full outer, each of the ``n_salts`` dim
+    replicas that finds no matching (key, salt) fact row null-extends
+    independently — unmatched dim keys would be emitted up to
+    ``n_salts``x, and matched-but-sparse keys would add spurious null
+    rows. Those joins need the dim side un-replicated; use a plain join
+    (or swap the sides so the skewed input is the left/fact side).
+    Sizing: see :func:`recommend_n_salts` for a bounded probe that
+    derives ``n_salts`` from the observed hot-key share.
     """
+    allowed = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/left_semi/left_anti "
+            "are salt-invariant — right/full outer joins would duplicate "
+            "unmatched dim keys once per salt replica (see docstring)"
+        )
+    for side, cols in (("fact", fact.columns), ("dim", dim.columns)):
+        if "__salt" in cols:
+            raise ValueError(
+                f"salted_join: {side} input already has a '__salt' column — "
+                "it would be silently overwritten and then dropped; rename "
+                "it before salting"
+            )
     salted_fact = fact.withColumn(
         "__salt", (F.rand(seed=7) * n_salts).cast("int")
     )
@@ -121,3 +176,70 @@ def salted_join(
         salted_fact["__salt"] == replicated["__salt"]
     )
     return salted_fact.join(replicated, cond, how).drop("__salt")
+
+
+def recommend_n_salts(
+    fact: DataFrame,
+    key: str,
+    shuffle_partitions: int | None = None,
+    balance_factor: float = 2.0,
+    max_salts: int = 256,
+) -> dict:
+    """Size ``n_salts`` from the observed hot-key share — the same
+    "measure, then size" pattern as ``similarity.recommend_out_dim``.
+
+    One bounded probe: ``groupBy(key).count()`` (map-side partial
+    aggregation, so the probe itself does not suffer the skew it
+    measures — each mapper emits at most one partial row per key) folded
+    straight into a single global row ``(top_count, total, n_keys)``.
+    Cost is one shuffle of ≤ n_keys rows and ONE action; nothing
+    key-cardinality-sized reaches the driver.
+
+    Sizing model: with P reduce partitions, a balanced reducer carries
+    ``total / P`` rows; the hot key alone drops ``top_count`` on one
+    reducer. Salting with n splits that to ``top_count / n``, so the
+    smallest n keeping the hot reducer within ``balance_factor``x the
+    balanced load is ``ceil(top_count * P / (balance_factor * total))``,
+    clamped to [1, min(P, max_salts)] — beyond P salts there are no
+    extra reducers to spread over, and each salt costs a full dim
+    replica in ``salted_join``. A recommendation of 1 means the key
+    distribution doesn't need salting at all (``skewed=False``).
+
+    Returns ``{"n_salts", "top_count", "total", "n_keys", "hot_share",
+    "partitions", "skewed"}``.
+    """
+    import math
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            fact.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    stats = (
+        fact.groupBy(key)
+        .count()
+        .agg(
+            F.max("count").alias("top"),
+            F.sum("count").alias("total"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .first()
+    )
+    if stats is None or not stats.total:
+        return {
+            "n_salts": 1, "top_count": 0, "total": 0, "n_keys": 0,
+            "hot_share": 0.0, "partitions": shuffle_partitions,
+            "skewed": False,
+        }
+    raw = math.ceil(
+        stats.top * shuffle_partitions / (balance_factor * stats.total)
+    )
+    n_salts = max(1, min(raw, shuffle_partitions, max_salts))
+    return {
+        "n_salts": n_salts,
+        "top_count": int(stats.top),
+        "total": int(stats.total),
+        "n_keys": int(stats.n_keys),
+        "hot_share": round(stats.top / stats.total, 6),
+        "partitions": shuffle_partitions,
+        "skewed": n_salts > 1,
+    }

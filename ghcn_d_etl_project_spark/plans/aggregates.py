@@ -358,7 +358,9 @@ SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty,
        MIN(l_extendedprice) AS min_price,
-       MAX(l_extendedprice) AS max_price
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,2))) AS DOUBLE)
+         / CAST(COUNT(l_extendedprice) AS BIGINT) AS avg_price
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -370,12 +372,18 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     600k rows at sf0.1) via the salted two-phase rewrite — each key's rows
     spread across 16 salt reducers before a tiny combine. Result (and
     oracle) identical to the plain groupBy; only the shuffle shape
-    changes. The summed column is decimal-quantized BEFORE salting so the
-    partial sums combine order-insensitively."""
+    changes. The summed/averaged columns are decimal-quantized BEFORE
+    salting so the partials combine order-insensitively (``avg`` is the
+    derived two-phase form: exact decimal sum + count partials, one
+    final double division — ``operators/skew.py:salted_agg``)."""
     from ghcn_d_etl_project_spark.operators.skew import salted_agg
 
-    li = t(spark, sf_dir, "lineitem").withColumn(
-        "__qty_dec", F.col("l_quantity").cast("decimal(24,2)")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .withColumn("__qty_dec", F.col("l_quantity").cast("decimal(24,2)"))
+        .withColumn(
+            "__price_dec", F.col("l_extendedprice").cast("decimal(24,2)")
+        )
     )
     out = salted_agg(
         li,
@@ -385,6 +393,7 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("__qty_dec", "sum", "sum_qty"),
             ("l_extendedprice", "min", "min_price"),
             ("l_extendedprice", "max", "max_price"),
+            ("__price_dec", "avg", "avg_price"),
         ],
         n_salts=16,
     )

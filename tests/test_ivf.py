@@ -145,6 +145,25 @@ def test_ivf_auto_n_centroids_sizes_from_probe(spark, monkeypatch):
         df.unpersist()
 
 
+def test_ivf_auto_n_centroids_small_train_rows_keeps_cell_minimum(spark):
+    """ADVICE r6: with train_rows < 32 the old clamp's outer max(4, ...)
+    overrode the train_rows//8 cap, violating the >=8-vectors-per-cell
+    invariant. The cap must win: train_rows=16 -> at most 2 cells."""
+    emb = _emb(spark)
+    handles: list = []
+    out = ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=None, n_probe=1,
+        train_rows=16, release_into=handles,
+    )
+    assert out.count() > 0
+    homes = handles[0].select(
+        handles[0]["cells"][0]["cluster"]
+    ).distinct().count()
+    assert homes <= 16 // 8, f"cell minimum violated: {homes} cells"
+    for df in handles:
+        df.unpersist()
+
+
 def test_large_k_join_path_matches_projection_path(spark):
     """literal_budget=1 forces the _dist2 broadcast-join assignment (the
     production large-k shape); its output must equal the plan-literal

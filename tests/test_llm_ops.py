@@ -5,6 +5,7 @@ brute-force top-k, SimHash sanity, rolling-hash determinism.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ghcn_d_etl_project_spark.operators.dedup import (
@@ -272,6 +273,44 @@ def test_recommend_out_dim_compresses_strong_margin_corpus(spark):
     assert rec["compressible"], rec
     assert rec["out_dim"] < 64, rec
     assert rec["margin"] > 0.5, rec
+
+
+def test_recommend_out_dim_drops_zero_norm_vectors(spark):
+    """ADVICE r6: zero vectors have no direction — they used to inject
+    NaN sims, silently fail the margin floor, and crash in ceil(NaN).
+    They must be dropped from the sample (result unchanged vs the clean
+    corpus), and a corpus with too few non-zero rows must raise a clear
+    error naming the drop."""
+    import numpy as np
+
+    from ghcn_d_etl_project_spark.operators.similarity import recommend_out_dim
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    rows = []
+    for c in range(16):
+        center = np.zeros(dim)
+        center[c] = 1.0
+        for m in range(5):
+            v = center + rng.normal(0, 0.02, dim)
+            rows.append((c * 5 + m, [float(x) for x in v]))
+    clean = spark.createDataFrame(rows, "id long, v array<double>")
+    polluted = clean.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, [0.0] * dim) for i in range(5)],
+            "id long, v array<double>",
+        )
+    )
+    rec_clean = recommend_out_dim(clean, "id", "v", k=4)
+    rec_poll = recommend_out_dim(polluted, "id", "v", k=4)
+    assert rec_poll["compressible"] and rec_poll["out_dim"] < 64
+    assert rec_poll["sampled"] == rec_clean["sampled"]  # zeros excluded
+
+    all_zero = spark.createDataFrame(
+        [(i, [0.0] * dim) for i in range(32)], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        recommend_out_dim(all_zero, "id", "v", k=4)
 
 
 def test_minhash_release_unpersists_cached_intermediates(spark):
