@@ -85,15 +85,25 @@ def exact_dedup_keep_min(base: DataFrame) -> DataFrame:
     return keyed.join(keep, ["fp", "doc_id"], "left_semi").drop("fp")
 
 
-def neardup_dedup_keep_canonical(
-    base: DataFrame, cfg: CorpusPrepConfig
-) -> tuple[DataFrame, DataFrame]:
-    """Stage 4: MinHash-LSH verified pairs → connected components →
-    survivors are each component's minimum id. Returns (survivors,
-    components) so callers can audit cluster assignments."""
-    pairs = minhash_lsh_dedup(
-        base, "doc_id", "text", threshold=cfg.jaccard_threshold
+def neardup_pairs(
+    base: DataFrame,
+    cfg: CorpusPrepConfig,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Stage 4a: MinHash-LSH verified near-dup pairs as (src, dst) edges.
+    ``release_into`` forwards to ``minhash_lsh_dedup``'s cache handle
+    (two persisted intermediates: hashed shingle sets + signatures)."""
+    return minhash_lsh_dedup(
+        base, "doc_id", "text", threshold=cfg.jaccard_threshold,
+        release_into=release_into,
     ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+
+
+def neardup_survivors(
+    base: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 4b: close the pair edges into connected components and keep
+    each component's minimum id. Returns (survivors, components)."""
     comps = connected_components(
         pairs, nodes=base.select(F.col("doc_id").alias("node"))
     )
@@ -105,6 +115,17 @@ def neardup_dedup_keep_canonical(
         "left_semi",
     )
     return survivors, comps
+
+
+def neardup_dedup_keep_canonical(
+    base: DataFrame,
+    cfg: CorpusPrepConfig,
+    release_into: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Stage 4: MinHash-LSH verified pairs → connected components →
+    survivors are each component's minimum id. Returns (survivors,
+    components) so callers can audit cluster assignments."""
+    return neardup_survivors(base, neardup_pairs(base, cfg, release_into))
 
 
 def chunk_documents(
@@ -139,9 +160,11 @@ def chunk_documents(
 class CorpusStages(dict):
     """``corpus_prep``'s stage map, plus a cache-release handle.
 
-    The pipeline persists three intermediates (filtered base, exact-dedup
-    output, survivors) so the dedup/chunk branches share one computation.
-    Callers own their lifetime: ``release()`` unpersists all three once
+    The pipeline persists three named intermediates (filtered base,
+    exact-dedup output, survivors) so the dedup/chunk branches share one
+    computation, and MinHash-LSH persists two more internally (shingle
+    sets + signatures, surfaced via its ``release_into`` handle).
+    Callers own their lifetime: ``release()`` unpersists all five once
     downstream consumers have materialized — without it, repeated
     pipeline invocations in one session accumulate cached blocks until
     the executor store evicts under pressure (driver-verified leak,
@@ -149,11 +172,17 @@ class CorpusStages(dict):
 
     _PERSISTED = ("filtered", "exact_deduped", "survivors")
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.extra_handles: list[DataFrame] = []
+
     def release(self) -> None:
         for key in self._PERSISTED:
             df = self.get(key)
             if df is not None:
                 df.unpersist()
+        for df in self.extra_handles:
+            df.unpersist()
 
 
 def corpus_prep(
@@ -168,15 +197,72 @@ def corpus_prep(
     docs = t(spark, sf_dir, "documents")
     base = filtered_redacted(docs, cfg).persist()
     exact = exact_dedup_keep_min(base).persist()
-    survivors, comps = neardup_dedup_keep_canonical(exact, cfg)
+    lsh_handles: list[DataFrame] = []
+    survivors, comps = neardup_dedup_keep_canonical(
+        exact, cfg, release_into=lsh_handles
+    )
     survivors = survivors.persist()
-    return CorpusStages(
+    stages = CorpusStages(
         filtered=base,
         exact_deduped=exact,
         survivors=survivors,
         components=comps,
         chunks=chunk_documents(survivors, cfg, carry=("pred_lang",)),
     )
+    stages.extra_handles.extend(lsh_handles)
+    return stages
+
+
+def corpus_prep_staged(
+    spark: SparkSession, sf_dir: str, cfg: CorpusPrepConfig | None = None
+) -> dict:
+    """Instrumented twin of ``corpus_prep``: the same ladder, but each
+    stage is materialized and wall-timed at its persist boundary, and
+    every cached intermediate is released before returning.
+
+    Attribution semantics: a stage's seconds cover exactly the work
+    between persist boundaries — its own computation over the (already
+    cached) previous stage's output plus the count that materializes it.
+    The sum of stages therefore tracks the one-shot ``chunks.count()``
+    cost closely (the extra per-stage counts scan cached data), while a
+    regression in any single stage surfaces BY NAME instead of as "the
+    pipeline got slower" (round-6 verdict's unattributability gap).
+
+    Returns ``{"counts": {stage: rows}, "timings": {stage: sec}}`` with
+    stages ``profile_filter_pii`` / ``exact_dedup`` / ``lsh_pairs`` /
+    ``components`` / ``chunking``.
+    """
+    import time
+
+    cfg = cfg or CorpusPrepConfig()
+    counts: dict[str, int] = {}
+    timings: dict[str, float] = {}
+
+    def mat(name: str, df: DataFrame) -> DataFrame:
+        t0 = time.perf_counter()
+        counts[name] = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return df
+
+    docs = t(spark, sf_dir, "documents")
+    base = mat("profile_filter_pii", filtered_redacted(docs, cfg).persist())
+    exact = mat("exact_dedup", exact_dedup_keep_min(base).persist())
+    lsh_handles: list[DataFrame] = []
+    pairs = mat(
+        "lsh_pairs", neardup_pairs(exact, cfg, release_into=lsh_handles).persist()
+    )
+    # connected_components materializes during CONSTRUCTION (pointer
+    # jumping iterates to a fixpoint), so the components stage times the
+    # closure plus the keep-min semi-join that consumes it
+    t0 = time.perf_counter()
+    survivors, _comps = neardup_survivors(exact, pairs)
+    survivors = survivors.persist()
+    counts["components"] = survivors.count()
+    timings["components"] = round(time.perf_counter() - t0, 3)
+    mat("chunking", chunk_documents(survivors, cfg, carry=("pred_lang",)))
+    for df in (base, exact, pairs, survivors, *lsh_handles):
+        df.unpersist()
+    return {"counts": counts, "timings": timings}
 
 
 def write_corpus(

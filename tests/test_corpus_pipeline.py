@@ -79,16 +79,46 @@ def test_components_cover_exact_dedup_output(spark):
 
 
 def test_release_unpersists_cached_stages(spark):
-    """corpus_prep persists three intermediates; release() must drop all
-    of them so repeated invocations don't accumulate cached blocks."""
+    """corpus_prep persists three named intermediates plus MinHash-LSH's
+    two internal ones (surfaced via extra_handles); release() must drop
+    all five so repeated invocations don't accumulate cached blocks."""
     stages = corpus_prep(spark, SF_DIR)
     stages["survivors"].count()  # materialize through the whole ladder
     cached = [stages[k] for k in ("filtered", "exact_deduped", "survivors")]
+    cached += stages.extra_handles
+    assert len(stages.extra_handles) == 2  # shingle sets + signatures
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
     stages.release()
     for df in cached:
         lvl = df.storageLevel
         assert not (lvl.useMemory or lvl.useDisk), lvl
+
+
+def test_corpus_prep_staged_matches_unstaged(spark):
+    """The instrumented twin must attribute without changing semantics:
+    identical per-stage row counts, one timing per stage, and no cached
+    blocks left behind (it owns and releases everything it persists)."""
+    from ghcn_d_etl_project_spark.pipelines.corpus import corpus_prep_staged
+
+    persistent_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    staged = corpus_prep_staged(spark, SF_DIR)
+    persistent_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert persistent_after == persistent_before, "staged run leaked cache"
+
+    expected_stages = [
+        "profile_filter_pii", "exact_dedup", "lsh_pairs", "components",
+        "chunking",
+    ]
+    assert list(staged["counts"]) == expected_stages
+    assert list(staged["timings"]) == expected_stages
+    assert all(sec >= 0 for sec in staged["timings"].values())
+
+    stages = corpus_prep(spark, SF_DIR)
+    assert staged["counts"]["profile_filter_pii"] == stages["filtered"].count()
+    assert staged["counts"]["exact_dedup"] == stages["exact_deduped"].count()
+    assert staged["counts"]["components"] == stages["survivors"].count()
+    assert staged["counts"]["chunking"] == stages["chunks"].count()
+    stages.release()
 
 
 def test_write_corpus_training_layout(spark, tmp_path):
