@@ -165,6 +165,40 @@ def test_coverage_md_names_resolve():
     assert not undocumented, f"registered but not in COVERAGE.md: {undocumented}"
 
 
+def test_coverage_md_totals_match_registry():
+    """COVERAGE.md's Totals line drifted twice (r5: 63→64; r6: 64→65)
+    because only name RESOLUTION was pinned, not the counts. Parse the
+    line and assert every number equals the live registry's breakdown —
+    future drift fails here by name."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    m = re.search(
+        r"Totals: (\d+) registered queries — (\d+) oracle-matched "
+        r"\((\d+) core \+ (\d+) late:",
+        text,
+    )
+    assert m, "COVERAGE.md Totals line missing or reformatted"
+    doc_total, doc_oracle, doc_core, doc_late = map(int, m.groups())
+    rows_m = re.search(r"\)\s*,\s*(\d+) rows-only", text.replace("\n", " "))
+    assert rows_m, "COVERAGE.md Totals line missing rows-only count"
+    doc_rows_only = int(rows_m.group(1))
+
+    qs = all_queries()
+    oracle = [q for q in qs.values() if q.oracle is not None]
+    late = sorted(q.name for q in oracle if q.late)
+    assert doc_total == len(qs)
+    assert doc_oracle == len(oracle)
+    assert doc_late == len(late)
+    assert doc_core == len(oracle) - len(late)
+    assert doc_rows_only == len(qs) - len(oracle)
+    # the late list spelled out in the line must match too
+    tail = text[m.end():m.end() + 300]
+    for name in late:
+        assert f"`{name}`" in tail, f"late query {name} missing from Totals"
+
+
 def test_skew_salted_join_spreads_hot_key(spark):
     """The salted join must plan a SHUFFLED join keyed on the salt — a
     broadcast here would silently discard the skew mitigation (the whole
