@@ -1,0 +1,176 @@
+"""Change-data-capture application: MERGE-style upsert and SCD2 history.
+
+The reference pipeline rebuilds its dimension outputs from scratch every
+run (full overwrite of the silver/gold tables — see the overwrite-mode
+writes in its processors). At 100 TB a rebuild is not an option: the
+engine needs to APPLY a (small) change set to a (huge) existing snapshot.
+These operators are the batch form of warehouse ``MERGE INTO``:
+
+* :func:`merge_upsert` — produce the post-merge snapshot from (target,
+  source) with the standard three-arm semantics: matched+delete-flag →
+  DELETE, matched → UPDATE, unmatched source without delete-flag →
+  INSERT, unmatched target → carry through.
+* :func:`scd2_apply` — slowly-changing-dimension type 2: instead of
+  overwriting attributes in place, close the current history row
+  (``valid_to`` = change timestamp) and open a new one, preserving full
+  attribute lineage.
+
+Both are single-join operators: ONE shuffle on the merge key for both
+sides (or none for the target if it is already bucketed/partitioned by
+the key — the join then co-locates for free, which is exactly why the
+bucketed layout writer exists in ``sources/writers.py``). When the change
+set is small — the overwhelmingly common CDC case — Catalyst/AQE
+broadcasts it and the big snapshot is never shuffled at all; the
+operators deliberately leave the join strategy to the optimizer instead
+of pinning one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_T, _S = "__merge_t_present", "__merge_s_present"
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    set_cols: dict[str, str] | None = None,
+    insert_defaults: dict[str, Column] | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply ``source`` changes onto ``target``; return the new snapshot
+    with exactly ``target``'s columns.
+
+    ``set_cols`` maps target column → source column holding its new
+    value (default: every non-key target column that also exists in
+    source, by name). On UPDATE, unmapped target columns keep their
+    value; on INSERT they take ``insert_defaults[col]`` (a Column) or
+    NULL. ``delete_col`` names a boolean source column: matched rows
+    with it true are deleted, unmatched source rows with it true are
+    ignored (standard MERGE: a delete for a missing key is a no-op).
+
+    Raises if the reserved marker column names collide with inputs.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    for k in keys:
+        if k not in target.columns or k not in source.columns:
+            raise ValueError(f"merge key {k!r} must exist on both sides")
+    for marker in (_T, _S):
+        if marker in target.columns or marker in source.columns:
+            raise ValueError(f"reserved column name in input: {marker!r}")
+    if set_cols is None:
+        set_cols = {
+            c: c for c in target.columns if c not in keys and c in source.columns
+        }
+    for tc, sc in set_cols.items():
+        if tc not in target.columns:
+            raise ValueError(f"set_cols target column {tc!r} not in target")
+        if sc not in source.columns:
+            raise ValueError(f"set_cols source column {sc!r} not in source")
+    insert_defaults = insert_defaults or {}
+
+    # Markers, not outer-join null probing: a null key or null attribute
+    # must not be mistaken for "row absent on that side". Source value
+    # columns are prefixed so names shared with the target (the common
+    # case — set_cols {c: c}) never collide in the joined plan.
+    t = target.withColumn(_T, F.lit(True))
+    s_vals = sorted({*set_cols.values()} | ({delete_col} if delete_col else set()))
+    s = source.select(
+        *keys, *[F.col(c).alias(f"__src_{c}") for c in s_vals]
+    ).withColumn(_S, F.lit(True))
+    j = t.join(s, on=keys, how="full_outer")
+
+    t_present = F.col(_T).isNotNull()
+    s_present = F.col(_S).isNotNull()
+    deleting = (
+        F.coalesce(F.col(f"__src_{delete_col}"), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
+    # keep: matched-not-deleted, target-only, or source-only inserts
+    kept = j.filter(~(s_present & deleting)).filter(t_present | s_present)
+
+    out_cols: list[Column] = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.col(c).alias(c))
+        elif c in set_cols:
+            # source wins when present (update or insert), else target
+            out_cols.append(
+                F.when(s_present, F.col(f"__src_{set_cols[c]}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            ins = insert_defaults.get(c, F.lit(None).cast(target.schema[c].dataType))
+            out_cols.append(F.when(t_present, F.col(c)).otherwise(ins).alias(c))
+    return kept.select(*out_cols)
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    attrs: list[str],
+    eff_col: str = "eff_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply a change batch to an SCD2 history table.
+
+    ``history`` rows carry ``valid_from``/``valid_to`` (NULL ``valid_to``
+    = current). ``changes`` carries the key, the new ``attrs`` values,
+    and the change timestamp ``eff_col``. Semantics per key with a
+    change: if any tracked attribute differs from the current row (or no
+    current row exists), the current row is CLOSED (``valid_to`` := the
+    change's ``eff_col``) and a new current row opens at ``eff_col``;
+    an identical change is a no-op. Closed history rows are never
+    touched. One change per key per batch (the usual micro-batch
+    contract) — callers with multiple should pre-collapse to the latest.
+
+    Shuffle shape: the history is split current-vs-closed by a cheap
+    filter; only the CURRENT slice joins the change batch (one shuffle,
+    or zero when the batch broadcasts), and closed rows pass through
+    untouched — the property that makes SCD2 appends cheap at 100 TB.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    closed = history.filter(F.col(valid_to).isNotNull())
+    current = history.filter(F.col(valid_to).isNull()).withColumn(
+        "__cur", F.lit(True)
+    )
+
+    ch = changes.select(
+        *keys,
+        *[F.col(a).alias(f"__new_{a}") for a in attrs],
+        F.col(eff_col).alias("__eff"),
+    ).withColumn("__chg", F.lit(True))
+    j = current.join(ch, on=keys, how="full_outer")
+
+    has_change = F.col("__chg").isNotNull()
+    has_current = F.col("__cur").isNotNull()
+    differs = F.lit(False)
+    for a in attrs:
+        # null-safe inequality: NULL -> value IS a change
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
+    real_change = has_change & (~has_current | differs)
+
+    # current rows, possibly closed by a differing change
+    kept_current = j.filter(has_current).select(
+        *keys,
+        *attrs,
+        F.col(valid_from).alias(valid_from),
+        F.when(real_change, F.col("__eff")).otherwise(F.lit(None)).alias(valid_to),
+    )
+    # newly-opened rows for real changes (new key or differing attrs)
+    opened = j.filter(real_change).select(
+        *keys,
+        *[F.col(f"__new_{a}").alias(a) for a in attrs],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    )
+    return closed.select(*keys, *attrs, valid_from, valid_to).unionByName(
+        kept_current
+    ).unionByName(opened)

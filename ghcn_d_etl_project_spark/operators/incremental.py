@@ -1,0 +1,114 @@
+"""Incremental aggregate maintenance — merge partial aggregates instead of
+recomputing the world.
+
+A 100 TB rollup (daily revenue by flag/status, say) must not be rebuilt
+from scratch when a day of new data lands. The standard fix is the
+algebraic-aggregate decomposition every distributed engine uses
+internally for map-side combine, lifted to PIPELINE level: keep the
+rollup stored as mergeable PARTIALS (sum, count, min, max — and avg as
+sum+count), compute the same partials over just the new batch, and fold
+them together with a groupBy over the union. Merging partials over K
+batches is associative and commutative, so the maintained rollup is
+bit-identical (sums quantized to DECIMAL — see ``plans/_util.py``) to a
+full recompute, which is exactly what the registered query's oracle
+asserts.
+
+Cost: the merge touches O(|stored rollup| + |batch partials|) rows — the
+rollup's own (small) cardinality, never the 100 TB of history. The batch
+partial is one shuffle over the batch alone.
+
+Spec grammar (same shape as ``operators/skew.py:salted_agg``):
+``("col", "sum"|"count"|"min"|"max", "alias")`` — plus
+``("col", "avg", "alias")`` which decomposes into hidden sum+count
+partials and is derived at :func:`finalize_partials` time.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Spec = tuple[str, str, str]
+
+# partial-op -> (batch aggregate fn, merge aggregate fn)
+_OPS = {
+    "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
+    "count": (lambda c: F.count(c), lambda c: F.sum(c)),
+    "min": (lambda c: F.min(c), lambda c: F.min(c)),
+    "max": (lambda c: F.max(c), lambda c: F.max(c)),
+}
+
+
+def _expand(specs: list[Spec]) -> tuple[list[Spec], list[Spec]]:
+    """Rewrite avg specs into hidden sum/count partials; return
+    (physical_specs, avg_specs)."""
+    physical: list[Spec] = []
+    avgs: list[Spec] = []
+    for col, op, alias in specs:
+        if op == "avg":
+            physical.append((col, "sum", f"__avg_sum_{alias}"))
+            physical.append((col, "count", f"__avg_cnt_{alias}"))
+            avgs.append((col, op, alias))
+        elif op in _OPS:
+            physical.append((col, op, alias))
+        else:
+            raise ValueError(f"unsupported op {op!r} (use sum/count/min/max/avg)")
+    return physical, avgs
+
+
+def partial_agg(
+    df: DataFrame, keys: list[str], specs: list[Spec], decimal: str = "decimal(24,6)"
+) -> DataFrame:
+    """Per-key mergeable partials over one batch. Sums go through DECIMAL
+    so later merges are order-insensitive and exact."""
+    physical, _ = _expand(specs)
+    aggs = []
+    for col, op, alias in physical:
+        c = F.col(col).cast(decimal) if op == "sum" else F.col(col)
+        aggs.append(_OPS[op][0](c).alias(alias))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    parts: list[DataFrame], keys: list[str], specs: list[Spec]
+) -> DataFrame:
+    """Fold any number of partial tables into one: union → groupBy →
+    per-op merge aggregate (sum-of-sums, sum-of-counts, min-of-mins,
+    max-of-maxes). Associative: merging incrementally batch-by-batch
+    equals merging all at once."""
+    physical, _ = _expand(specs)
+    merged_aggs = [
+        _OPS[op][1](F.col(alias)).alias(alias) for _, op, alias in physical
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(*keys).agg(*merged_aggs)
+
+
+def finalize_partials(merged: DataFrame, specs: list[Spec]) -> DataFrame:
+    """Project the user-facing columns out of a merged-partials table:
+    sums cast back to DOUBLE, counts to BIGINT, avg derived as
+    double(sum)/count (bit-identical across engines — both sides divide
+    identical doubles by identical longs)."""
+    physical, avgs = _expand(specs)
+    cols = []
+    hidden = {a for _, _, a in physical if a.startswith("__avg_")}
+    for _, op, alias in physical:
+        if alias in hidden:
+            continue
+        if op == "sum":
+            cols.append(F.col(alias).cast("double").alias(alias))
+        elif op == "count":
+            cols.append(F.col(alias).cast("long").alias(alias))
+        else:
+            cols.append(F.col(alias))
+    for _, _, alias in avgs:
+        cols.append(
+            (
+                F.col(f"__avg_sum_{alias}").cast("double")
+                / F.col(f"__avg_cnt_{alias}")
+            ).alias(alias)
+        )
+    key_cols = [c for c in merged.columns if not any(c == a for _, _, a in physical)]
+    return merged.select(*key_cols, *cols)

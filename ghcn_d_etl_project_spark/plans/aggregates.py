@@ -400,3 +400,58 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_qty", F.col("sum_qty").cast("double")).withColumn(
         "n_rows", F.col("n_rows").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (extension): merge partials, don't rebuild
+# ---------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=_INCR_ORACLE,
+    tags=("agg", "incremental"),
+    late=True,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (``operators/incremental.py``):
+    lineitem is split into a stored 'history' batch and a newly-arrived
+    'delta' batch (orderkey % 4), each reduced to mergeable PARTIALS
+    (decimal sum / count / min / max, avg as hidden sum+count), then
+    folded with one groupBy over the partials' union — the pipeline-level
+    form of map-side combine that maintains a 100 TB rollup by touching
+    only the rollup and the delta, never the history rows. The oracle is
+    the full recompute over all of lineitem: merging partials must be
+    bit-identical to aggregating from scratch (sums quantized to DECIMAL
+    so accumulation order cannot matter)."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        partial_agg,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    history = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    keys = ["l_returnflag", "l_linestatus"]
+    specs = [
+        ("l_quantity", "sum", "sum_qty"),
+        ("l_quantity", "count", "n_rows"),
+        ("l_extendedprice", "min", "min_price"),
+        ("l_extendedprice", "max", "max_price"),
+        ("l_extendedprice", "avg", "avg_price"),
+    ]
+    parts = [partial_agg(history, keys, specs), partial_agg(delta, keys, specs)]
+    return finalize_partials(merge_partials(parts, keys, specs), specs)

@@ -369,3 +369,90 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge-upsert (extension): apply a change batch onto a dim snapshot
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH latest AS (
+  SELECT o_custkey AS c_custkey, o_totalprice AS new_bal,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), src AS (
+  SELECT c_custkey, new_bal, (c_custkey % 10 = 0) AS is_delete
+  FROM latest WHERE rn = 1
+  UNION ALL
+  SELECT c_custkey + 100000 AS c_custkey, 100.0 AS new_bal, FALSE AS is_delete
+  FROM latest WHERE rn = 1 AND c_custkey % 7 = 3
+)
+SELECT CAST(COALESCE(t.c_custkey, s.c_custkey) AS BIGINT) AS c_custkey,
+       t.c_name AS c_name,
+       CAST(t.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(CASE WHEN s.c_custkey IS NOT NULL THEN s.new_bal
+                 ELSE t.c_acctbal END AS DOUBLE) AS c_acctbal,
+       t.c_mktsegment AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (s.c_custkey IS NOT NULL AND s.is_delete)
+"""
+
+
+@register(
+    "merge_upsert_customers",
+    oracle=_MERGE_ORACLE,
+    tags=("join", "cdc", "merge"),
+    late=True,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on DataFrames (``operators/cdc.py``): a
+    deterministic change batch — each customer's latest order re-prices
+    their account balance; every 10th key is a delete; keys ``%7==3``
+    re-appear shifted by 100000 as brand-new customers — applied onto the
+    ``customer`` snapshot with the standard three-arm semantics
+    (matched+flag → delete, matched → update, unmatched source → insert,
+    unmatched target → carry). The oracle is the same merge written as a
+    full-outer-join in SQL. At scale the change batch broadcasts and the
+    snapshot is never shuffled — the operator leaves strategy to
+    Catalyst/AQE on purpose."""
+    from ghcn_d_etl_project_spark.operators.cdc import merge_upsert
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_totalprice").alias("new_bal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    changes = latest.select(
+        "c_custkey", "new_bal", (F.col("c_custkey") % 10 == 0).alias("is_delete")
+    ).unionByName(
+        latest.filter(F.col("c_custkey") % 7 == 3).select(
+            (F.col("c_custkey") + 100000).alias("c_custkey"),
+            F.lit(100.0).alias("new_bal"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    cust = t(spark, sf_dir, "customer")
+    merged = merge_upsert(
+        cust,
+        changes,
+        key="c_custkey",
+        set_cols={"c_acctbal": "new_bal"},
+        delete_col="is_delete",
+    )
+    return merged.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )

@@ -226,3 +226,75 @@ def rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_full).cast("long").alias("quartile"),
     )
     return ranked.filter(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (extension): gap-based sessions over the event log
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess,
+         event_id
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "sessionize_events",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("window", "session"),
+    late=True,
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (``operators/sessions.py``): per-user sessions
+    with a 30-minute inactivity gap, collapsed to one row per session
+    (bounds, event count, exact value sum). The batch twin of the
+    streaming ``session_window_agg`` query — gap decisions compare exact
+    ``unix_micros`` so the boundary is bit-identical to the DuckDB
+    oracle's ``epoch_us`` arithmetic; ``event_id`` breaks timestamp ties
+    deterministically."""
+    from ghcn_d_etl_project_spark.operators.sessions import session_bounds
+    from ghcn_d_etl_project_spark.plans._util import dsum
+
+    e = t(spark, sf_dir, "events")
+    out = session_bounds(
+        e,
+        key="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        order_cols=("event_id",),
+        aggs=[dsum("value", scale=6).alias("sum_value")],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )

@@ -1,0 +1,291 @@
+"""CDC merge/SCD2, batch sessionization, and incremental-aggregate
+operators: arm-by-arm MERGE semantics, history lineage invariants,
+session boundary behavior, and partial-merge associativity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.cdc import merge_upsert, scd2_apply
+from ghcn_d_etl_project_spark.operators.incremental import (
+    finalize_partials,
+    merge_partials,
+    partial_agg,
+)
+from ghcn_d_etl_project_spark.operators.sessions import (
+    session_bounds,
+    sessionize,
+)
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+
+
+def test_merge_all_four_arms(spark):
+    """update (k=1), delete (k=2), carry (k=3), insert (k=9) — plus a
+    delete for a missing key (k=8) which must be a no-op."""
+    source = spark.createDataFrame(
+        [(1, 11.0, False), (2, 0.0, True), (9, 99.0, False), (8, 0.0, True)],
+        "k long, new_bal double, is_delete boolean",
+    )
+    out = merge_upsert(
+        _target(spark),
+        source,
+        key="k",
+        set_cols={"bal": "new_bal"},
+        delete_col="is_delete",
+    )
+    got = sorted((r.k, r.name, r.bal) for r in out.collect())
+    assert got == [(1, "a", 11.0), (3, "c", 30.0), (9, None, 99.0)]
+
+
+def test_merge_insert_defaults_and_default_set_cols(spark):
+    """Without set_cols, same-named non-key columns update by name;
+    insert_defaults fills unmapped columns on insert."""
+    source = spark.createDataFrame([(3, 33.0), (4, 44.0)], "k long, bal double")
+    out = merge_upsert(
+        _target(spark),
+        source,
+        key="k",
+        insert_defaults={"name": F.lit("NEW")},
+    )
+    got = sorted((r.k, r.name, r.bal) for r in out.collect())
+    assert got == [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 33.0), (4, "NEW", 44.0)]
+
+
+def test_merge_null_attribute_is_not_absence(spark):
+    """A matched source row with a NULL new value must still update (to
+    NULL) — presence is tracked by marker columns, not null probing."""
+    source = spark.createDataFrame([(2, None)], "k long, new_bal double")
+    out = merge_upsert(
+        _target(spark), source, key="k", set_cols={"bal": "new_bal"}
+    )
+    got = {r.k: r.bal for r in out.collect()}
+    assert got == {1: 10.0, 2: None, 3: 30.0}
+
+
+def test_merge_validates_inputs(spark):
+    t = _target(spark)
+    s = spark.createDataFrame([(1, 1.0)], "k long, new_bal double")
+    with pytest.raises(ValueError, match="merge key"):
+        merge_upsert(t, s, key="missing")
+    with pytest.raises(ValueError, match="set_cols source"):
+        merge_upsert(t, s, key="k", set_cols={"bal": "nope"})
+    with pytest.raises(ValueError, match="set_cols target"):
+        merge_upsert(t, s, key="k", set_cols={"nope": "new_bal"})
+    with pytest.raises(ValueError, match="reserved"):
+        merge_upsert(
+            t.withColumn("__merge_t_present", F.lit(1)), s, key="k"
+        )
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply
+# ---------------------------------------------------------------------------
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day)
+
+
+def _history(spark):
+    # k=1 has one closed + one current row; k=2 current only
+    return spark.createDataFrame(
+        [
+            (1, "v1", _ts(1), _ts(5)),
+            (1, "v2", _ts(5), None),
+            (2, "x1", _ts(3), None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+
+
+def test_scd2_change_closes_and_opens(spark):
+    changes = spark.createDataFrame(
+        [(1, "v3", _ts(9))], "k long, attr string, eff_ts timestamp"
+    )
+    out = scd2_apply(_history(spark), changes, key="k", attrs=["attr"])
+    rows = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()
+    )
+    assert rows == [
+        (1, "v1", _ts(1), _ts(5)),      # closed history untouched
+        (1, "v2", _ts(5), _ts(9)),      # current row closed at eff
+        (1, "v3", _ts(9), None),        # new current opened
+        (2, "x1", _ts(3), None),        # unrelated key untouched
+    ]
+
+
+def test_scd2_identical_change_is_noop(spark):
+    changes = spark.createDataFrame(
+        [(2, "x1", _ts(9))], "k long, attr string, eff_ts timestamp"
+    )
+    out = scd2_apply(_history(spark), changes, key="k", attrs=["attr"])
+    assert sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()
+    ) == [
+        (1, "v1", _ts(1), _ts(5)),
+        (1, "v2", _ts(5), None),
+        (2, "x1", _ts(3), None),
+    ]
+
+
+def test_scd2_new_key_opens_without_closing(spark):
+    changes = spark.createDataFrame(
+        [(7, "n1", _ts(4))], "k long, attr string, eff_ts timestamp"
+    )
+    out = scd2_apply(_history(spark), changes, key="k", attrs=["attr"])
+    new = [r for r in out.collect() if r.k == 7]
+    assert len(new) == 1 and new[0].valid_from == _ts(4) and new[0].valid_to is None
+    # one current row per key afterwards
+    cur = out.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_null_attr_transition_counts_as_change(spark):
+    """NULL -> value and value -> NULL are real changes (null-safe
+    comparison), not no-ops."""
+    hist = spark.createDataFrame(
+        [(1, None, _ts(1), None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "now-set", _ts(2))], "k long, attr string, eff_ts timestamp"
+    )
+    out = scd2_apply(hist, changes, key="k", attrs=["attr"]).collect()
+    assert {(r.attr, r.valid_to) for r in out} == {
+        (None, _ts(2)),
+        ("now-set", None),
+    }
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+def _events(spark):
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 events 10min apart (one session), then a 31-min gap
+        (1, base, 100),
+        (1, base + dt.timedelta(minutes=10), 101),
+        (1, base + dt.timedelta(minutes=20), 102),
+        (1, base + dt.timedelta(minutes=51), 103),
+        # user 2: gap EXACTLY the threshold -> same session (strict >)
+        (2, base, 200),
+        (2, base + dt.timedelta(minutes=30), 201),
+        # user 2: one microsecond over -> new session
+        (2, base + dt.timedelta(minutes=60, microseconds=1), 202),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+
+def test_session_boundaries_strict_gap(spark):
+    out = sessionize(
+        _events(spark), "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+    )
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    assert got == {100: 1, 101: 1, 102: 1, 103: 2, 200: 1, 201: 1, 202: 2}
+
+
+def test_session_bounds_rollup(spark):
+    out = session_bounds(
+        _events(spark), "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+    )
+    rows = {(r.user_id, r.session_seq): r.n_events for r in out.collect()}
+    assert rows == {(1, 1): 3, (1, 2): 1, (2, 1): 2, (2, 2): 1}
+    s = {
+        (r.user_id, r.session_seq): (r.session_start, r.session_end)
+        for r in out.collect()
+    }
+    start, end = s[(1, 1)]
+    assert (end - start) == dt.timedelta(minutes=20)
+
+
+def test_session_single_shuffle_single_sort(spark):
+    """The running-sum window consumes the lag window's output, so two
+    Window operators are unavoidable — but they share one partition
+    ordering, so the plan must carry exactly ONE Exchange and ONE Sort
+    (the per-key lower bound for order-dependent computation). A second
+    Exchange/Sort would mean the windows disagree on ordering and the
+    operator re-shuffles per function."""
+    out = sessionize(
+        _events(spark), "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# incremental partial aggregates
+# ---------------------------------------------------------------------------
+
+
+def _batches(spark):
+    rows = [("a", i, float(i)) for i in range(1, 11)] + [
+        ("b", i, 2.0 * i) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, q long, price double")
+    return [
+        df.filter(F.col("q") % 3 == r) for r in range(3)
+    ], df
+
+
+SPECS = [
+    ("q", "sum", "sum_q"),
+    ("q", "count", "n"),
+    ("price", "min", "min_p"),
+    ("price", "max", "max_p"),
+    ("price", "avg", "avg_p"),
+]
+
+
+def test_merge_partials_equals_full_recompute(spark):
+    batches, full = _batches(spark)
+    parts = [partial_agg(b, ["g"], SPECS) for b in batches]
+    merged = finalize_partials(merge_partials(parts, ["g"], SPECS), SPECS)
+    direct = finalize_partials(
+        merge_partials([partial_agg(full, ["g"], SPECS)], ["g"], SPECS), SPECS
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = {r.g: r for r in merged.collect()}
+    assert got["a"].sum_q == 55.0 and got["a"].n == 10
+    assert got["a"].avg_p == pytest.approx(5.5)
+    assert got["b"].min_p == 2.0 and got["b"].max_p == 10.0
+
+
+def test_merge_partials_is_associative(spark):
+    """Fold order must not matter: ((b0+b1)+b2) == (b0+(b1+b2))."""
+    batches, _ = _batches(spark)
+    parts = [partial_agg(b, ["g"], SPECS) for b in batches]
+    left = merge_partials(
+        [merge_partials(parts[:2], ["g"], SPECS), parts[2]], ["g"], SPECS
+    )
+    right = merge_partials(
+        [parts[0], merge_partials(parts[1:], ["g"], SPECS)], ["g"], SPECS
+    )
+    assert sorted(map(tuple, finalize_partials(left, SPECS).collect())) == sorted(
+        map(tuple, finalize_partials(right, SPECS).collect())
+    )
+
+
+def test_incremental_rejects_unknown_op(spark):
+    batches, _ = _batches(spark)
+    with pytest.raises(ValueError, match="unsupported op"):
+        partial_agg(batches[0], ["g"], [("q", "median", "m")])
