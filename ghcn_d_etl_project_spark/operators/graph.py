@@ -50,6 +50,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_closure(und: DataFrame, max_edges: int) -> DataFrame | None:
+    """Bounded small-graph fast path: if the (persisted, deduped) edge
+    set has at most ``max_edges`` rows — established by a ``limit(k+1)``
+    probe, so the check itself never scans past the bound — collect it
+    and run union-find with path compression on the driver, returning a
+    ``(node, component)`` map for the nodes that appear in edges (the
+    caller extends it to isolated nodes with a broadcast join). Returns
+    None when the graph exceeds the bound and the distributed loop must
+    run.
+
+    Rationale: after LSH banding the near-dup PAIR graph is typically
+    orders of magnitude smaller than the corpus (the whole point of
+    blocking), while the distributed loop pays 2-4 rounds of shuffle
+    scheduling no matter how tiny the graph is. Same bounded-driver-work
+    pattern as the IVF quantizer fit (``operators/ivf.py``): O(max_edges)
+    memory, never O(data), and the 100 TB path (a genuinely huge edge
+    set) is untouched.
+    """
+    if max_edges <= 0:
+        return None
+    # One bounded action doubling as probe AND fetch: pull at most
+    # max_edges+1 rows; an overfull result proves the graph exceeds the
+    # bound (the partial fetch is discarded), otherwise we already hold
+    # the whole edge list. Driver memory stays O(max_edges) either way.
+    rows = und.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    members: dict = {}
+    for n in {v for r in rows for v in (r[0], r[1])}:
+        members.setdefault(find(n), []).append(n)
+    mapping = [
+        (n, min(ms)) for root, ms in members.items() for n in ms
+    ]
+    spark = und.sparkSession
+    node_type = und.schema[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return spark.createDataFrame(mapping, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -58,6 +115,7 @@ def connected_components(
     node_col: str = "node",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    driver_closure_max_edges: int = 100_000,
 ) -> DataFrame:
     """Label each node with the minimum node id reachable from it.
 
@@ -67,6 +125,13 @@ def connected_components(
     Returns ``(node, component)`` where ``component`` is the minimum id
     in the node's component. Raises if not converged within
     ``max_iter`` rounds (log2 of the largest component diameter).
+
+    ``driver_closure_max_edges`` bounds the small-graph fast path: an
+    edge set at most this large (checked with a ``limit(k+1)`` probe, so
+    the probe cost is itself bounded) is closed with driver-side
+    union-find and broadcast back — skipping the iterative loop's fixed
+    per-round scheduling entirely. Set 0 to force the distributed loop
+    (both paths produce identical labels; pinned in tests).
 
     ``checkpoint_dir`` selects the lineage-truncation strategy:
     when set, per-round labels use RELIABLE ``df.checkpoint()`` into
@@ -104,6 +169,20 @@ def connected_components(
     n = und.select(F.col("src").alias("node"))
     if nodes is not None:
         n = n.union(nodes.select(F.col(node_col).alias("node")))
+
+    # Small-graph fast path: bounded union-find on the driver, label map
+    # broadcast back onto the (distributed) node set. See _driver_closure.
+    small = _driver_closure(und, driver_closure_max_edges)
+    if small is not None:
+        und.unpersist()
+        return (
+            n.distinct()
+            .join(F.broadcast(small), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
+        )
 
     # Convergence witness: labels only ever decrease, so for numeric ids
     # sum(component) strictly decreases until the fixed point — one

@@ -43,7 +43,9 @@ def test_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    out = connected_components(edges, max_iter=12).collect()
+    out = connected_components(
+        edges, max_iter=12, driver_closure_max_edges=0
+    ).collect()
     assert len(out) == 64
     assert all(r.component == 0 for r in out)
 
@@ -72,7 +74,7 @@ def test_not_converged_raises(spark):
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_closure_max_edges=0)
 
 
 def test_dedup_clusters_invariants(spark):
@@ -105,9 +107,70 @@ def test_reliable_checkpoint_path(spark, tmp_path):
     got = sorted(
         (r.node, r.component)
         for r in connected_components(
-            edges, checkpoint_dir=str(ckpt)
+            edges, checkpoint_dir=str(ckpt), driver_closure_max_edges=0
         ).collect()
     )
     assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     # reliable checkpoints materialize on disk under the directory
     assert any(ckpt.rglob("*")), "no reliable checkpoint files written"
+
+
+def test_driver_closure_matches_distributed(spark):
+    """The bounded driver-side union-find fast path and the distributed
+    pointer-jumping loop must produce IDENTICAL labels — same planted
+    graph, both paths, element-for-element."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (30, 31), (31, 32), (32, 30), (40, 41)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 30, 31, 32, 40, 41, 99]],
+        "node long",
+    )
+    via_driver = sorted(
+        (r.node, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    )
+    via_loop = sorted(
+        (r.node, r.component)
+        for r in connected_components(
+            edges, nodes=nodes, driver_closure_max_edges=0
+        ).collect()
+    )
+    assert via_driver == via_loop
+    assert via_driver[-1] == (99, 99)  # isolated node labels itself
+
+
+def test_driver_closure_respects_bound(spark):
+    """A graph just over the bound must return None from the fast path
+    (and the public API must still resolve it via the loop)."""
+    from ghcn_d_etl_project_spark.operators.graph import _driver_closure
+
+    e = spark.createDataFrame(
+        [(i, i + 1000) for i in range(10)], "src long, dst long"
+    ).persist()
+    assert _driver_closure(e, 9) is None      # 10 edges > bound 9
+    assert _driver_closure(e, 0) is None      # 0 disables the path
+    small = _driver_closure(e, 10)            # exactly at the bound: taken
+    assert small is not None and small.count() == 20
+    e.unpersist()
+    # over-bound graphs still resolve correctly through the loop
+    got = sorted(
+        (r.node, r.component)
+        for r in connected_components(e, driver_closure_max_edges=9).collect()
+    )
+    assert got == sorted(
+        [(i, i) for i in range(10)] + [(i + 1000, i) for i in range(10)]
+    )
+
+
+def test_driver_closure_string_ids(spark):
+    """The fast path is type-generic: string ids close identically."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
