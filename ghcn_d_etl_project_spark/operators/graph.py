@@ -51,14 +51,16 @@ from pyspark.sql import functions as F
 
 
 def _driver_closure(und: DataFrame, max_edges: int) -> DataFrame | None:
-    """Bounded small-graph fast path: if the (persisted, deduped) edge
-    set has at most ``max_edges`` rows — established by a ``limit(k+1)``
-    probe, so the check itself never scans past the bound — collect it
-    and run union-find with path compression on the driver, returning a
+    """Bounded small-graph fast path: if the 2-column edge list has at
+    most ``max_edges`` rows — established by a ``limit(k+1)`` probe, so
+    the check never scans past the bound — collect it and run union-find
+    with path compression on the driver, returning a
     ``(node, component)`` map for the nodes that appear in edges (the
     caller extends it to isolated nodes with a broadcast join). Returns
     None when the graph exceeds the bound and the distributed loop must
-    run.
+    run. Duplicate edges and either/both directions are fine (union-find
+    is idempotent), so callers can pass the RAW pair list and keep the
+    probe plan narrow — no distinct shuffle, no persist.
 
     Rationale: after LSH banding the near-dup PAIR graph is typically
     orders of magnitude smaller than the corpus (the whole point of
@@ -159,6 +161,33 @@ def connected_components(
         return df.localCheckpoint(eager=eager)
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    # Small-graph fast path: bounded union-find on the driver, label map
+    # broadcast back onto the (distributed) node set. Probes the RAW
+    # single-direction edge list — union-find needs neither the doubled
+    # directions nor dedup, so the probe's plan is a NARROW scan+limit
+    # (no distinct shuffle, no persist churn); the shuffled `und` below
+    # is built only when the loop actually runs. See _driver_closure.
+    small = _driver_closure(
+        e.filter(F.col("src") != F.col("dst")), driver_closure_max_edges
+    )
+    if small is not None:
+        # small's node column is exactly the endpoints of non-self-loop
+        # edges — the same vertex set the loop path derives from `und`
+        # (both drop nodes appearing only in self-loops), so no extra
+        # endpoint union is needed when `nodes` is absent.
+        n_fast = small.select(F.col("node"))
+        if nodes is not None:
+            n_fast = n_fast.union(nodes.select(F.col(node_col).alias("node")))
+        return (
+            n_fast.distinct()
+            .join(F.broadcast(small), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
+        )
+
     und = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
@@ -169,20 +198,6 @@ def connected_components(
     n = und.select(F.col("src").alias("node"))
     if nodes is not None:
         n = n.union(nodes.select(F.col(node_col).alias("node")))
-
-    # Small-graph fast path: bounded union-find on the driver, label map
-    # broadcast back onto the (distributed) node set. See _driver_closure.
-    small = _driver_closure(und, driver_closure_max_edges)
-    if small is not None:
-        und.unpersist()
-        return (
-            n.distinct()
-            .join(F.broadcast(small), "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("component"), F.col("node")).alias("component"),
-            )
-        )
 
     # Convergence witness: labels only ever decrease, so for numeric ids
     # sum(component) strictly decreases until the fixed point — one
