@@ -166,3 +166,53 @@ def keyset_page(
             pred = clause if pred is None else pred | clause
         out = out.filter(pred)
     return out.orderBy(*key_cols).limit(n)
+
+
+def weighted_sample_key(
+    id_col: Column | str, weight_col: Column | str, salt: str = "espick"
+) -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: ``ln(u) / w``.
+
+    Taking the global top-k rows by this key DESC draws a weighted sample
+    WITHOUT replacement where each row's inclusion probability is
+    proportional to ``w`` (Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir" — their key is ``u^(1/w)``; ``ln(u)/w`` is
+    the same ordering under the monotone ``ln``, without the pow).
+
+    ``u`` is the engine-portable md5-derived uniform in (0,1) — 13 hex
+    chars = 52 bits, exactly representable in a double — salted so the
+    draw decorrelates from ``hash_split_bucket``/``stratified_keep`` on
+    the same id (same portability rationale as those: Spark's RNG draws
+    are partition-order-sensitive and irreproducible elsewhere; this key
+    is a pure projection any engine reproduces bit-for-bit). Weights
+    must be strictly positive — guard with ``greatest(w, 1)`` or
+    pre-filter; w <= 0 yields NULL/absurd keys, not an error.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    id_str = F.coalesce(c.cast("string"), F.lit(""))
+    hex13 = F.substring(F.md5(F.concat(id_str, F.lit(":" + salt))), 1, 13)
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 52)
+    )
+    return F.log(u) / w
+
+
+def weighted_top_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "espick",
+    key_out: str = "es_key",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows without replacement: global top-k by
+    the Efraimidis-Spirakis key (ties broken by id for determinism).
+
+    Scale shape: ``orderBy(...).limit(k)`` plans TakeOrderedAndProject —
+    each task keeps its local top-k and the driver merges k*tasks rows;
+    no global sort shuffle ever materializes. The selection is stable
+    under repartitioning and re-runs because the key depends only on
+    (id, salt, weight)."""
+    keyed = df.withColumn(key_out, weighted_sample_key(id_col, weight_col, salt))
+    return keyed.orderBy(F.col(key_out).desc(), F.col(id_col)).limit(k)

@@ -80,3 +80,63 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dataset_split("doc_id").alias("split"),
         stratified_keep("doc_id", "lang", STRATA_FRACTIONS).alias("sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (extension): Efraimidis-Spirakis
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         GREATEST(length(text), 1) AS w,
+         ln((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                                 ':espick')), 1, 13))
+                  AS BIGINT) + 0.5) / 4503599627370496.0)
+           / GREATEST(length(text), 1) AS es_key
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lang,
+       CAST(w AS BIGINT) AS w,
+       round(es_key, 6) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 200
+"""
+
+
+@register(
+    "weighted_sample",
+    oracle=_WEIGHTED_ORACLE,
+    tags=("sampling", "weighted"),
+    late=True,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement
+    (``operators/common.py:weighted_top_k``): 200 documents drawn with
+    probability proportional to text length via the Efraimidis-Spirakis
+    top-k-by-``ln(u)/w`` construction, ``u`` being the engine-portable
+    md5-derived uniform (the data-mixing primitive: upweight long/high-
+    quality docs reproducibly on any engine). Plans
+    TakeOrderedAndProject — per-task top-k, no global sort shuffle. The
+    DuckDB oracle reproduces the identical keys and selection."""
+    from ghcn_d_etl_project_spark.operators.common import weighted_top_k
+
+    d = t(spark, sf_dir, "documents")
+    out = weighted_top_k(
+        d.select(
+            "doc_id",
+            "lang",
+            F.greatest(F.length("text"), F.lit(1)).alias("w"),
+        ),
+        id_col="doc_id",
+        weight_col="w",
+        k=200,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("w").cast("long").alias("w"),
+        F.round("es_key", 6).alias("es_key"),
+    )

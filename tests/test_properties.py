@@ -85,3 +85,52 @@ def test_shingles_short_text_empty(spark, texts, n):
             assert sh == []
         for g in sh:
             assert len(g.split(" ")) == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.floats(-100, 100, allow_nan=False)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.floats(-100, 100, allow_nan=False),
+            st.booleans(),
+        ),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_conservation(spark, target_rows, source_rows):
+    """MERGE row-count law on arbitrary keyed inputs: |out| = |target|
+    - matched_deletes + unmatched_nondelete_inserts; updated rows take
+    the source value, carried rows keep the target's."""
+    from ghcn_d_etl_project_spark.operators.cdc import merge_upsert
+
+    t_df = spark.createDataFrame(target_rows or [(999, 0.0)], "k long, v double")
+    s_df = spark.createDataFrame(
+        source_rows or [(998, 0.0, False)], "k long, nv double, del boolean"
+    )
+    t_keys = {r[0] for r in (target_rows or [(999, 0.0)])}
+    src = {r[0]: (r[1], r[2]) for r in (source_rows or [(998, 0.0, False)])}
+    out = merge_upsert(
+        t_df, s_df, key="k", set_cols={"v": "nv"}, delete_col="del"
+    ).collect()
+    expected_n = (
+        len(t_keys)
+        - sum(1 for k, (_, d) in src.items() if d and k in t_keys)
+        + sum(1 for k, (_, d) in src.items() if not d and k not in t_keys)
+    )
+    assert len(out) == expected_n
+    got = {r.k: r.v for r in out}
+    for k, (nv, d) in src.items():
+        if d:
+            assert k not in got
+        else:
+            assert got[k] == nv
+    for r in target_rows or [(999, 0.0)]:
+        if r[0] not in src:
+            assert got[r[0]] == r[1]

@@ -66,3 +66,49 @@ def test_dataset_split_stable_disjoint_proportional(spark):
     assert sum(c.values()) == n
     assert 0.7 * n <= c["train"] <= 0.9 * n
     assert c["val"] + c["test"] <= 0.3 * n
+
+
+def test_weighted_sample_favors_heavy_and_is_stable(spark):
+    """Efraimidis-Spirakis top-k: with a 100:1 weight ratio the heavy
+    class dominates the sample; the selection is identical under
+    repartitioning (pure projection key + TakeOrdered)."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.common import weighted_top_k
+
+    rows = [(i, 100.0 if i < 250 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    picked = weighted_top_k(df, "id", "w", k=50)
+    ids = {r.id for r in picked.collect()}
+    assert len(ids) == 50
+    heavy = sum(1 for i in ids if i < 250)
+    assert heavy >= 45, f"heavy class underrepresented: {heavy}/50"
+    ids2 = {r.id for r in weighted_top_k(df.repartition(13), "id", "w", k=50).collect()}
+    assert ids == ids2
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """orderBy+limit must plan TakeOrderedAndProject (per-task top-k, no
+    global sort shuffle) — the property that makes the draw scale."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+    from tests.conftest import SF_DIR
+
+    df = all_queries()["weighted_sample"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_key_null_id_and_weight_monotonicity(spark):
+    """NULL ids hash as '' (never a NULL key); for a fixed id, a larger
+    weight strictly increases the key (ln(u) < 0 shrinks toward 0)."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.common import weighted_sample_key
+
+    df = spark.createDataFrame(
+        [(None, 5.0), ("a", 1.0), ("a", 10.0)], "id string, w double"
+    )
+    out = df.select("id", "w", weighted_sample_key("id", "w").alias("k")).collect()
+    by = {(r.id, r.w): r.k for r in out}
+    assert all(k is not None for k in by.values())
+    assert by[("a", 10.0)] > by[("a", 1.0)]
