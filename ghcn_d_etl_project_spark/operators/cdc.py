@@ -40,6 +40,7 @@ def merge_upsert(
     set_cols: dict[str, str] | None = None,
     insert_defaults: dict[str, Column] | None = None,
     delete_col: str | None = None,
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Apply ``source`` changes onto ``target``; return the new snapshot
     with exactly ``target``'s columns.
@@ -51,6 +52,24 @@ def merge_upsert(
     NULL. ``delete_col`` names a boolean source column: matched rows
     with it true are deleted, unmatched source rows with it true are
     ignored (standard MERGE: a delete for a missing key is a no-op).
+
+    ``strategy`` picks the physical shape (results are identical —
+    pinned in tests):
+
+    * ``"shuffle"`` (default): one full-outer join. Spark cannot
+      broadcast a full-outer's stream side, so this always plans a
+      shuffle join of BOTH inputs — the right choice when the change
+      batch is comparable to the snapshot, and shuffle-free when the
+      target is bucketed by the key (``sources/writers.py``).
+    * ``"broadcast"``: for the overwhelmingly common CDC case — a small
+      change batch against a huge snapshot — the full-outer is split
+      into three broadcast arms so the TARGET IS NEVER SHUFFLED: a
+      map-only left broadcast join (update/delete/carry), a map-only
+      left-semi broadcast pass collecting the matched keys (bounded by
+      |source|), and a broadcast anti join on the source for inserts.
+      Two narrow scans of the snapshot instead of one full shuffle —
+      at 100 TB, scanning twice is far cheaper than shuffling once.
+      Plan pinned: 3 BroadcastHashJoins, zero SortMergeJoin.
 
     Raises if the reserved marker column names collide with inputs.
     """
@@ -72,6 +91,9 @@ def merge_upsert(
             raise ValueError(f"set_cols source column {sc!r} not in source")
     insert_defaults = insert_defaults or {}
 
+    if strategy not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r} (shuffle|broadcast)")
+
     # Markers, not outer-join null probing: a null key or null attribute
     # must not be mistaken for "row absent on that side". Source value
     # columns are prefixed so names shared with the target (the common
@@ -81,33 +103,69 @@ def merge_upsert(
     s = source.select(
         *keys, *[F.col(c).alias(f"__src_{c}") for c in s_vals]
     ).withColumn(_S, F.lit(True))
-    j = t.join(s, on=keys, how="full_outer")
 
-    t_present = F.col(_T).isNotNull()
     s_present = F.col(_S).isNotNull()
     deleting = (
         F.coalesce(F.col(f"__src_{delete_col}"), F.lit(False))
         if delete_col
         else F.lit(False)
     )
+
+    def project(t_present: Column, from_target: bool) -> list[Column]:
+        """Output columns for a joined frame (from_target=True) or a
+        source-only insert frame (from_target=False)."""
+        cols: list[Column] = []
+        for c in target.columns:
+            if c in keys:
+                cols.append(F.col(c).alias(c))
+            elif c in set_cols:
+                src_val = F.col(f"__src_{set_cols[c]}")
+                cols.append(
+                    (
+                        F.when(s_present, src_val).otherwise(F.col(c))
+                        if from_target
+                        else src_val
+                    ).alias(c)
+                )
+            else:
+                ins = insert_defaults.get(
+                    c, F.lit(None).cast(target.schema[c].dataType)
+                )
+                cols.append(
+                    (F.when(t_present, F.col(c)).otherwise(ins) if from_target else ins)
+                    .alias(c)
+                )
+        return cols
+
+    if strategy == "broadcast":
+        # Arm 1 (update/delete/carry): map-only left broadcast join —
+        # the snapshot is scanned, never shuffled.
+        bulk = (
+            t.join(F.broadcast(s), on=keys, how="left")
+            .filter(~(s_present & deleting))
+            .select(*project(F.lit(True), from_target=True))
+        )
+        # Arm 2: matched keys, bounded by |source| — a second map-only
+        # broadcast pass (left semi) over just the snapshot's key columns.
+        matched = (
+            target.select(*keys)
+            .join(F.broadcast(source.select(*keys)), on=keys, how="left_semi")
+            .distinct()
+        )
+        # Arm 3 (inserts): source rows matching no snapshot key; the anti
+        # join's build side is `matched` (small), so this is map-only too.
+        inserts = (
+            s.join(F.broadcast(matched), on=keys, how="left_anti")
+            .filter(~deleting)
+            .select(*project(F.lit(False), from_target=False))
+        )
+        return bulk.unionByName(inserts)
+
+    j = t.join(s, on=keys, how="full_outer")
+    t_present = F.col(_T).isNotNull()
     # keep: matched-not-deleted, target-only, or source-only inserts
     kept = j.filter(~(s_present & deleting)).filter(t_present | s_present)
-
-    out_cols: list[Column] = []
-    for c in target.columns:
-        if c in keys:
-            out_cols.append(F.col(c).alias(c))
-        elif c in set_cols:
-            # source wins when present (update or insert), else target
-            out_cols.append(
-                F.when(s_present, F.col(f"__src_{set_cols[c]}"))
-                .otherwise(F.col(c))
-                .alias(c)
-            )
-        else:
-            ins = insert_defaults.get(c, F.lit(None).cast(target.schema[c].dataType))
-            out_cols.append(F.when(t_present, F.col(c)).otherwise(ins).alias(c))
-    return kept.select(*out_cols)
+    return kept.select(*project(t_present, from_target=True))
 
 
 def scd2_apply(

@@ -289,3 +289,46 @@ def test_incremental_rejects_unknown_op(spark):
     batches, _ = _batches(spark)
     with pytest.raises(ValueError, match="unsupported op"):
         partial_agg(batches[0], ["g"], [("q", "median", "m")])
+
+
+def test_merge_broadcast_strategy_matches_shuffle(spark):
+    """strategy='broadcast' (three map-only broadcast arms, target never
+    shuffled) must produce exactly the full-outer shuffle plan's rows —
+    including deletes, inserts, null attribute updates, and a NULL-key
+    source row (never matches; becomes an insert on both paths)."""
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (None, "n", 5.0)],
+        "k long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [(1, 11.0, False), (2, 0.0, True), (9, 99.0, False),
+         (8, 0.0, True), (None, 7.0, False)],
+        "k long, new_bal double, is_delete boolean",
+    )
+    kw = dict(key="k", set_cols={"bal": "new_bal"}, delete_col="is_delete")
+    a = merge_upsert(target, source, strategy="shuffle", **kw)
+    b = merge_upsert(target, source, strategy="broadcast", **kw)
+    key = lambda r: (repr(r.k), repr(r.name), repr(r.bal))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_merge_broadcast_never_shuffles_target(spark):
+    """Plan pin for the CDC scale shape: 3 BroadcastHashJoins, zero
+    SortMergeJoin/ShuffledHashJoin — the 100 TB snapshot is scanned
+    (twice) but never shuffled."""
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, bal double"
+    )
+    source = spark.createDataFrame([(1, 5.0), (200, 6.0)], "k long, bal double")
+    out = merge_upsert(target, source, key="k", strategy="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_merge_rejects_unknown_strategy(spark):
+    t = _target(spark)
+    s = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="strategy"):
+        merge_upsert(t, s, key="k", strategy="hash")
