@@ -10,8 +10,10 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from ghcn_d_etl_project_spark.plans import all_queries
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
 
 def _plan(spark, name: str) -> str:
@@ -150,14 +152,25 @@ def test_coverage_md_names_resolve():
         for tok in re.findall(r"`([a-z][a-z0-9_]+)`", cell):
             cited.add(tok)
     # identifiers that are legitimately not registered queries: pytest-
-    # covered pipeline/writer functions cited alongside the queries.
-    # Each must still EXIST at its cited home so these can't go stale.
+    # covered pipeline/writer/operator functions cited alongside the
+    # queries. Each must still EXIST at its cited home so these can't go
+    # stale.
+    from ghcn_d_etl_project_spark.operators import (
+        cdc,
+        common as common_ops,
+        incremental,
+        sessions,
+        skew,
+    )
     from ghcn_d_etl_project_spark.pipelines import ghcn as ghcn_mod
     from ghcn_d_etl_project_spark.sources import readers, writers
 
+    resolvable = (
+        ghcn_mod, readers, writers, cdc, sessions, incremental, common_ops, skew
+    )
     helpers = {"late"}
     for tok in sorted(cited - names):
-        if any(hasattr(m, tok) for m in (ghcn_mod, readers, writers)):
+        if any(hasattr(m, tok) for m in resolvable):
             helpers.add(tok)
     bad = sorted(cited - names - helpers)
     assert not bad, f"COVERAGE.md cites unregistered queries: {bad}"
@@ -279,3 +292,70 @@ def test_aqe_skew_join_splits_only_splittable_map_sides(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injection_conditions(spark):
+    """Pin Spark's row-level runtime filtering (the automatic form of a
+    bloom semi-join reduction): when a shuffle join's build side carries
+    a selective filter AND the probe side's scan exceeds
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold``, the
+    optimizer injects ``might_contain(bloom_filter_agg(dim_key),
+    fact_key)`` as a FILTER ON THE FACT SCAN — shuffle input shrinks
+    before the exchange, the 100 TB benefit. Both sides of the condition
+    are pinned:
+
+    * thresholds met -> the filter appears, keyed on the fact column and
+      built from the dim column;
+    * default thresholds (10 GiB application-side scan) -> it silently
+      declines at test scale, which is WHY bench-SF plans never show it
+      (same class of silent-decline knowledge as the AQE skew-join
+      mapper-granularity pin above).
+    """
+    from ghcn_d_etl_project_spark.plans._util import t as tbl
+
+    sf = SF_DIR_ORACLE
+
+    def build():
+        # fresh DataFrame per conf state — a DataFrame memoizes its
+        # queryExecution, so re-reading the plan after a conf change
+        # would silently show the OLD optimization
+        li = tbl(spark, sf, "lineitem")
+        supp = tbl(spark, sf, "supplier").filter(F.col("s_nationkey") == 3)
+        return li.join(supp, li.l_suppkey == supp.s_suppkey).groupBy(
+            "s_name"
+        ).count()
+
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast off: a broadcast join needs no runtime filter (the
+        # dim rides to every task anyway), so force the shuffle shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        plan = build()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan
+        filter_lines = [l for l in plan.splitlines() if "might_contain" in l]
+        assert any("l_suppkey" in l for l in filter_lines), filter_lines
+        agg_lines = [l for l in plan.splitlines() if "bloom_filter_agg" in l]
+        assert any("s_suppkey" in l for l in agg_lines), agg_lines
+
+        # default thresholds: declines at test scale (scan << 10 GiB)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        plan2 = build()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan2
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
