@@ -1,9 +1,13 @@
 """Change-data-capture application: MERGE-style upsert and SCD2 history.
 
 The reference pipeline rebuilds its dimension outputs from scratch every
-run (full overwrite of the silver/gold tables — see the overwrite-mode
-writes in its processors). At 100 TB a rebuild is not an option: the
-engine needs to APPLY a (small) change set to a (huge) existing snapshot.
+run — every layer writes ``mode("overwrite")`` (reference:
+``src/transform/bronze_processor.py:132``,
+``src/transform/silver_processor.py:149``,
+``src/transform/gold_processor.py:253``, and the shared writer default
+in ``src/utils/spark_utils.py:38-40``). At 100 TB a rebuild is not an
+option: the engine needs to APPLY a (small) change set to a (huge)
+existing snapshot.
 These operators are the batch form of warehouse ``MERGE INTO``:
 
 * :func:`merge_upsert` — produce the post-merge snapshot from (target,

@@ -1,7 +1,11 @@
 """Incremental aggregate maintenance — merge partial aggregates instead of
 recomputing the world.
 
-A 100 TB rollup (daily revenue by flag/status, say) must not be rebuilt
+The reference recomputes every gold aggregate from the full silver table
+on each run and overwrites the output (reference:
+``src/transform/gold_processor.py`` — each mart is a fresh groupBy over
+all of silver, written ``mode("overwrite")`` at line 253). A 100 TB
+rollup (daily revenue by flag/status, say) must not be rebuilt
 from scratch when a day of new data lands. The standard fix is the
 algebraic-aggregate decomposition every distributed engine uses
 internally for map-side combine, lifted to PIPELINE level: keep the

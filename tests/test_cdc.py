@@ -332,3 +332,36 @@ def test_merge_rejects_unknown_strategy(spark):
     s = spark.createDataFrame([(1, 1.0)], "k long, bal double")
     with pytest.raises(ValueError, match="strategy"):
         merge_upsert(t, s, key="k", strategy="hash")
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Cross-validate the batch sessionizer against Spark's own
+    ``F.session_window`` aggregation on the same static events: identical
+    (user, session_start, session_end, n_events) sets. (Boundary note:
+    session_window's window end is exclusive — an event at EXACTLY
+    gap distance starts a new session there, while the batch operator
+    keeps it (strict >); the events fixture has microsecond timestamps,
+    so exact-boundary gaps cannot occur and the two agree.)"""
+    from tests.conftest import SF_DIR
+    from ghcn_d_etl_project_spark.plans._util import t as tbl
+
+    e = tbl(spark, SF_DIR, "events")
+    ours = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_bounds(
+            e, "user_id", "ts", gap_seconds=1800, order_cols=("event_id",)
+        ).collect()
+    }
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert ours == native
