@@ -456,3 +456,102 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history application (extension): close/open dimension history rows
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH latest AS (
+  SELECT o_custkey, o_totalprice, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+), ch AS (
+  SELECT l.o_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+         l.o_totalprice AS c_acctbal, l.o_orderdate AS eff
+  FROM latest l LEFT JOIN customer c ON l.o_custkey = c.c_custkey
+  WHERE l.rn = 1
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       c.c_mktsegment AS c_mktsegment,
+       c.c_acctbal AS c_acctbal,
+       '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN ch.c_custkey IS NOT NULL AND ch.c_acctbal <> c.c_acctbal
+            THEN strftime(ch.eff, '%Y-%m-%d %H:%M:%S') ELSE NULL
+       END AS valid_to
+FROM customer c LEFT JOIN ch ON c.c_custkey = ch.c_custkey
+UNION ALL
+SELECT CAST(ch.c_custkey AS BIGINT) AS c_custkey,
+       ch.c_mktsegment AS c_mktsegment,
+       ch.c_acctbal AS c_acctbal,
+       strftime(ch.eff, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       NULL AS valid_to
+FROM ch LEFT JOIN customer c ON ch.c_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL OR ch.c_acctbal <> c.c_acctbal
+"""
+
+
+@register(
+    "scd2_customers",
+    oracle=_SCD2_ORACLE,
+    tags=("join", "cdc", "scd2"),
+    late=True,
+)
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history application (``operators/cdc.py:scd2_apply``): the
+    customer snapshot becomes a one-current-row-per-key history (opened
+    2024-01-01); each customer's latest order re-prices the balance at
+    its order date. Rows whose balance actually changes are CLOSED at
+    the change timestamp and a new current row opens; identical values
+    are no-ops; keys appearing only in orders open fresh rows. The
+    oracle writes the same close/open logic as two SQL join arms. The
+    replace-in-place overwrite this upgrades is the reference's only
+    dimension-maintenance strategy (``src/utils/spark_utils.py:38-40``).
+    """
+    from pyspark.sql import Window
+    from ghcn_d_etl_project_spark.operators.cdc import scd2_apply
+
+    cust = t(spark, sf_dir, "customer")
+    history = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.select("o_custkey", "o_totalprice", "o_orderdate",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    changes = latest.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        latest.o_custkey == cust.c_custkey,
+        "left",
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.col("o_orderdate").alias("eff_ts"),
+    )
+    out = scd2_apply(
+        history,
+        changes,
+        key="c_custkey",
+        attrs=["c_mktsegment", "c_acctbal"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
