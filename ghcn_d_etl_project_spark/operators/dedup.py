@@ -41,6 +41,7 @@ from ghcn_d_etl_project_spark.operators.textops import (
     char_shingles,
     fingerprint,
     tokens,
+    word_shingles,
 )
 
 
@@ -112,16 +113,38 @@ def ngram_jaccard_pairs(
 
 
 def hashed_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 4
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, unit: str = "char"
 ) -> DataFrame:
-    """(doc, sh: array<long>) — each doc's distinct char n-grams hashed to
+    """(doc, sh: array<long>) — each doc's distinct shingles hashed to
     64-bit longs (one xxhash64 per shingle). The shared substrate for
-    signatures AND exact verification: hash once, reuse everywhere."""
+    signatures AND exact verification: hash once, reuse everywhere.
+
+    ``unit`` picks the shingle granularity — the main LSH cost knob:
+
+    * ``"char"`` (default): character n-grams. ~|text| shingles per doc;
+      robust to whitespace/markup noise, the right default for short or
+      messy documents.
+    * ``"word"``: n-word shingles (w-shingling, Broder's construction).
+      5-10x fewer shingles per doc — the signature explode, the minhash
+      aggregation, and the exact-verify set intersections all shrink by
+      that factor, which at corpus scale is the difference between the
+      LSH stage dominating the pipeline and not. Jaccard is measured on
+      word-shingle sets, the standard near-dup semantics for templated
+      or boilerplate-heavy text (char n-grams of shared boilerplate look
+      similar even when the content differs).
+
+    Same ``unit`` must be used for signatures and verification — callers
+    go through ``minhash_lsh_dedup(unit=...)`` which threads it.
+    """
+    if unit == "char":
+        sh = char_shingles(F.col(text_col), n=n)
+    elif unit == "word":
+        sh = word_shingles(F.col(text_col), k=n)
+    else:
+        raise ValueError(f"unknown shingle unit {unit!r} (char|word)")
     return ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        F.transform(
-            char_shingles(F.col(text_col), n=n), lambda s: F.xxhash64(s)
-        ).alias("sh"),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("sh"),
     )
 
 
@@ -132,6 +155,7 @@ def minhash_signatures(
     n_hashes: int = 64,
     n: int = 4,
     shingles: DataFrame | None = None,
+    unit: str = "char",
 ) -> DataFrame:
     """MinHash signatures: one row per doc, signature as ``array<long>``.
 
@@ -144,7 +168,7 @@ def minhash_signatures(
     carries ~|docs| signature rows, not |shingles| rows.
     """
     sets = shingles if shingles is not None else hashed_shingle_sets(
-        df, id_col, text_col, n=n
+        df, id_col, text_col, n=n, unit=unit
     )
     hashed = sets.select("doc", F.explode("sh").alias("h"))
     aggs = [
@@ -202,6 +226,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     est_margin: float = 0.15,
     release_into: list[DataFrame] | None = None,
+    unit: str = "char",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
     pairs -> signature-estimate pre-filter -> exact-Jaccard verification.
@@ -220,6 +245,11 @@ def minhash_lsh_dedup(
     hashed shingles (8-byte longs): same cardinalities as the string
     sets up to a ~2^-64 collision.
 
+    ``unit`` threads through to ``hashed_shingle_sets`` (see its
+    docstring): ``"word"`` shingles shrink every downstream stage 5-10x
+    and are the standard semantics for templated/boilerplate-heavy
+    corpora; the default stays ``"char"``.
+
     Cache lifetime: TWO intermediates are persisted (the hashed shingle
     sets and the signatures — each feeds two branches). Pass
     ``release_into`` (a list) to receive them and ``unpersist()`` once
@@ -227,7 +257,9 @@ def minhash_lsh_dedup(
     contract as ``ivf_topk`` / ``CorpusStages.release()``; without it,
     repeated invocations in one session accumulate cached blocks.
     """
-    shingle_sets = hashed_shingle_sets(df, id_col, text_col, n=n).persist()
+    shingle_sets = hashed_shingle_sets(
+        df, id_col, text_col, n=n, unit=unit
+    ).persist()
     sigs = minhash_signatures(
         df, id_col, text_col, n_hashes=n_hashes, n=n, shingles=shingle_sets
     ).persist()

@@ -57,6 +57,12 @@ class CorpusPrepConfig:
     jaccard_threshold: float = 0.5
     chunk_tokens: int = 32
     stride: int = 24
+    # near-dup shingle granularity: "char" (n-gram, default) or "word"
+    # (w-shingling — 5-10x smaller sets, ~3x faster LSH stage measured at
+    # sf0.1 with the identical verified pair set; the knob to flip first
+    # when lsh_pairs dominates the stage attribution)
+    shingle_unit: str = "char"
+    shingle_n: int = 4
 
 
 def filtered_redacted(docs: DataFrame, cfg: CorpusPrepConfig) -> DataFrame:
@@ -95,7 +101,7 @@ def neardup_pairs(
     (two persisted intermediates: hashed shingle sets + signatures)."""
     return minhash_lsh_dedup(
         base, "doc_id", "text", threshold=cfg.jaccard_threshold,
-        release_into=release_into,
+        release_into=release_into, unit=cfg.shingle_unit, n=cfg.shingle_n,
     ).select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
 
 

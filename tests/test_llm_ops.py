@@ -331,3 +331,43 @@ def test_minhash_release_unpersists_cached_intermediates(spark):
     for h in handles:
         lvl = h.storageLevel
         assert not (lvl.useMemory or lvl.useDisk), lvl
+
+
+def test_minhash_word_unit_finds_planted_dups(spark):
+    """unit='word' (w-shingling) must still catch planted near-dups —
+    same pipeline, 5-10x smaller shingle sets — and reject the unknown
+    unit early. The planted pair shares ~90% of its words; the decoys
+    share none."""
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        hashed_shingle_sets,
+        minhash_lsh_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from hunters tonight")
+    rows = [(1, base), (2, base + " extra"), ] + [
+        (i, f"totally unrelated document number {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30)))
+        for i in range(3, 23)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    handles = []
+    pairs = minhash_lsh_dedup(
+        df, "doc_id", "text", threshold=0.5, unit="word", n=3,
+        release_into=handles,
+    ).collect()
+    for h in handles:
+        h.unpersist()
+    assert any({p.doc1, p.doc2} == {1, 2} for p in pairs), pairs
+    assert all({p.doc1, p.doc2} == {1, 2} for p in pairs), pairs
+    # word sets are much smaller than char sets on the same text
+    ch = hashed_shingle_sets(df, "doc_id", "text", n=4, unit="char")
+    wd = hashed_shingle_sets(df, "doc_id", "text", n=3, unit="word")
+    from pyspark.sql import functions as F
+    ch_n = ch.select(F.sum(F.size("sh"))).first()[0]
+    wd_n = wd.select(F.sum(F.size("sh"))).first()[0]
+    assert wd_n * 3 < ch_n, (wd_n, ch_n)
+    with _pytest.raises(ValueError, match="shingle unit"):
+        hashed_shingle_sets(df, "doc_id", "text", unit="byte")
