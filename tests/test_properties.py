@@ -134,3 +134,47 @@ def test_merge_upsert_conservation(spark, target_rows, source_rows):
     for r in target_rows or [(999, 0.0)]:
         if r[0] not in src:
             assert got[r[0]] == r[1]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # user
+            st.integers(0, 10_000),                 # offset seconds
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(60, 3600),                          # gap seconds
+)
+def test_sessionize_invariants(spark, events, gap):
+    """Sessionization laws on arbitrary event streams: session numbers
+    per user are 1..k contiguous; within a session every consecutive
+    gap is <= threshold; across a session boundary the gap is >
+    threshold; event order within a user is preserved."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.sessions import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=off), i)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = sessionize(df, "user_id", "ts", gap_seconds=gap, order_cols=("event_id",))
+    by_user: dict[int, list] = {}
+    for r in out.collect():
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        seqs = [r.session_seq for r in rs]
+        assert seqs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))  # contiguous
+        for a, b in zip(rs, rs[1:]):
+            delta = (b.ts - a.ts).total_seconds()
+            if b.session_seq == a.session_seq:
+                assert delta <= gap, (u, a.event_id, b.event_id, delta, gap)
+            else:
+                assert delta > gap, (u, a.event_id, b.event_id, delta, gap)
