@@ -19,14 +19,16 @@ These operators are the batch form of warehouse ``MERGE INTO``:
   (``valid_to`` = change timestamp) and open a new one, preserving full
   attribute lineage.
 
-Both are single-join operators: ONE shuffle on the merge key for both
-sides (or none for the target if it is already bucketed/partitioned by
-the key — the join then co-locates for free, which is exactly why the
-bucketed layout writer exists in ``sources/writers.py``). When the change
-set is small — the overwhelmingly common CDC case — Catalyst/AQE
-broadcasts it and the big snapshot is never shuffled at all; the
-operators deliberately leave the join strategy to the optimizer instead
-of pinning one.
+Both offer two physical strategies with identical results:
+``"shuffle"`` — ONE full-outer join, one shuffle on the merge key for
+both sides (or none when the snapshot is already bucketed/partitioned
+by the key, which is exactly why the bucketed layout writer exists in
+``sources/writers.py``); and ``"broadcast"`` — the full-outer split
+into three map-only broadcast arms for the overwhelmingly common CDC
+case (small change batch, huge snapshot), where the snapshot is scanned
+narrowly but NEVER shuffled. Spark cannot broadcast either side of a
+full-outer join, so the arm-split is the only way to get the
+broadcast shape — AQE alone can't rescue the full-outer plan.
 """
 
 from __future__ import annotations
@@ -180,6 +182,7 @@ def scd2_apply(
     eff_col: str = "eff_ts",
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Apply a change batch to an SCD2 history table.
 
@@ -193,12 +196,35 @@ def scd2_apply(
     touched. One change per key per batch (the usual micro-batch
     contract) — callers with multiple should pre-collapse to the latest.
 
-    Shuffle shape: the history is split current-vs-closed by a cheap
-    filter; only the CURRENT slice joins the change batch (one shuffle,
-    or zero when the batch broadcasts), and closed rows pass through
-    untouched — the property that makes SCD2 appends cheap at 100 TB.
+    ``strategy`` picks the physical shape (identical rows — pinned in
+    tests), mirroring :func:`merge_upsert`:
+
+    * ``"shuffle"`` (default): the history splits current-vs-closed by a
+      cheap filter; the CURRENT slice full-outer-joins the change batch.
+      Spark cannot execute a full-outer as a broadcast join on either
+      side, so this ALWAYS shuffles the current slice (and the batch) —
+      shuffle-free only when both sides are already bucketed by the key.
+      Closed rows pass through untouched either way — the property that
+      makes SCD2 appends cheap at 100 TB.
+    * ``"broadcast"``: for the common CDC shape — a small change batch
+      against a huge dimension — the full-outer splits into three
+      broadcast arms so the current slice is SCANNED (narrowly, three
+      times) BUT NEVER SHUFFLED: a map-only left broadcast join
+      (close-or-carry + opens for matched differing keys), a left-semi
+      broadcast pass collecting matched keys (output bounded by the
+      batch), and a broadcast anti join on the batch for fresh-key
+      opens. Plan pinned: 3 BroadcastHashJoins, zero SortMergeJoin.
+
+    Raises if any reserved internal column name (``__cur``, ``__chg``,
+    ``__eff``, ``__new_<attr>``) already exists on either input.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if strategy not in ("shuffle", "broadcast"):
+        raise ValueError(f"unknown strategy {strategy!r} (shuffle|broadcast)")
+    reserved = ["__cur", "__chg", "__eff", *[f"__new_{a}" for a in attrs]]
+    for marker in reserved:
+        if marker in history.columns or marker in changes.columns:
+            raise ValueError(f"reserved column name in input: {marker!r}")
     closed = history.filter(F.col(valid_to).isNotNull())
     current = history.filter(F.col(valid_to).isNull()).withColumn(
         "__cur", F.lit(True)
@@ -209,7 +235,6 @@ def scd2_apply(
         *[F.col(a).alias(f"__new_{a}") for a in attrs],
         F.col(eff_col).alias("__eff"),
     ).withColumn("__chg", F.lit(True))
-    j = current.join(ch, on=keys, how="full_outer")
 
     has_change = F.col("__chg").isNotNull()
     has_current = F.col("__cur").isNotNull()
@@ -217,22 +242,56 @@ def scd2_apply(
     for a in attrs:
         # null-safe inequality: NULL -> value IS a change
         differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
-    real_change = has_change & (~has_current | differs)
 
-    # current rows, possibly closed by a differing change
-    kept_current = j.filter(has_current).select(
-        *keys,
-        *attrs,
-        F.col(valid_from).alias(valid_from),
-        F.when(real_change, F.col("__eff")).otherwise(F.lit(None)).alias(valid_to),
-    )
-    # newly-opened rows for real changes (new key or differing attrs)
-    opened = j.filter(real_change).select(
-        *keys,
+    def kept_current_cols(real_change: Column) -> list[Column]:
+        """Current rows, possibly closed by a differing change."""
+        return [
+            *[F.col(c) for c in keys],
+            *[F.col(a) for a in attrs],
+            F.col(valid_from).alias(valid_from),
+            F.when(real_change, F.col("__eff"))
+            .otherwise(F.lit(None))
+            .alias(valid_to),
+        ]
+
+    opened_cols = [
+        *[F.col(c) for c in keys],
         *[F.col(f"__new_{a}").alias(a) for a in attrs],
         F.col("__eff").alias(valid_from),
         F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
-    )
+    ]
+
+    if strategy == "broadcast":
+        # Arm 1: map-only left broadcast join over the current slice —
+        # reused for both the close-or-carry projection and the opens
+        # for matched keys whose attrs differ (two narrow scans).
+        jb = current.join(F.broadcast(ch), on=keys, how="left")
+        kept_current = jb.select(*kept_current_cols(has_change & differs))
+        opened_matched = jb.filter(has_change & differs).select(*opened_cols)
+        # Arm 2: matched keys — left-semi broadcast pass whose OUTPUT is
+        # bounded by the batch (one current row per key), so it
+        # broadcasts into arm 3.
+        matched = (
+            current.select(*keys)
+            .join(F.broadcast(ch.select(*keys)), on=keys, how="left_semi")
+            .distinct()
+        )
+        # Arm 3: fresh-key opens — batch rows matching no current key.
+        opened_fresh = ch.join(
+            F.broadcast(matched), on=keys, how="left_anti"
+        ).select(*opened_cols)
+        return (
+            closed.select(*keys, *attrs, valid_from, valid_to)
+            .unionByName(kept_current)
+            .unionByName(opened_matched)
+            .unionByName(opened_fresh)
+        )
+
+    j = current.join(ch, on=keys, how="full_outer")
+    real_change = has_change & (~has_current | differs)
+    kept_current = j.filter(has_current).select(*kept_current_cols(real_change))
+    # newly-opened rows for real changes (new key or differing attrs)
+    opened = j.filter(real_change).select(*opened_cols)
     return closed.select(*keys, *attrs, valid_from, valid_to).unionByName(
         kept_current
     ).unionByName(opened)

@@ -365,3 +365,84 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert ours == native
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply broadcast strategy
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_broadcast_strategy_matches_shuffle(spark):
+    """strategy='broadcast' (three map-only broadcast arms, current
+    slice never shuffled) must produce exactly the full-outer shuffle
+    plan's rows — closes, no-ops, fresh-key opens, null-attr
+    transitions, and a NULL-key change (never matches; opens fresh on
+    both paths)."""
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", _ts(1), _ts(5)),
+            (1, "v2", _ts(5), None),
+            (2, "x1", _ts(3), None),
+            (3, None, _ts(2), None),
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "v3", _ts(9)),        # real change: close + open
+            (2, "x1", _ts(9)),        # identical: no-op
+            (3, "set", _ts(9)),       # NULL -> value: real change
+            (7, "n1", _ts(4)),        # fresh key: open only
+            (None, "nk", _ts(6)),     # NULL key: never matches, opens
+        ],
+        "k long, attr string, eff_ts timestamp",
+    )
+    kw = dict(key="k", attrs=["attr"])
+    a = scd2_apply(hist, changes, strategy="shuffle", **kw)
+    b = scd2_apply(hist, changes, strategy="broadcast", **kw)
+    key = lambda r: (repr(r.k), repr(r.attr), repr(r.valid_from), repr(r.valid_to))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_scd2_broadcast_never_shuffles_current(spark):
+    """Plan pin for the SCD2 scale shape: 4 BroadcastHashJoins, zero
+    SortMergeJoin/ShuffledHashJoin — the 100 TB dimension history is
+    scanned (narrowly) but never shuffled. (4, not 3: Catalyst rewrites
+    the reused left-join arm into a LeftOuter for close-or-carry plus an
+    Inner with the differs condition pushed into the join for matched
+    opens — still map-only.) The only Exchange in the plan hashes the
+    matched-key set, bounded by the batch. The default full-outer path
+    CANNOT get this shape: Spark refuses to broadcast either side of a
+    full-outer join."""
+    hist = spark.createDataFrame(
+        [(i, f"v{i}", _ts(1), None) for i in range(100)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "new", _ts(5)), (200, "fresh", _ts(5))],
+        "k long, attr string, eff_ts timestamp",
+    )
+    out = scd2_apply(hist, changes, key="k", attrs=["attr"], strategy="broadcast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_scd2_validates_inputs(spark):
+    hist = _history(spark)
+    changes = spark.createDataFrame(
+        [(1, "v", _ts(2))], "k long, attr string, eff_ts timestamp"
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        scd2_apply(hist, changes, key="k", attrs=["attr"], strategy="aqe")
+    # reserved internal names must raise, not be silently clobbered
+    with pytest.raises(ValueError, match="__cur"):
+        scd2_apply(
+            hist.withColumn("__cur", F.lit(1)), changes, key="k", attrs=["attr"]
+        )
+    with pytest.raises(ValueError, match="__new_attr"):
+        scd2_apply(
+            hist, changes.withColumn("__new_attr", F.lit(1)),
+            key="k", attrs=["attr"],
+        )
