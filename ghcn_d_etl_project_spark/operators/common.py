@@ -185,8 +185,11 @@ def weighted_sample_key(
     the same id (same portability rationale as those: Spark's RNG draws
     are partition-order-sensitive and irreproducible elsewhere; this key
     is a pure projection any engine reproduces bit-for-bit). Weights
-    must be strictly positive — guard with ``greatest(w, 1)`` or
-    pre-filter; w <= 0 yields NULL/absurd keys, not an error.
+    must be strictly positive — a NULL or ``w <= 0`` weight RAISES at
+    execution time (``ln(u)/w`` would otherwise flip sign or null out,
+    and the top-k downstream would silently rank the row first or drop
+    it — a skewed sample with no error). Callers with dirty weights
+    should clamp (``greatest(w, 1)``) or pre-filter explicitly.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
@@ -195,7 +198,16 @@ def weighted_sample_key(
     u = (F.conv(hex13, 16, 10).cast("double") + F.lit(0.5)) / F.lit(
         float(1 << 52)
     )
-    return F.log(u) / w
+    return F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample_key: non-positive or NULL weight "),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
+                F.lit(" — clamp with greatest(w, 1) or pre-filter"),
+            )
+        ),
+    ).otherwise(F.log(u) / w)
 
 
 def weighted_top_k(

@@ -45,21 +45,32 @@ _OPS = {
 }
 
 
-def _expand(specs: list[Spec]) -> tuple[list[Spec], list[Spec]]:
+def _expand(specs: list[Spec]) -> tuple[list[Spec], list[Spec], set[str]]:
     """Rewrite avg specs into hidden sum/count partials; return
-    (physical_specs, avg_specs)."""
+    (physical_specs, avg_specs, hidden_aliases). The hidden set is
+    tracked EXPLICITLY (round-7 advice): inferring it back from an
+    ``__avg_`` prefix would silently drop a user-supplied sum/count
+    alias that happens to start with the prefix. A user alias that
+    collides with a generated hidden name (or any duplicate alias)
+    raises instead."""
     physical: list[Spec] = []
     avgs: list[Spec] = []
+    hidden: set[str] = set()
     for col, op, alias in specs:
         if op == "avg":
             physical.append((col, "sum", f"__avg_sum_{alias}"))
             physical.append((col, "count", f"__avg_cnt_{alias}"))
+            hidden.update((f"__avg_sum_{alias}", f"__avg_cnt_{alias}"))
             avgs.append((col, op, alias))
         elif op in _OPS:
             physical.append((col, op, alias))
         else:
             raise ValueError(f"unsupported op {op!r} (use sum/count/min/max/avg)")
-    return physical, avgs
+    all_aliases = [a for _, _, a in physical] + [a for _, _, a in avgs]
+    dupes = {a for a in all_aliases if all_aliases.count(a) > 1}
+    if dupes:
+        raise ValueError(f"duplicate/colliding aliases in specs: {sorted(dupes)}")
+    return physical, avgs, hidden
 
 
 def partial_agg(
@@ -67,7 +78,7 @@ def partial_agg(
 ) -> DataFrame:
     """Per-key mergeable partials over one batch. Sums go through DECIMAL
     so later merges are order-insensitive and exact."""
-    physical, _ = _expand(specs)
+    physical, _, _ = _expand(specs)
     aggs = []
     for col, op, alias in physical:
         c = F.col(col).cast(decimal) if op == "sum" else F.col(col)
@@ -82,7 +93,7 @@ def merge_partials(
     per-op merge aggregate (sum-of-sums, sum-of-counts, min-of-mins,
     max-of-maxes). Associative: merging incrementally batch-by-batch
     equals merging all at once."""
-    physical, _ = _expand(specs)
+    physical, _, _ = _expand(specs)
     merged_aggs = [
         _OPS[op][1](F.col(alias)).alias(alias) for _, op, alias in physical
     ]
@@ -95,9 +106,8 @@ def finalize_partials(merged: DataFrame, specs: list[Spec]) -> DataFrame:
     sums cast back to DOUBLE, counts to BIGINT, avg derived as
     double(sum)/count (bit-identical across engines — both sides divide
     identical doubles by identical longs)."""
-    physical, avgs = _expand(specs)
+    physical, avgs, hidden = _expand(specs)
     cols = []
-    hidden = {a for _, _, a in physical if a.startswith("__avg_")}
     for _, op, alias in physical:
         if alias in hidden:
             continue

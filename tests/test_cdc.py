@@ -446,3 +446,23 @@ def test_scd2_validates_inputs(spark):
             hist, changes.withColumn("__new_attr", F.lit(1)),
             key="k", attrs=["attr"],
         )
+
+
+def test_partials_user_alias_with_avg_prefix_survives(spark):
+    """Round-7 advice: a user sum alias that happens to start with
+    ``__avg_`` must flow through finalize (hidden partials are tracked
+    explicitly, not inferred by prefix), and an alias colliding with a
+    generated hidden name raises."""
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0)], "g long, q double")
+    specs = [("q", "sum", "__avg_ish_total"), ("q", "avg", "m")]
+    out = finalize_partials(
+        merge_partials([partial_agg(df, ["g"], specs)], ["g"], specs), specs
+    )
+    row = out.collect()[0]
+    assert row["__avg_ish_total"] == 6.0 and row["m"] == 3.0
+
+    bad = [("q", "sum", "__avg_sum_m"), ("q", "avg", "m")]
+    with pytest.raises(ValueError, match="collid"):
+        partial_agg(df, ["g"], bad)
+    with pytest.raises(ValueError, match="collid"):
+        partial_agg(df, ["g"], [("q", "sum", "dup"), ("q", "max", "dup")])

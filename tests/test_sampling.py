@@ -112,3 +112,28 @@ def test_weighted_sample_key_null_id_and_weight_monotonicity(spark):
     by = {(r.id, r.w): r.k for r in out}
     assert all(k is not None for k in by.values())
     assert by[("a", 10.0)] > by[("a", 1.0)]
+
+
+def test_weighted_sample_key_rejects_nonpositive_weights(spark):
+    """w <= 0 or NULL must fail LOUDLY at execution (round-7 advice: the
+    silent path produced NULL/absurd keys that weighted_top_k quietly
+    ranked first or dropped — a skewed sample with no error)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from ghcn_d_etl_project_spark.operators.common import (
+        weighted_sample_key,
+        weighted_top_k,
+    )
+
+    for bad_w in (0.0, -3.0, None):
+        df = spark.createDataFrame([("a", 1.0), ("b", bad_w)], "id string, w double")
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+            df.select(weighted_sample_key("id", "w").alias("k")).collect()
+        assert "weighted_sample_key" in str(ei.value)
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            weighted_top_k(df, "id", "w", k=1).collect()
+    # positive weights still flow through untouched
+    ok = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, w double")
+    assert ok.select(weighted_sample_key("id", "w")).count() == 2
