@@ -57,11 +57,17 @@ class CorpusPrepConfig:
     jaccard_threshold: float = 0.5
     chunk_tokens: int = 32
     stride: int = 24
-    # near-dup shingle granularity: "char" (n-gram, default) or "word"
-    # (w-shingling — 5-10x smaller sets, ~3x faster LSH stage measured at
-    # sf0.1 with the identical verified pair set; the knob to flip first
-    # when lsh_pairs dominates the stage attribution)
-    shingle_unit: str = "char"
+    # near-dup shingle granularity: "word" (w-shingling, default since
+    # round 8 — 5-10x smaller sets, ~2-3x faster LSH stage measured at
+    # sf0.1 with the IDENTICAL verified pair set and funnel counts) or
+    # "char" (n-gram). Semantics caveat: word shingles see only
+    # whitespace-token order, so near-dups that differ by in-word edits
+    # (typos, stemming) score lower Jaccard than under char n-grams —
+    # prefer "char" for very short or noisy corpora where single-word
+    # edits matter; at pre-training corpus scale the verified-pair set
+    # is the same and the LSH stage (the pipeline's dominant cost) is
+    # materially cheaper.
+    shingle_unit: str = "word"
     shingle_n: int = 4
 
 
