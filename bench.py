@@ -54,6 +54,34 @@ Round-7 additions (both attribution, not new measurement posture):
     from a second attributed pass that persists at layer boundaries
     while ``ghcn_e2e.sec`` stays the production-shape cold number.
 
+Round-8 output contract (BENCH_r07 lesson — the driver captures only the
+LAST ~2000 chars of stdout, and the single JSON line had outgrown the
+window, so the round's bench failed to parse): TWO lines are printed.
+The first carries the full detail (``spread``/``stages``/``ghcn_e2e``/
+``build_errors``/``load`` detail) and is also written to
+``BENCH_DETAIL.json`` next to this script so it survives as a committed
+artifact; the LAST line is a compact headline (metric, value, unit,
+per-query medians, sf, core13, load summary, contended flag) kept under
+1,900 chars so it always fits the capture window. Consumers parse the
+last line; auditors read the file.
+
+Round-8 load guard (BENCH_r07's committed numbers were ~35% inflated by
+machine contention, indistinguishable from a regression without a
+judge-side re-run): the harness records ``os.getloadavg()`` before and
+after, and times a fixed micro-calibration query (``monthly_agg`` at the
+small build SF, median of 3 after one throwaway) at both ends of the
+run. ``"contended": true`` is emitted when EITHER calibration median
+exceeds ``SPARK_GRAFT_BENCH_CALIB_IDLE`` (default 0.45s; measured
+in-bench idle steady state 0.36-0.37s) x ``SPARK_GRAFT_BENCH_CALIB_BAND``
+(default 1.4), OR the START 1-minute loadavg — sampled before this
+process spins up Spark, so it reflects only OTHER work on the box —
+exceeds ``SPARK_GRAFT_BENCH_LOAD_FRAC`` (default 0.25) x cpu count.
+Two signals because they fail differently: calibration under-reads
+moderate oversubscription (short tasks still get scheduled; 40 spinners
+on 32 CPUs read only 1.4-1.6x), while loadavg lags a minute behind
+load that starts mid-run — together a contaminated artifact declares
+itself.
+
 Failure posture (round-4 lesson: one broken plan must not silence the
 whole bench):
   * BEFORE timing, every registered plan — bench or not — is built once
@@ -262,9 +290,26 @@ def _stats(runs: list[float]) -> tuple[float, float, float]:
     return _pct(s, 0.5), s[0], _pct(s, 0.75) - _pct(s, 0.25)
 
 
+def _calibrate(spark, registry, build_dir: str) -> float | None:
+    """Median of 3 timed runs (after one throwaway) of the fixed
+    micro-calibration query at the small SF. Returns None when the small
+    SF is absent — contention then simply can't be assessed."""
+    if not Path(build_dir).exists():
+        return None
+    q = registry["monthly_agg"]
+    runs: list[float] = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        q.fn(spark, build_dir).count()
+        if i > 0:  # throwaway first: codegen/footer warmup is not load
+            runs.append(time.perf_counter() - t0)
+    return round(_stats(runs)[0], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    load_start = os.getloadavg()
     spark = get_spark(app_name="bench")
 
     # clamped to >=1: with 0 the adaptive while-clause would evaluate
@@ -316,6 +361,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
 
+    # Load calibration pass #1 (see module docstring): a fixed
+    # micro-query whose idle steady-state is known, timed on the warmed
+    # JVM right before the measurement loop.
+    calib_idle = float(os.environ.get("SPARK_GRAFT_BENCH_CALIB_IDLE", "0.45"))
+    calib_band = float(os.environ.get("SPARK_GRAFT_BENCH_CALIB_BAND", "1.4"))
+    try:
+        calib_start = _calibrate(spark, registry, build_dir)
+    except Exception:  # noqa: BLE001 — the guard must not kill the bench
+        calib_start = None
+    spark.catalog.clearCache()
+
     stages_out: dict[str, dict[str, float]] = {}
     for name, q in queries.items():
         runs: list[float] = []
@@ -360,43 +416,103 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
-    out = {
-        "metric": "headline_queries_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "spread": spreads,
-        "sf": sf,
-    }
-    if stages_out:
-        out["stages"] = stages_out
-    # fixed-composition subtotal (see _CORE13): comparable across rounds
-    # no matter how the full bench set grows
-    core13_present = [timings[n] for n in _CORE13 if n in timings]
-    out["core13"] = round(sum(core13_present), 3)
-    if len(core13_present) != len(_CORE13):
-        out["core13_incomplete"] = True
-    if errors:
-        # the sum covers only surviving queries — flag it so a broken
-        # round can never read as a round-over-round speedup
-        out["errors"] = errors
-        out["value_incomplete"] = True
-    if build_errors:
-        out["build_errors"] = build_errors
-    if build_gate_skipped:
-        out["build_gate_skipped"] = True
     # GHCN end-to-end medallion wall-clock (side metric; disable with
     # SPARK_GRAFT_BENCH_GHCN=0). The reference's one published number is
     # its bronze build (1h25m for the full 913-file archive on a
     # Databricks cluster); this times THIS engine's replacement shape —
     # one multi-path fixed-width scan through all gold marts — on a
     # deterministic synthetic corpus whose size is stated in the output.
+    ghcn_e2e = None
     if os.environ.get("SPARK_GRAFT_BENCH_GHCN", "1") != "0":
         try:
-            out["ghcn_e2e"] = _time_ghcn_pipeline(spark)
+            ghcn_e2e = _time_ghcn_pipeline(spark)
         except Exception as e:  # noqa: BLE001 — side metric must not kill bench
-            out["ghcn_e2e"] = {"error": _err(e)}
-    print(json.dumps(out))
+            ghcn_e2e = {"error": _err(e)}
+
+    # Load calibration pass #2: AFTER everything timed, so contention
+    # arriving mid-run is caught too.
+    try:
+        calib_end = _calibrate(spark, registry, build_dir)
+    except Exception:  # noqa: BLE001
+        calib_end = None
+    load_end = os.getloadavg()
+    load_frac = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_FRAC", "0.25"))
+    cpus = os.cpu_count() or 1
+    contended = any(
+        c is not None and c > calib_idle * calib_band
+        for c in (calib_start, calib_end)
+    ) or load_start[0] > load_frac * cpus
+    load = {
+        "avg1m_start": round(load_start[0], 2),
+        "avg1m_end": round(load_end[0], 2),
+        "cpus": cpus,
+        "load_frac": load_frac,
+        "calib_start_sec": calib_start,
+        "calib_end_sec": calib_end,
+        "calib_idle_sec": calib_idle,
+        "calib_band": calib_band,
+    }
+
+    # fixed-composition subtotal (see _CORE13): comparable across rounds
+    # no matter how the full bench set grows
+    core13_present = [timings[n] for n in _CORE13 if n in timings]
+
+    # COMPACT headline — the LAST stdout line, guaranteed to fit the
+    # driver's ~2000-char capture window (BENCH_r07 lesson).
+    compact = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "core13": round(sum(core13_present), 3),
+        "load": {
+            "avg1m": [load["avg1m_start"], load["avg1m_end"]],
+            "calib": [calib_start, calib_end],
+        },
+        "contended": contended,
+    }
+    if len(core13_present) != len(_CORE13):
+        compact["core13_incomplete"] = True
+    if errors:
+        # the sum covers only surviving queries — flag it so a broken
+        # round can never read as a round-over-round speedup
+        compact["errors"] = {n: e[:80] for n, e in errors.items()}
+        compact["value_incomplete"] = True
+    if build_errors:
+        compact["build_errors_n"] = len(build_errors)
+    if build_gate_skipped:
+        compact["build_gate_skipped"] = True
+
+    # FULL detail — first stdout line plus a committed side artifact, so
+    # nothing the compact line dropped is lost.
+    detail = dict(
+        compact,
+        spread=spreads,
+        load=load,
+        errors=errors or None,
+        build_errors=build_errors or None,
+    )
+    detail = {k: v for k, v in detail.items() if v is not None}
+    if stages_out:
+        detail["stages"] = stages_out
+    if ghcn_e2e is not None:
+        detail["ghcn_e2e"] = ghcn_e2e
+    detail_line = json.dumps(detail)
+    try:
+        (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+            detail_line + "\n"
+        )
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+    print(detail_line)
+
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the window again
+        compact.pop("errors", None)
+        compact["errors_in_detail"] = True
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

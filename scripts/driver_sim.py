@@ -3,6 +3,12 @@
 Fresh-process import of /root/repo/__spark_entry__.py -> entry() smoke at
 sf0.001, then every queries() entry at sf0.01 compared against oracle_sql()
 via DuckDB (row count + sorted-column schema + order-insensitive value hash).
+
+Pass ``--out PATH`` to also write the end-of-run results as a JSON file
+(one entry per query: status, seconds, rows) — the committable artifact
+covering the FULL registry, including the late-slot queries outside the
+round driver's 50-entry CORRECTNESS window (round-7 verdict: their MATCH
+status lived only in session stdout, unauditable after the fact).
 """
 
 import hashlib
@@ -72,6 +78,7 @@ print(f"{len(qs)} queries, {len(oracles)} oracles")
 assert set(oracles) <= set(qs), "oracle keys must be subset of query keys"
 
 results = {}
+detail = {}
 fail = 0
 # Registry order (NOT sorted): the real driver walks queries() in dict order
 # under a bounded budget, so order here mirrors what it would evaluate first.
@@ -94,7 +101,28 @@ for name, fn in qs.items():
     else:
         status = f"rows-only({len(spdf)})"
     results[name] = status
+    detail[name] = {"status": status, "sec": round(dt, 1), "rows": len(spdf)}
     print(f"{name}: {status} [{dt:.1f}s, {len(spdf)} rows]")
 
 print(json.dumps(results, indent=0))
+if "--out" in sys.argv:
+    out_path = sys.argv[sys.argv.index("--out") + 1]
+    n_match = sum(1 for d in detail.values() if d["status"] == "MATCH")
+    n_rows_only = sum(
+        1 for d in detail.values() if d["status"].startswith("rows-only")
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "sf_dir": SF01,
+                "n_queries": len(detail),
+                "n_oracle_match": n_match,
+                "n_oracle_mismatch": fail,
+                "n_rows_only": n_rows_only,
+                "queries": detail,
+            },
+            f,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
 sys.exit(1 if fail else 0)
