@@ -56,14 +56,14 @@ Round-7 additions (both attribution, not new measurement posture):
 
 Round-8 output contract (BENCH_r07 lesson — the driver captures only the
 LAST ~2000 chars of stdout, and the single JSON line had outgrown the
-window, so the round's bench failed to parse): TWO lines are printed.
-The first carries the full detail (``spread``/``stages``/``ghcn_e2e``/
-``build_errors``/``load`` detail) and is also written to
-``BENCH_DETAIL.json`` next to this script so it survives as a committed
-artifact; the LAST line is a compact headline (metric, value, unit,
-per-query medians, sf, core13, load summary, contended flag) kept under
-1,900 chars so it always fits the capture window. Consumers parse the
-last line; auditors read the file.
+window, so the round's bench failed to parse): STDOUT carries exactly
+ONE line — a compact headline (metric, value, unit, per-query medians,
+sf, core13, load summary, contended flag) kept under 1,900 chars, so
+the capture window always begins at ``{"metric"``. The full detail
+(``spread``/``stages``/``ghcn_e2e``/``build_errors``/``load`` detail)
+goes to STDERR and to ``BENCH_DETAIL.json`` next to this script, which
+is committed as the round's audit artifact. Consumers parse stdout;
+auditors read the file.
 
 Round-8 load guard (BENCH_r07's committed numbers were ~35% inflated by
 machine contention, indistinguishable from a regression without a
@@ -505,7 +505,9 @@ def main() -> None:
         )
     except OSError:
         pass  # read-only checkout must not kill the bench
-    print(detail_line)
+    # detail to STDERR: stdout must hold ONLY the compact line so the
+    # driver's 2000-char tail capture always begins at {"metric"
+    print(detail_line, file=sys.stderr)
 
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: never outgrow the window again
