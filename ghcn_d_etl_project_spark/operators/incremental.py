@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 Spec = tuple[str, str, str]
@@ -126,3 +126,112 @@ def finalize_partials(merged: DataFrame, specs: list[Spec]) -> DataFrame:
         )
     key_cols = [c for c in merged.columns if not any(c == a for _, _, a in physical)]
     return merged.select(*key_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile partials: incremental maintenance for percentiles
+# ---------------------------------------------------------------------------
+#
+# sum/count/min/max/avg above are ALGEBRAIC — their partials merge
+# losslessly. Quantiles are HOLISTIC: no fixed-size exact partial exists,
+# and Spark's percentile_approx keeps its QuantileSummaries state
+# internal, so it cannot be stored and merged across pipeline runs. The
+# standard scale answer is a histogram sketch with DETERMINISTIC binning:
+# per-key fixed-width bin counts over a caller-declared [lo, hi) domain.
+# Bin counts are plain longs, so the partial is mergeable by summation
+# (associative + commutative, same contract as merge_partials), the
+# stored state is O(keys x n_bins) regardless of history size, and —
+# because the binning rule is pure double arithmetic — ANY engine
+# reproduces the identical sketch, which is what lets a DuckDB oracle
+# verify the merge path bit-for-bit against a full recompute.
+#
+# Error model: a quantile estimate is linear interpolation inside one
+# bin, so it is exact-to-within one bin width (hi-lo)/n_bins for
+# in-domain values; out-of-domain values clamp into the edge bins (the
+# estimate then degrades toward lo/hi — size the domain from a bounded
+# approxQuantile probe or domain knowledge). Long-format partials
+# (keys, __qbin, __qcnt) keep every step a plain groupBy/window —
+# no array aggregation, and the same shape is one GROUP BY in SQL.
+
+
+def quantile_partial(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-key mergeable histogram partial over one batch: long-format
+    ``(keys..., __qbin, __qcnt)``. Binning is the pure-arithmetic
+    ``floor((v - lo) / (hi - lo) * n_bins)`` clamped to ``[0, n_bins)``
+    — engine-portable and deterministic. NULL values are excluded (as
+    every aggregate does). One shuffle over the BATCH only."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    b = F.floor((F.col(col) - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins)
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, b.alias("__qbin"))
+        .groupBy(*keys, "__qbin")
+        .agg(F.count(F.lit(1)).alias("__qcnt"))
+    )
+
+
+def merge_quantile_partials(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold histogram partials: union → groupBy(keys, bin) → sum of
+    counts. Associative and commutative, so batch-by-batch maintenance
+    equals one-shot aggregation — cost O(sum of partial sizes), bounded
+    by keys x n_bins per partial, never O(history)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(*keys, "__qbin").agg(F.sum("__qcnt").alias("__qcnt"))
+
+
+def finalize_quantiles(
+    merged: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    out_name: str = "est",
+) -> DataFrame:
+    """Project quantile estimates out of a merged histogram: one row per
+    (key, q) with the interpolated estimate.
+
+    Per key: running bin total (one window over the TINY rollup —
+    keys x n_bins rows), each requested ``q`` exploded alongside, the
+    first bin whose cumulative count reaches ``q * total`` wins
+    (row_number = 1), and the estimate interpolates linearly inside that
+    bin, clamped to the declared domain. Every step is portable SQL
+    (windows + arithmetic) — the oracle twin runs the same construction
+    in DuckDB and must agree bit-for-bit."""
+    wb = Window.partitionBy(*keys).orderBy("__qbin")
+    wk = Window.partitionBy(*keys)
+    width = float(hi - lo) / n_bins
+    e = (
+        merged.withColumn("__cum", F.sum("__qcnt").over(wb))
+        .withColumn("__tot", F.sum("__qcnt").over(wk))
+        .select(
+            *keys,
+            "__qbin",
+            "__qcnt",
+            "__cum",
+            "__tot",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+    )
+    qual = e.filter(F.col("__cum") >= F.col("q") * F.col("__tot"))
+    wq = Window.partitionBy(*keys, "q").orderBy("__qbin")
+    first = qual.withColumn("__rn", F.row_number().over(wq)).filter(
+        F.col("__rn") == 1
+    )
+    frac = (
+        F.col("q") * F.col("__tot") - (F.col("__cum") - F.col("__qcnt"))
+    ) / F.col("__qcnt")
+    est = F.lit(float(lo)) + F.lit(width) * (F.col("__qbin") + frac)
+    est = F.least(F.lit(float(hi)), F.greatest(F.lit(float(lo)), est))
+    return first.select(*keys, "q", est.alias(out_name))

@@ -455,3 +455,81 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = [partial_agg(history, keys, specs), partial_agg(delta, keys, specs)]
     return finalize_partials(merge_partials(parts, keys, specs), specs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental quantile maintenance (extension): mergeable histogram sketch
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH bins AS (
+  SELECT l_returnflag,
+         CAST(LEAST(64 - 1, GREATEST(0,
+              FLOOR((l_extendedprice - 900.0) / 104100.0 * 64))) AS BIGINT)
+           AS __qbin,
+         COUNT(*) AS __qcnt
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+), cums AS (
+  SELECT l_returnflag, __qbin, __qcnt,
+         SUM(__qcnt) OVER (PARTITION BY l_returnflag ORDER BY __qbin)
+           AS __cum,
+         SUM(__qcnt) OVER (PARTITION BY l_returnflag) AS __tot
+  FROM bins
+), hits AS (
+  SELECT c.*, q.q,
+         ROW_NUMBER() OVER (PARTITION BY c.l_returnflag, q.q
+                            ORDER BY c.__qbin) AS __rn
+  FROM cums c
+  CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS q) q
+  WHERE c.__cum >= q.q * c.__tot
+)
+SELECT l_returnflag, q,
+       LEAST(105000.0, GREATEST(900.0,
+         900.0 + (105000.0 - 900.0) / 64
+               * (__qbin + (q * __tot - (__cum - __qcnt)) / __qcnt)))
+         AS est
+FROM hits
+WHERE __rn = 1
+"""
+
+
+@register(
+    "incremental_quantiles",
+    oracle=_QUANT_ORACLE,
+    tags=("agg", "incremental", "quantile"),
+    late=True,
+)
+def incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PERCENTILE maintenance
+    (``operators/incremental.py:quantile_partial``): quantiles are
+    holistic — no exact fixed-size partial exists, and Spark keeps
+    percentile_approx's sketch state internal, so it cannot be stored
+    and merged across pipeline runs. This maintains p50/p95/p99 of
+    lineitem price per return flag as a DETERMINISTIC fixed-width
+    histogram sketch (64 bins over the declared [900, 105000) domain):
+    lineitem splits into a stored 'history' batch and a newly-arrived
+    'delta' batch (orderkey % 4), each reduced to long-format bin-count
+    partials, folded by summation, and finalized by in-bin linear
+    interpolation — O(keys x bins) state regardless of history size.
+    The oracle builds the identical sketch in one pass over ALL of
+    lineitem: the merge path must agree bit-for-bit with the full
+    recompute (pure double arithmetic both sides), the same guarantee
+    ``incremental_agg_merge`` pins for algebraic aggregates."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_quantiles,
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    history = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    keys, lo, hi, n = ["l_returnflag"], 900.0, 105000.0, 64
+    parts = [
+        quantile_partial(history, keys, "l_extendedprice", lo, hi, n),
+        quantile_partial(delta, keys, "l_extendedprice", lo, hi, n),
+    ]
+    merged = merge_quantile_partials(parts, keys)
+    return finalize_quantiles(merged, keys, lo, hi, n, qs=(0.5, 0.95, 0.99))

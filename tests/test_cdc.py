@@ -466,3 +466,97 @@ def test_partials_user_alias_with_avg_prefix_survives(spark):
         partial_agg(df, ["g"], bad)
     with pytest.raises(ValueError, match="collid"):
         partial_agg(df, ["g"], [("q", "sum", "dup"), ("q", "max", "dup")])
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile partials
+# ---------------------------------------------------------------------------
+
+
+def _qops():
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_quantiles,
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    return quantile_partial, merge_quantile_partials, finalize_quantiles
+
+
+def test_quantile_partials_merge_equals_one_shot(spark):
+    """Splitting the data into any number of batches and merging their
+    histogram partials must be bit-identical to sketching all rows at
+    once (summation is associative+commutative), including merging
+    incrementally in two steps."""
+    qp, mq, fq = _qops()
+    rows = [("k", float(v % 977)) for v in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    batches = [df.filter(F.col("v") % 3 == i) for i in range(3)]
+    args = (["g"], "v", 0.0, 1000.0, 50)
+
+    one_shot = fq(mq([qp(df, *args)], ["g"]), ["g"], 0.0, 1000.0, 50)
+    all_at_once = fq(
+        mq([qp(b, *args) for b in batches], ["g"]), ["g"], 0.0, 1000.0, 50
+    )
+    stepwise = fq(
+        mq(
+            [mq([qp(batches[0], *args), qp(batches[1], *args)], ["g"]),
+             qp(batches[2], *args)],
+            ["g"],
+        ),
+        ["g"], 0.0, 1000.0, 50,
+    )
+    key = lambda r: (r.g, r.q, repr(r.est))
+    expect = sorted(map(key, one_shot.collect()))
+    assert sorted(map(key, all_at_once.collect())) == expect
+    assert sorted(map(key, stepwise.collect())) == expect
+
+
+def test_quantile_estimate_within_bin_width_of_exact(spark):
+    """For in-domain data the interpolated estimate is exact to within
+    one bin width of the true percentile."""
+    qp, mq, fq = _qops()
+    import random
+
+    random.seed(11)
+    vals = sorted(random.uniform(0, 1000) for _ in range(5000))
+    df = spark.createDataFrame([("k", v) for v in vals], "g string, v double")
+    n_bins = 100
+    width = 1000.0 / n_bins
+    out = fq(
+        mq([qp(df, ["g"], "v", 0.0, 1000.0, n_bins)], ["g"]),
+        ["g"], 0.0, 1000.0, n_bins, qs=(0.5, 0.95, 0.99),
+    )
+    for r in out.collect():
+        exact = vals[min(len(vals) - 1, int(r.q * len(vals)) - 1)]
+        assert abs(r.est - exact) <= width + 1e-9, (r.q, r.est, exact)
+
+
+def test_quantile_partial_excludes_nulls_and_validates(spark):
+    qp, mq, fq = _qops()
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", None), ("k", 2.0)], "g string, v double"
+    )
+    part = qp(df, ["g"], "v", 0.0, 10.0, 5)
+    assert part.agg(F.sum("__qcnt")).collect()[0][0] == 2  # NULL dropped
+    with pytest.raises(ValueError, match="hi > lo"):
+        qp(df, ["g"], "v", 10.0, 10.0, 5)
+    with pytest.raises(ValueError, match="n_bins"):
+        qp(df, ["g"], "v", 0.0, 10.0, 1)
+
+
+def test_quantile_out_of_domain_clamps_to_edge_bins(spark):
+    """Values outside [lo, hi) land in the edge bins; estimates stay
+    inside the declared domain (documented degradation, never a crash
+    or an out-of-range answer)."""
+    qp, mq, fq = _qops()
+    df = spark.createDataFrame(
+        [("k", -500.0), ("k", -400.0), ("k", 5.0), ("k", 2000.0)],
+        "g string, v double",
+    )
+    out = fq(
+        mq([qp(df, ["g"], "v", 0.0, 10.0, 5)], ["g"]),
+        ["g"], 0.0, 10.0, 5, qs=(0.01, 0.5, 0.99),
+    )
+    for r in out.collect():
+        assert 0.0 <= r.est <= 10.0
