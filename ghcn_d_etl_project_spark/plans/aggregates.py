@@ -482,7 +482,8 @@ WITH bins AS (
          ROW_NUMBER() OVER (PARTITION BY c.l_returnflag, q.q
                             ORDER BY c.__qbin) AS __rn
   FROM cums c
-  CROSS JOIN (SELECT UNNEST([0.5, 0.95, 0.99]) AS q) q
+  CROSS JOIN (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS q) q
   WHERE c.__cum >= q.q * c.__tot
 )
 SELECT l_returnflag, q,
