@@ -295,3 +295,74 @@ def scd2_apply(
     return closed.select(*keys, *attrs, valid_from, valid_to).unionByName(
         kept_current
     ).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    attrs: list[str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Diff two snapshot versions into a CDC change set — the INVERSE of
+    :func:`merge_upsert` (the change-data-feed every table format
+    derives; the reference can only overwrite, so its consumers must
+    re-read whole outputs to learn what changed).
+
+    One row per differing key: ``op`` = ``'I'`` (in ``new`` only),
+    ``'D'`` (in ``old`` only), ``'U'`` (present in both with any tracked
+    attribute differing, null-safely); identical rows are absent.
+    ``attrs`` defaults to every non-key column the sides share. Emitted
+    attribute values are the NEW side's for I/U and the OLD side's for D
+    (so a delete row still identifies what vanished).
+
+    Round-trip law (property-tested): applying the diff back onto
+    ``old`` with ``merge_upsert(old, diff, delete_col=...)`` reproduces
+    ``new`` exactly.
+
+    Shuffle shape: one full-outer join — both sides shuffle on the key
+    (both are snapshots, so neither broadcasts in general), and the
+    shuffle vanishes when both versions are bucketed by the key
+    (``sources/writers.py:write_bucketed``), the layout a snapshot store
+    should use anyway. Raises on reserved marker collisions.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    for k in keys:
+        if k not in old.columns or k not in new.columns:
+            raise ValueError(f"diff key {k!r} must exist on both sides")
+    if attrs is None:
+        attrs = [
+            c for c in old.columns if c not in keys and c in new.columns
+        ]
+    reserved = ["__old_present", "__new_present", op_col,
+                *[f"__new_{a}" for a in attrs]]
+    for marker in reserved:
+        if marker in old.columns or marker in new.columns:
+            raise ValueError(f"reserved column name in input: {marker!r}")
+
+    o = old.select(*keys, *attrs).withColumn("__old_present", F.lit(True))
+    n = new.select(
+        *keys, *[F.col(a).alias(f"__new_{a}") for a in attrs]
+    ).withColumn("__new_present", F.lit(True))
+    j = o.join(n, on=keys, how="full_outer")
+
+    in_old = F.col("__old_present").isNotNull()
+    in_new = F.col("__new_present").isNotNull()
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    return j.withColumn(op_col, op).filter(F.col(op_col).isNotNull()).select(
+        *keys,
+        op_col,
+        *[
+            F.when(F.col(op_col) == "D", F.col(a))
+            .otherwise(F.col(f"__new_{a}"))
+            .alias(a)
+            for a in attrs
+        ],
+    )

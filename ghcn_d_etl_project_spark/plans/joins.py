@@ -555,3 +555,85 @@ def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", fmt).alias("valid_from"),
         F.date_format("valid_to", fmt).alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (extension): two snapshot versions -> CDC change set
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH neww AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey + 200000, 'NEW ' || c_name,
+         CAST(100.0 AS DOUBLE), c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 5
+), oldd AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+), j AS (
+  SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+         o.c_name AS o_name, n.c_name AS n_name,
+         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg,
+         CASE WHEN o.c_custkey IS NULL THEN 'I'
+              WHEN n.c_custkey IS NULL THEN 'D'
+              WHEN o.c_name IS DISTINCT FROM n.c_name
+                OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'U'
+         END AS op
+  FROM oldd o FULL OUTER JOIN neww n ON o.c_custkey = n.c_custkey
+)
+SELECT CAST(COALESCE(ok, nk) AS BIGINT) AS c_custkey, op,
+       CASE WHEN op = 'D' THEN o_name ELSE n_name END AS c_name,
+       CASE WHEN op = 'D' THEN o_bal ELSE n_bal END AS c_acctbal,
+       CASE WHEN op = 'D' THEN o_seg ELSE n_seg END AS c_mktsegment
+FROM j WHERE op IS NOT NULL
+"""
+
+
+@register(
+    "snapshot_diff_customers",
+    oracle=_DIFF_ORACLE,
+    tags=("join", "cdc", "diff"),
+    late=True,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (``operators/cdc.py:snapshot_diff``) — the inverse
+    of MERGE, i.e. the change-data-feed a table format derives: two
+    versions of the customer snapshot (every 10th key deleted, keys
+    %7==3 re-priced +1000, keys %13==5 re-inserted shifted by 200000)
+    are diffed into one I/U/D row per differing key, null-safe on every
+    tracked attribute, identical rows absent. The round-trip law —
+    ``merge_upsert(old, diff(old, new)) == new`` — is property-tested in
+    ``tests/test_cdc.py``. The oracle constructs the same second version
+    and writes the diff as a full-outer join in SQL."""
+    from ghcn_d_etl_project_spark.operators.cdc import snapshot_diff
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 3, F.col("c_acctbal") + 1000
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 13 == 5).select(
+            (F.col("c_custkey") + 200000).alias("c_custkey"),
+            F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+            F.lit(100.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+    )
+    out = snapshot_diff(cust, new, key="c_custkey")
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "op",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )

@@ -560,3 +560,84 @@ def test_quantile_out_of_domain_clamps_to_edge_bins(spark):
     )
     for r in out.collect():
         assert 0.0 <= r.est <= 10.0
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_ops_and_values(spark):
+    from ghcn_d_etl_project_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "c", None), (4, "d2", 40.0), (9, "x", 90.0)],
+        "k long, name string, bal double",
+    )
+    got = {
+        r.k: (r.op, r.name, r.bal)
+        for r in snapshot_diff(old, new, "k").collect()
+    }
+    # k=3 identical (null-safely) -> absent; D carries OLD values
+    assert got == {
+        1: ("U", "a", 11.0),
+        2: ("D", "b", 20.0),
+        4: ("U", "d2", 40.0),
+        9: ("I", "x", 90.0),
+    }
+
+
+def test_snapshot_diff_merge_round_trip_randomized(spark):
+    """The defining law: merge_upsert(old, snapshot_diff(old, new)) must
+    reproduce new EXACTLY — across seeded random snapshot pairs with
+    overlapping keys, NULL attributes, and disjoint regions."""
+    import random
+
+    from ghcn_d_etl_project_spark.operators.cdc import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    for seed in (3, 17, 99):
+        rnd = random.Random(seed)
+
+        def rows():
+            out = []
+            for k in range(60):
+                if rnd.random() < 0.7:
+                    name = rnd.choice(["a", "b", None])
+                    bal = rnd.choice([None, round(rnd.uniform(0, 100), 2)])
+                    out.append((k, name, bal))
+            return out
+
+        old = spark.createDataFrame(rows(), "k long, name string, bal double")
+        new = spark.createDataFrame(rows(), "k long, name string, bal double")
+        diff = snapshot_diff(old, new, "k").withColumn(
+            "is_delete", F.col("op") == "D"
+        )
+        applied = merge_upsert(
+            old,
+            diff,
+            key="k",
+            set_cols={"name": "name", "bal": "bal"},
+            delete_col="is_delete",
+        )
+        key = lambda r: (r.k, repr(r.name), repr(r.bal))
+        assert sorted(map(key, applied.collect())) == sorted(
+            map(key, new.collect())
+        ), f"round trip failed for seed {seed}"
+
+
+def test_snapshot_diff_validates_inputs(spark):
+    from ghcn_d_etl_project_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    new = spark.createDataFrame([(1, 2.0)], "k long, bal double")
+    with pytest.raises(ValueError, match="diff key"):
+        snapshot_diff(old, new, "missing")
+    with pytest.raises(ValueError, match="reserved"):
+        snapshot_diff(old.withColumn("op", F.lit(1)), new, "k")
