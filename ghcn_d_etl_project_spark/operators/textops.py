@@ -122,19 +122,41 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
 def lang_id(col: Column | str) -> Column:
     """Stopword-overlap language ID: argmax over per-language hit counts,
     ties broken by alphabetical code order (first max wins), 'und' when no
-    stopword matches. Expressed as a when-ladder of pairwise comparisons
-    so a SQL oracle can state the identical CASE expression."""
+    stopword matches.
+
+    Physically an ``array_max`` over one ``(hits, rank, code)`` struct
+    per language — structs compare field-by-field, so max hits wins,
+    then the higher ``rank`` (= earlier alphabetical code) breaks ties;
+    the ``'und'`` fallback rides along as a zero-hit candidate whose
+    rank beats every real language, so it wins exactly the all-zero
+    case. This shape evaluates each language's tokenize+filter hits
+    expression ONCE in the plan. The original when-ladder of pairwise
+    comparisons (equivalent, and what the SQL oracle still states as a
+    CASE) textually repeated each hits expression ~45x per row; measured
+    honestly the rewrite buys ~15% (1.37s -> 1.18s on the sf0.1
+    documents scan) — Catalyst's subexpression elimination was already
+    sharing most of the duplicated trees, and the residual cost is the
+    five intrinsic filter passes over the token array. lang_id remains
+    the dominant expression in the corpus profile stage; the next lever
+    would be a stopword->language map literal with one lookup per token,
+    at the cost of the oracle's plain-CASE equivalence. Equivalence to
+    the ladder is pinned by ``test_lang_id_argmax_matches_when_ladder``."""
     codes = sorted(STOPWORDS)
-    hits = {code: stopword_hits(col, code) for code in codes}
-    expr = F.lit("und")
-    # build backwards so earlier codes take precedence on ties
-    for code in reversed(codes):
-        is_max = F.lit(True)
-        for other in codes:
-            if other != code:
-                is_max = is_max & (hits[code] >= hits[other])
-        expr = F.when((hits[code] > 0) & is_max, F.lit(code)).otherwise(expr)
-    return expr
+    candidates = [
+        F.struct(
+            F.lit(0).cast("long").alias("hits"),
+            F.lit(1).alias("rank"),
+            F.lit("und").alias("code"),
+        )
+    ] + [
+        F.struct(
+            stopword_hits(col, code).alias("hits"),
+            F.lit(-i).alias("rank"),
+            F.lit(code).alias("code"),
+        )
+        for i, code in enumerate(codes)
+    ]
+    return F.array_max(F.array(*candidates))["code"]
 
 
 def punct_ratio(col: Column | str) -> Column:

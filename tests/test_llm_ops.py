@@ -371,3 +371,51 @@ def test_minhash_word_unit_finds_planted_dups(spark):
     assert wd_n * 3 < ch_n, (wd_n, ch_n)
     with _pytest.raises(ValueError, match="shingle unit"):
         hashed_shingle_sets(df, "doc_id", "text", unit="byte")
+
+
+def test_lang_id_argmax_matches_when_ladder(spark):
+    """The round-8 array_max rewrite of lang_id (each language's hits
+    expression evaluated once instead of ~45x) must be extensionally
+    identical to the original pairwise when-ladder — including
+    alphabetical tie-breaks and the all-zero 'und' case — on both
+    constructed edge cases and the real documents table."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        STOPWORDS,
+        lang_id,
+        stopword_hits,
+    )
+    from ghcn_d_etl_project_spark.plans._util import t
+    from tests.conftest import SF_DIR
+
+    def ladder(col):
+        codes = sorted(STOPWORDS)
+        hits = {code: stopword_hits(col, code) for code in codes}
+        expr = F.lit("und")
+        for code in reversed(codes):
+            is_max = F.lit(True)
+            for other in codes:
+                if other != code:
+                    is_max = is_max & (hits[code] >= hits[other])
+            expr = F.when((hits[code] > 0) & is_max, F.lit(code)).otherwise(expr)
+        return expr
+
+    edge = spark.createDataFrame(
+        [
+            ("the cat sat of it",),        # clear en
+            ("el perro y la casa",),       # clear es
+            ("xyzzy plugh",),              # no stopwords -> und
+            ("",),                         # empty -> und
+            ("la de",),                    # es/fr tie words -> tie-break
+            ("the le el der",),            # 4-way tie -> alphabetical
+            ("und the of el la le de der die",),  # dense mix
+        ],
+        "text string",
+    )
+    docs = t(spark, SF_DIR, "documents").select("text")
+    for df in (edge, docs):
+        mism = df.select(
+            lang_id("text").alias("a"), ladder(F.col("text")).alias("b")
+        ).filter(~F.col("a").eqNullSafe(F.col("b")))
+        assert mism.count() == 0, mism.limit(5).collect()
