@@ -162,3 +162,99 @@ def cdc_apply_stream(
         .start()
     )
     q.awaitTermination(await_seconds)
+
+
+def scd2_apply_batch(
+    batch: DataFrame,
+    history_dir: str,
+    key: str | list[str],
+    attrs: list[str],
+    seq_col: str,
+    eff_col: str = "eff_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    strategy: str = "broadcast",
+    keep_versions: int = 2,
+) -> None:
+    """SCD2 twin of :func:`cdc_apply_batch`: apply one change batch onto
+    a VERSIONED SCD2 history (close/open semantics via
+    ``operators/cdc.py:scd2_apply``, broadcast arm-split by default so
+    the history's current slice never shuffles). The batch is collapsed
+    to the latest change per key first — scd2_apply's one-change-per-key
+    micro-batch contract.
+
+    Replay caveat (weaker than merge's idempotence): re-applying a batch
+    whose attrs already landed is a no-op (identical change), but
+    replays interleaved with OTHER successful batches can duplicate
+    close/open pairs — real deployments key the version directory to the
+    batch id (foreachBatch passes it) or use a table format's
+    transactional MERGE. The streaming entry point below relies on the
+    checkpoint to prevent cross-batch replays; same-batch crash replays
+    are safe."""
+    spark = batch.sparkSession
+    root = Path(history_dir)
+    current = (root / _POINTER).read_text().strip()
+    version = int(current.split("=")[1])
+    history = spark.read.parquet(str(root / current))
+    from ghcn_d_etl_project_spark.operators.cdc import scd2_apply
+
+    # scd2_apply projects only keys/attrs/eff_col from the change side,
+    # so a distinct seq_col simply rides along un-consumed
+    collapsed = latest_change_per_key(batch, key, seq_col)
+    applied = scd2_apply(
+        history,
+        collapsed,
+        key=key,
+        attrs=attrs,
+        eff_col=eff_col,
+        valid_from=valid_from,
+        valid_to=valid_to,
+        strategy=strategy,
+    )
+    new = f"v={version + 1}"
+    applied.write.mode("overwrite").parquet(str(root / new))
+    (root / _POINTER).write_text(new)
+    for old in sorted(
+        (p for p in root.glob("v=*") if p.is_dir()),
+        key=lambda p: int(p.name.split("=")[1]),
+    )[: -keep_versions if keep_versions > 0 else None]:
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def scd2_apply_stream(
+    changes: DataFrame,
+    history_dir: str,
+    key: str | list[str],
+    attrs: list[str],
+    seq_col: str,
+    checkpoint_path: str,
+    eff_col: str = "eff_ts",
+    strategy: str = "broadcast",
+    keep_versions: int = 2,
+    await_seconds: int = 300,
+) -> None:
+    """Drain a change stream onto the versioned SCD2 history — one
+    close/open application per micro-batch, exactly-once offsets via the
+    checkpoint (availableNow cron-cadence, like :func:`cdc_apply_stream`)."""
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        scd2_apply_batch(
+            batch,
+            history_dir,
+            key=key,
+            attrs=attrs,
+            seq_col=seq_col,
+            eff_col=eff_col,
+            strategy=strategy,
+            keep_versions=keep_versions,
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)

@@ -151,3 +151,70 @@ def test_cdc_apply_never_shuffles_snapshot(spark):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_scd2_stream_builds_history_across_runs(spark):
+    """Streaming SCD2: two cron-cadence drains build full attribute
+    lineage — batch 1 re-prices k1 (close + open), batch 2 re-prices it
+    again (second close + open) and opens a fresh key. Final history must
+    equal applying the same collapsed batches sequentially with
+    batch-mode scd2_apply."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.streaming.cdc import scd2_apply_stream
+
+    root = _reset()
+    hist_dir, ckpt, changes = str(root / "hist"), str(root / "ck2"), root / "ch2"
+    changes.mkdir()
+    base = spark.createDataFrame(
+        [(1, 10.0, dt.datetime(2024, 1, 1), None),
+         (2, 20.0, dt.datetime(2024, 1, 1), None)],
+        "k long, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    init_snapshot(base, hist_dir)
+
+    sch = "k long, bal double, eff_ts timestamp, seq long"
+    b1 = spark.createDataFrame(
+        [(1, 11.0, dt.datetime(2024, 2, 1), 1),
+         (1, 15.0, dt.datetime(2024, 2, 2), 2)],  # collapse keeps seq=2
+        sch,
+    )
+    b1.coalesce(1).write.parquet(str(changes / "b1"))
+    schema = spark.read.parquet(str(changes / "b1")).schema
+    stream = spark.readStream.schema(schema).parquet(str(changes / "*"))
+    scd2_apply_stream(
+        stream, hist_dir, key="k", attrs=["bal"], seq_col="seq",
+        checkpoint_path=ckpt,
+    )
+
+    b2 = spark.createDataFrame(
+        [(1, 30.0, dt.datetime(2024, 3, 1), 3),
+         (9, 90.0, dt.datetime(2024, 3, 1), 4)],
+        sch,
+    )
+    b2.coalesce(1).write.parquet(str(changes / "b2"))
+    stream = spark.readStream.schema(schema).parquet(str(changes / "*"))
+    scd2_apply_stream(
+        stream, hist_dir, key="k", attrs=["bal"], seq_col="seq",
+        checkpoint_path=ckpt,
+    )
+
+    got = sorted(
+        (r.k, r.bal, r.valid_from, r.valid_to)
+        for r in read_snapshot(spark, hist_dir).collect()
+    )
+    assert got == [
+        (1, 10.0, dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 2)),
+        (1, 15.0, dt.datetime(2024, 2, 2), dt.datetime(2024, 3, 1)),
+        (1, 30.0, dt.datetime(2024, 3, 1), None),
+        (2, 20.0, dt.datetime(2024, 1, 1), None),
+        (9, 90.0, dt.datetime(2024, 3, 1), None),
+    ]
+    # one current row per key; exactly-once on an empty re-drain
+    before = (Path(hist_dir) / "_CURRENT").read_text()
+    stream = spark.readStream.schema(schema).parquet(str(changes / "*"))
+    scd2_apply_stream(
+        stream, hist_dir, key="k", attrs=["bal"], seq_col="seq",
+        checkpoint_path=ckpt,
+    )
+    assert (Path(hist_dir) / "_CURRENT").read_text() == before
