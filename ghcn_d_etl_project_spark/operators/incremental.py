@@ -209,6 +209,13 @@ def finalize_quantiles(
     bin, clamped to the declared domain. Every step is portable SQL
     (windows + arithmetic) — the oracle twin runs the same construction
     in DuckDB and must agree bit-for-bit."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        # q > 1 would silently emit NO row (cum >= q*total never holds);
+        # q <= 0 trivially selects the first bin — both are caller bugs
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
     wb = Window.partitionBy(*keys).orderBy("__qbin")
     wk = Window.partitionBy(*keys)
     width = float(hi - lo) / n_bins

@@ -51,9 +51,11 @@ def latest_change_per_key(
     """Collapse a change batch to the LAST change per key (by ``seq_col``
     — a source offset / LSN / event timestamp). ``merge_upsert``'s
     contract is one change per key per batch; a CDC micro-batch can
-    carry several. Ties break toward the later row arbitrary-but-
-    deterministically via a final monotonic id, matching the "last write
-    wins" source contract. One shuffle over the (small) batch only."""
+    carry several. A ``seq_col`` TIE breaks via a monotonic id — stable
+    within one execution but NOT across re-runs with a different
+    partitioning, so sources that can emit equal sequence values for the
+    same key should supply a genuinely total order (offset, LSN) rather
+    than a coarse timestamp. One shuffle over the (small) batch only."""
     keys = [key] if isinstance(key, str) else list(key)
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), F.monotonically_increasing_id().desc()

@@ -641,3 +641,15 @@ def test_snapshot_diff_validates_inputs(spark):
         snapshot_diff(old, new, "missing")
     with pytest.raises(ValueError, match="reserved"):
         snapshot_diff(old.withColumn("op", F.lit(1)), new, "k")
+
+
+def test_finalize_quantiles_validates_qs(spark):
+    qp, mq, fq = _qops()
+    df = spark.createDataFrame([("k", 1.0)], "g string, v double")
+    m = mq([qp(df, ["g"], "v", 0.0, 10.0, 5)], ["g"])
+    with pytest.raises(ValueError, match="non-empty"):
+        fq(m, ["g"], 0.0, 10.0, 5, qs=())
+    with pytest.raises(ValueError, match="outside"):
+        fq(m, ["g"], 0.0, 10.0, 5, qs=(0.5, 1.5))
+    with pytest.raises(ValueError, match="outside"):
+        fq(m, ["g"], 0.0, 10.0, 5, qs=(0.0,))
