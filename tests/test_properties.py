@@ -178,3 +178,98 @@ def test_sessionize_invariants(spark, events, gap):
                 assert delta <= gap, (u, a.event_id, b.event_id, delta, gap)
             else:
                 assert delta > gap, (u, a.event_id, b.event_id, delta, gap)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),                 # key
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # name
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+            ),                                                       # bal
+        ),
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+            ),
+        ),
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_snapshot_diff_round_trip_law(spark, old_rows, new_rows):
+    """merge_upsert(old, snapshot_diff(old, new)) == new, for ARBITRARY
+    snapshot pairs (overlapping/disjoint keys, NULL attributes, empty
+    sides) — the law that makes diff the true inverse of merge."""
+    from ghcn_d_etl_project_spark.operators.cdc import merge_upsert, snapshot_diff
+
+    schema = "k long, name string, bal double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, "k").withColumn(
+        "is_delete", F.col("op") == "D"
+    )
+    applied = merge_upsert(
+        old, diff, key="k",
+        set_cols={"name": "name", "bal": "bal"},
+        delete_col="is_delete",
+    )
+    key = lambda r: (r.k, repr(r.name), repr(r.bal))
+    assert sorted(map(key, applied.collect())) == sorted(
+        map(key, new.collect())
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.floats(min_value=-50, max_value=150,  # incl. out-of-domain
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=4),  # number of batches
+)
+def test_quantile_partials_merge_law(spark, rows, n_batches):
+    """Histogram-sketch partials: splitting ARBITRARY data (including
+    out-of-domain values that clamp into edge bins) into any number of
+    batches and merging must be bit-identical to one-shot sketching."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_quantiles,
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)],
+        "g string, v double, i long",
+    )
+    args = (["g"], "v", 0.0, 100.0, 10)
+    batches = [df.filter(F.col("i") % n_batches == b) for b in range(n_batches)]
+    one = finalize_quantiles(
+        merge_quantile_partials([quantile_partial(df, *args)], ["g"]),
+        ["g"], 0.0, 100.0, 10, qs=(0.5, 0.9),
+    )
+    many = finalize_quantiles(
+        merge_quantile_partials(
+            [quantile_partial(b, *args) for b in batches], ["g"]
+        ),
+        ["g"], 0.0, 100.0, 10, qs=(0.5, 0.9),
+    )
+    key = lambda r: (r.g, r.q, repr(r.est))
+    assert sorted(map(key, one.collect())) == sorted(map(key, many.collect()))
