@@ -501,6 +501,7 @@ WHERE __rn = 1
     oracle=_QUANT_ORACLE,
     tags=("agg", "incremental", "quantile"),
     late=True,
+    bench=True,
 )
 def incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PERCENTILE maintenance

@@ -404,6 +404,7 @@ WHERE NOT (s.c_custkey IS NOT NULL AND s.is_delete)
     oracle=_MERGE_ORACLE,
     tags=("join", "cdc", "merge"),
     late=True,
+    bench=True,
 )
 def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics on DataFrames (``operators/cdc.py``): a
@@ -498,6 +499,7 @@ WHERE c.c_custkey IS NULL OR ch.c_acctbal <> c.c_acctbal
     oracle=_SCD2_ORACLE,
     tags=("join", "cdc", "scd2"),
     late=True,
+    bench=True,
 )
 def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history application (``operators/cdc.py:scd2_apply``): the
@@ -600,6 +602,7 @@ FROM j WHERE op IS NOT NULL
     oracle=_DIFF_ORACLE,
     tags=("join", "cdc", "diff"),
     late=True,
+    bench=True,
 )
 def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (``operators/cdc.py:snapshot_diff``) — the inverse
