@@ -359,3 +359,30 @@ def test_runtime_bloom_filter_injection_conditions(spark):
             old_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_incremental_quantiles_plan_shape(spark):
+    """The maintained-quantile query's 100 TB posture: the only heavy
+    work is the two batch-partial scans (history + delta arms — in
+    production the history partial is STORED, so this is the worst
+    case), collapsed map-side by partial HashAggregates; everything
+    after the merge runs over the tiny keys x bins rollup. No joins, no
+    cartesian anywhere."""
+    plan = _plan(spark, "incremental_quantiles")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # map-side partial aggregation
+
+
+def test_snapshot_diff_plan_shape(spark):
+    """snapshot_diff's posture: BOTH sides are snapshots, so the diff is
+    ONE shuffle join (SortMergeJoin FullOuter — broadcast is neither
+    possible nor desirable here; bucketing both versions removes the
+    shuffle), and never a cartesian."""
+    plan = _plan(spark, "snapshot_diff_customers")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
