@@ -67,6 +67,27 @@ def latest_change_per_key(
     )
 
 
+def _current_version(root: Path) -> int:
+    return int((root / _POINTER).read_text().strip().split("=")[1])
+
+
+def _commit_version(
+    df: DataFrame, root: Path, version: int, keep_versions: int
+) -> None:
+    """Write ``df`` as ``v=version+1``, swap the pointer, prune old
+    versions down to ``keep_versions``. Overwrite (not errorifexists):
+    a replayed micro-batch that crashed between write and pointer swap
+    must be able to rewrite its version."""
+    new = f"v={version + 1}"
+    df.write.mode("overwrite").parquet(str(root / new))
+    (root / _POINTER).write_text(new)
+    for old in sorted(
+        (p for p in root.glob("v=*") if p.is_dir()),
+        key=lambda p: int(p.name.split("=")[1]),
+    )[: -keep_versions if keep_versions > 0 else None]:
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def init_snapshot(df: DataFrame, snapshot_dir: str) -> None:
     """Materialize version 0 of a snapshot directory."""
     root = Path(snapshot_dir)
@@ -74,11 +95,46 @@ def init_snapshot(df: DataFrame, snapshot_dir: str) -> None:
     (root / _POINTER).write_text("v=0")
 
 
-def read_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
-    """Read the snapshot version the pointer currently names."""
+def read_snapshot(
+    spark: SparkSession, snapshot_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the snapshot version the pointer currently names, or — time
+    travel — an explicit retained ``version`` (bounded by
+    ``keep_versions`` at apply time; asking for a pruned version raises
+    with the retained list, not a bare path error)."""
     root = Path(snapshot_dir)
-    current = (root / _POINTER).read_text().strip()
-    return spark.read.parquet(str(root / current))
+    if version is None:
+        current = (root / _POINTER).read_text().strip()
+        return spark.read.parquet(str(root / current))
+    target = root / f"v={version}"
+    if not target.is_dir():
+        retained = sorted(
+            int(p.name.split("=")[1]) for p in root.glob("v=*") if p.is_dir()
+        )
+        raise ValueError(
+            f"snapshot version {version} not retained (have {retained}; "
+            f"raise keep_versions to retain more)"
+        )
+    return spark.read.parquet(str(target))
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    snapshot_dir: str,
+    num_files: int = 1,
+    keep_versions: int = 2,
+) -> None:
+    """Rewrite the CURRENT version into ``num_files`` files as a new
+    version (pointer-swapped like any apply). Every merge writes
+    shuffle-partition-many files, so a long-lived snapshot accumulates
+    small files that tax the scan side of every subsequent merge — the
+    standard lakehouse OPTIMIZE/compact step, expressed on the same
+    copy-on-write versioning. ``coalesce`` (not repartition): narrowing
+    the file count must not shuffle the data it is trying to tidy."""
+    root = Path(snapshot_dir)
+    version = _current_version(root)
+    df = spark.read.parquet(str(root / f"v={version}")).coalesce(num_files)
+    _commit_version(df, root, version, keep_versions)
 
 
 def cdc_apply_batch(
@@ -99,9 +155,8 @@ def cdc_apply_batch(
     streaming entry point below is this function per micro-batch."""
     spark = batch.sparkSession
     root = Path(snapshot_dir)
-    current = (root / _POINTER).read_text().strip()
-    version = int(current.split("=")[1])
-    target = spark.read.parquet(str(root / current))
+    version = _current_version(root)
+    target = spark.read.parquet(str(root / f"v={version}"))
     collapsed = latest_change_per_key(batch, key, seq_col).drop(seq_col)
     merged = merge_upsert(
         target,
@@ -112,16 +167,7 @@ def cdc_apply_batch(
         delete_col=delete_col,
         strategy=strategy,
     )
-    new = f"v={version + 1}"
-    # overwrite, not errorifexists: a replayed micro-batch that crashed
-    # between write and pointer swap must be able to rewrite its version
-    merged.write.mode("overwrite").parquet(str(root / new))
-    (root / _POINTER).write_text(new)
-    for old in sorted(
-        (p for p in root.glob("v=*") if p.is_dir()),
-        key=lambda p: int(p.name.split("=")[1]),
-    )[: -keep_versions if keep_versions > 0 else None]:
-        shutil.rmtree(old, ignore_errors=True)
+    _commit_version(merged, root, version, keep_versions)
 
 
 def cdc_apply_stream(
@@ -195,9 +241,8 @@ def scd2_apply_batch(
     are safe."""
     spark = batch.sparkSession
     root = Path(history_dir)
-    current = (root / _POINTER).read_text().strip()
-    version = int(current.split("=")[1])
-    history = spark.read.parquet(str(root / current))
+    version = _current_version(root)
+    history = spark.read.parquet(str(root / f"v={version}"))
     from ghcn_d_etl_project_spark.operators.cdc import scd2_apply
 
     # scd2_apply projects only keys/attrs/eff_col from the change side,
@@ -213,14 +258,7 @@ def scd2_apply_batch(
         valid_to=valid_to,
         strategy=strategy,
     )
-    new = f"v={version + 1}"
-    applied.write.mode("overwrite").parquet(str(root / new))
-    (root / _POINTER).write_text(new)
-    for old in sorted(
-        (p for p in root.glob("v=*") if p.is_dir()),
-        key=lambda p: int(p.name.split("=")[1]),
-    )[: -keep_versions if keep_versions > 0 else None]:
-        shutil.rmtree(old, ignore_errors=True)
+    _commit_version(applied, root, version, keep_versions)
 
 
 def scd2_apply_stream(

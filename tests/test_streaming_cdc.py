@@ -218,3 +218,37 @@ def test_scd2_stream_builds_history_across_runs(spark):
         checkpoint_path=ckpt,
     )
     assert (Path(hist_dir) / "_CURRENT").read_text() == before
+
+
+def test_snapshot_time_travel_and_compaction(spark):
+    """Versioned-store completeness: read_snapshot(version=N) time-travels
+    to any retained version (pruned versions raise with the retained
+    list), and compact_snapshot rewrites the current version into a
+    bounded file count without changing its rows."""
+    from ghcn_d_etl_project_spark.streaming.cdc import compact_snapshot
+
+    root = _reset()
+    snap = str(root / "snap")
+    _init(spark, snap)
+    b1 = spark.createDataFrame([(1, 11.0, False, 1)], CH_SCHEMA)
+    cdc_apply_batch(b1, snap, keep_versions=3, **_kw())
+
+    # time travel: v0 still has the original balance, v1 the update
+    assert {r.bal for r in read_snapshot(spark, snap, version=0)
+            .filter(F.col("k") == 1).collect()} == {10.0}
+    assert {r.bal for r in read_snapshot(spark, snap, version=1)
+            .filter(F.col("k") == 1).collect()} == {11.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not retained"):
+        read_snapshot(spark, snap, version=99)
+
+    rows_before = sorted(
+        (r.k, r.name, r.bal) for r in read_snapshot(spark, snap).collect()
+    )
+    compact_snapshot(spark, snap, num_files=1, keep_versions=2)
+    compacted = read_snapshot(spark, snap)
+    assert sorted(
+        (r.k, r.name, r.bal) for r in compacted.collect()
+    ) == rows_before
+    assert len(compacted.inputFiles()) == 1
+    assert (Path(snap) / "_CURRENT").read_text() == "v=2"
