@@ -366,3 +366,35 @@ def snapshot_diff(
             for a in attrs
         ],
     )
+
+
+def evolve_target_schema(
+    target: DataFrame, source: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Schema evolution for drifting CDC feeds: return ``target`` with
+    every non-key ``source`` column it lacks appended as a typed NULL
+    column, so a subsequent :func:`merge_upsert` with default
+    ``set_cols`` carries the new attribute (NULL for never-updated rows,
+    the source value on update/insert) — the ADD-COLUMN half of what a
+    table format's ``mergeSchema`` does, as a pure projection (zero
+    shuffle, zero scan cost beyond the merge itself).
+
+    Type CHANGES are refused loudly: a column present on both sides with
+    different types raises instead of silently casting — narrowing casts
+    corrupt data, and widening policy belongs to the caller.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    for c in source.columns:
+        if c in target.columns and c not in keys:
+            st, tt = source.schema[c].dataType, target.schema[c].dataType
+            if st != tt:
+                raise ValueError(
+                    f"type change for column {c!r}: target {tt.simpleString()} "
+                    f"vs source {st.simpleString()} — cast explicitly"
+                )
+    new_cols = [
+        F.lit(None).cast(source.schema[c].dataType).alias(c)
+        for c in source.columns
+        if c not in target.columns and c not in keys
+    ]
+    return target.select("*", *new_cols) if new_cols else target

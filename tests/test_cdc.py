@@ -653,3 +653,37 @@ def test_finalize_quantiles_validates_qs(spark):
         fq(m, ["g"], 0.0, 10.0, 5, qs=(0.5, 1.5))
     with pytest.raises(ValueError, match="outside"):
         fq(m, ["g"], 0.0, 10.0, 5, qs=(0.0,))
+
+
+def test_evolve_target_schema_then_merge(spark):
+    """A change feed growing a new column: evolve adds it as typed NULL
+    on the target, and the subsequent default-set_cols merge carries it
+    — NULL for untouched rows, the source value on update and insert.
+    A type CHANGE on an existing column refuses loudly."""
+    from ghcn_d_etl_project_spark.operators.cdc import (
+        evolve_target_schema,
+        merge_upsert,
+    )
+
+    target = _target(spark)  # k, name, bal
+    source = spark.createDataFrame(
+        [(1, 11.0, "gold"), (9, 99.0, "new")],
+        "k long, bal double, tier string",
+    )
+    evolved = evolve_target_schema(target, source, key="k")
+    assert evolved.columns == ["k", "name", "bal", "tier"]
+    assert dict(evolved.dtypes)["tier"] == "string"
+    out = merge_upsert(evolved, source, key="k")
+    got = {r.k: (r.name, r.bal, r.tier) for r in out.collect()}
+    assert got == {
+        1: ("a", 11.0, "gold"),
+        2: ("b", 20.0, None),
+        3: ("c", 30.0, None),
+        9: (None, 99.0, "new"),
+    }
+    # no new columns -> same frame back, no projection added
+    assert evolve_target_schema(target, target, key="k").columns == target.columns
+
+    bad = spark.createDataFrame([(1, "11")], "k long, bal string")
+    with pytest.raises(ValueError, match="type change"):
+        evolve_target_schema(target, bad, key="k")
