@@ -273,3 +273,87 @@ def test_quantile_partials_merge_law(spark, rows, n_batches):
     )
     key = lambda r: (r.g, r.q, repr(r.est))
     assert sorted(map(key, one.collect())) == sorted(map(key, many.collect()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # history: (key, attr, closed?) — one current row per key
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+            st.booleans(),
+        ),
+        max_size=20,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(  # changes: (key, new_attr) — one change per key
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+        ),
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    st.sampled_from(["shuffle", "broadcast"]),
+)
+def test_scd2_invariants(spark, hist_rows, change_rows, strategy):
+    """SCD2 laws on arbitrary inputs, both physical strategies: (1) at
+    most one current row per key, and exactly one for every key that was
+    current or changed; (2) pre-existing closed rows pass through
+    untouched; (3) every newly-closed row's valid_to equals the change's
+    eff_ts; (4) row count grows by exactly the number of real changes."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.cdc import scd2_apply
+
+    t0, t_closed, t_eff = (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 5),
+        dt.datetime(2024, 2, 1),
+    )
+    hist = spark.createDataFrame(
+        [
+            (k, a, t0, t_closed if closed else None)
+            for k, a, closed in hist_rows
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(k, a, t_eff) for k, a in change_rows],
+        "k long, attr string, eff_ts timestamp",
+    )
+    out = scd2_apply(
+        hist, changes, key="k", attrs=["attr"], strategy=strategy
+    ).collect()
+
+    current = {}
+    for r in out:
+        if r.valid_to is None:
+            assert r.k not in current, f"two current rows for key {r.k}"
+            current[r.k] = r.attr
+
+    prev_current = {k: a for k, a, closed in hist_rows if not closed}
+    changed = dict(change_rows)
+    # (1) exactly the expected keys are current, with the latest value
+    expect_current = dict(prev_current)
+    expect_current.update(changed)
+    assert current == expect_current
+
+    # (2) pre-existing closed rows untouched
+    closed_in = sorted(
+        (k, a) for k, a, closed in hist_rows if closed
+    )
+    closed_out = sorted(
+        (r.k, r.attr) for r in out if r.valid_to == t_closed
+    )
+    assert closed_in == closed_out
+
+    # (3)+(4): each REAL change (differs null-safely, or new key) closes
+    # at eff and adds exactly one row
+    real = {
+        k for k, a in changed.items()
+        if k not in prev_current or prev_current[k] != a
+    }
+    newly_closed = {r.k for r in out if r.valid_to == t_eff}
+    assert newly_closed == {k for k in real if k in prev_current}
+    assert len(out) == len(hist_rows) + len(real)
