@@ -242,3 +242,63 @@ def finalize_quantiles(
     est = F.lit(float(lo)) + F.lit(width) * (F.col("__qbin") + frac)
     est = F.least(F.lit(float(hi)), F.greatest(F.lit(float(lo)), est))
     return first.select(*keys, "q", est.alias(out_name))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable top-k maintenance: incremental heavy hitters (exact)
+# ---------------------------------------------------------------------------
+
+
+def topk_partial(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-(key, value) occurrence counts over one batch — the mergeable
+    partial for EXACT maintained top-k. One shuffle over the batch.
+
+    Honest state bound: exact top-k cannot be maintained from O(k)
+    state (an unseen value may overtake later), so the stored rollup is
+    O(keys x distinct values) — the right tool when the value domain is
+    bounded (domains, languages, labels, suppliers); for unbounded
+    domains the bounded-memory alternative is an approximate
+    SpaceSaving/count-min sketch, a different (approximate) contract
+    this engine exposes via ``approx_distinct``-style rows-only checks
+    rather than pretending exactness."""
+    return df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).alias("__tk_cnt")
+    )
+
+
+def merge_topk_partials(parts: list[DataFrame], keys: list[str], value_col: str) -> DataFrame:
+    """Fold count partials: union → groupBy(keys, value) → sum.
+    Associative and commutative — batch-by-batch maintenance equals
+    one-shot; cost O(sum of partial sizes), never O(history rows)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(*keys, value_col).agg(
+        F.sum("__tk_cnt").alias("__tk_cnt")
+    )
+
+
+def finalize_topk(
+    merged: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int,
+    count_name: str = "n",
+) -> DataFrame:
+    """Rank the merged rollup and keep each key's top ``k`` values —
+    count desc, value asc as the deterministic tie-break (both engines
+    rank identically, so the oracle can assert exact rows). The window
+    runs over the rollup (keys x values), never the raw history."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__tk_cnt").desc(), F.col(value_col).asc()
+    )
+    return (
+        merged.withColumn("__tk_rn", F.row_number().over(w))
+        .filter(F.col("__tk_rn") <= k)
+        .select(
+            *keys,
+            value_col,
+            F.col("__tk_cnt").cast("long").alias(count_name),
+            F.col("__tk_rn").cast("long").alias("rank"),
+        )
+    )

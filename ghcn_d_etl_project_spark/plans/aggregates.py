@@ -535,3 +535,62 @@ def incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = merge_quantile_partials(parts, keys)
     return finalize_quantiles(merged, keys, lo, hi, n, qs=(0.5, 0.95, 0.99))
+
+
+# ---------------------------------------------------------------------------
+# Incremental top-k maintenance (extension): exact heavy hitters
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_suppkey AS BIGINT) AS l_suppkey,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, l_suppkey, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_suppkey ASC) AS rank
+  FROM counts
+)
+SELECT l_returnflag, l_suppkey, CAST(n AS BIGINT) AS n,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "incremental_topk",
+    oracle=_TOPK_ORACLE,
+    tags=("agg", "incremental", "topk"),
+    late=True,
+)
+def incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT top-k maintenance
+    (``operators/incremental.py:topk_partial``): the five most frequent
+    suppliers per return flag, maintained as a mergeable per-(key,
+    value) count rollup — history and delta batches (orderkey % 4) each
+    reduce to count partials, fold by summation, finalize by ranking
+    the rollup (count desc, supplier asc tie-break, deterministic on
+    both engines). O(keys x suppliers) state, never O(history rows);
+    the oracle is the one-pass full recompute that the merge path must
+    reproduce exactly."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_topk,
+        merge_topk_partials,
+        topk_partial,
+    )
+
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "l_suppkey", F.col("l_suppkey").cast("long")
+    )
+    history = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    keys = ["l_returnflag"]
+    parts = [
+        topk_partial(history, keys, "l_suppkey"),
+        topk_partial(delta, keys, "l_suppkey"),
+    ]
+    return finalize_topk(
+        merge_topk_partials(parts, keys, "l_suppkey"), keys, "l_suppkey", k=5
+    )

@@ -687,3 +687,42 @@ def test_evolve_target_schema_then_merge(spark):
     bad = spark.createDataFrame([(1, "11")], "k long, bal string")
     with pytest.raises(ValueError, match="type change"):
         evolve_target_schema(target, bad, key="k")
+
+
+def test_topk_partials_merge_equals_one_shot_with_ties(spark):
+    """Maintained top-k: any batch split merges to the one-shot answer,
+    overtakes across batches are honored (a value unseen in batch 1 can
+    win overall), and ties rank deterministically (count desc, value
+    asc)."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        finalize_topk,
+        merge_topk_partials,
+        topk_partial,
+    )
+
+    rows = (
+        [("g", "b")] * 5 + [("g", "a")] * 5      # tie: a ranks before b
+        + [("g", "c")] * 2 + [("g", "d")] * 7    # d overtakes in batch 2
+    )
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v string, i long"
+    )
+    batches = [df.filter(F.col("i") < 9), df.filter(F.col("i") >= 9)]
+    one = finalize_topk(
+        merge_topk_partials([topk_partial(df, ["g"], "v")], ["g"], "v"),
+        ["g"], "v", k=3,
+    )
+    merged = finalize_topk(
+        merge_topk_partials(
+            [topk_partial(b, ["g"], "v") for b in batches], ["g"], "v"
+        ),
+        ["g"], "v", k=3,
+    )
+    expect = [("g", "d", 7, 1), ("g", "a", 5, 2), ("g", "b", 5, 3)]
+    key = lambda r: (r.g, r.v, r.n, r.rank)
+    assert sorted(map(key, one.collect()), key=lambda x: x[3]) == expect
+    assert sorted(map(key, merged.collect()), key=lambda x: x[3]) == expect
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k >= 1"):
+        finalize_topk(topk_partial(df, ["g"], "v"), ["g"], "v", k=0)
