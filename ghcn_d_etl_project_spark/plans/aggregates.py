@@ -594,3 +594,36 @@ def incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_topk(
         merge_topk_partials(parts, keys, "l_suppkey"), keys, "l_suppkey", k=5
     )
+
+
+@register(
+    "incremental_distinct",
+    oracle=None,
+    tags=("agg", "incremental", "sketch"),
+)
+def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT-COUNT maintenance
+    (``operators/incremental.py:distinct_partial``): per-returnflag
+    distinct part counts over lineitem, maintained as mergeable
+    DataSketches HLL binaries (Spark-native ``hll_sketch_agg`` /
+    ``hll_union_agg``) — store the sketch, not the values: O(2^lg_k)
+    bytes per key regardless of history size. Rows-only checked: the
+    estimate is implementation-defined (DuckDB's HLL differs), so the
+    oracle-grade guarantee is the pytest error-band contract (merged
+    within the sketch band of exact AND of a one-shot sketch;
+    stepwise union == flat union)."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        distinct_partial,
+        finalize_distinct,
+        merge_distinct_partials,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    history = li.filter(F.col("l_orderkey") % 4 != 0)
+    delta = li.filter(F.col("l_orderkey") % 4 == 0)
+    keys = ["l_returnflag"]
+    parts = [
+        distinct_partial(history, keys, "l_partkey"),
+        distinct_partial(delta, keys, "l_partkey"),
+    ]
+    return finalize_distinct(merge_distinct_partials(parts, keys), keys)

@@ -726,3 +726,47 @@ def test_topk_partials_merge_equals_one_shot_with_ties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k >= 1"):
         finalize_topk(topk_partial(df, ["g"], "v"), ["g"], "v", k=0)
+
+
+def test_distinct_partials_error_bands(spark):
+    """Maintained distinct counts: merged-partial estimates land within
+    the HLL error band of exact AND of the one-shot sketch (sparse-mode
+    promotion makes bit-equality impossible — the contract is the
+    band), and stepwise merge agrees with all-at-once."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        distinct_partial,
+        finalize_distinct,
+        merge_distinct_partials,
+    )
+
+    lg_k = 12
+    band = 3 * 1.04 / math.sqrt(2 ** lg_k)  # ~4.9% at lg_k=12
+    df = spark.createDataFrame(
+        [("g", i % 3000, i) for i in range(9000)], "g string, v long, i long"
+    )
+    batches = [df.filter(F.col("i") % 3 == b) for b in range(3)]
+    parts = [distinct_partial(b, ["g"], "v", lg_k) for b in batches]
+
+    one = finalize_distinct(
+        merge_distinct_partials(
+            [distinct_partial(df, ["g"], "v", lg_k)], ["g"]
+        ), ["g"],
+    ).collect()[0].approx_distinct
+    merged = finalize_distinct(
+        merge_distinct_partials(parts, ["g"]), ["g"]
+    ).collect()[0].approx_distinct
+    stepwise = finalize_distinct(
+        merge_distinct_partials(
+            [merge_distinct_partials(parts[:2], ["g"]), parts[2]], ["g"]
+        ), ["g"],
+    ).collect()[0].approx_distinct
+
+    exact = 3000
+    for est in (one, merged, stepwise):
+        assert abs(est - exact) / exact <= band, (est, exact)
+    assert abs(merged - one) / exact <= band
+    # register-max associativity: stepwise union == flat union exactly
+    # (both paths end fully dense here)
+    assert stepwise == merged
