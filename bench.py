@@ -72,15 +72,20 @@ after, and times a fixed micro-calibration query (``monthly_agg`` at the
 small build SF, median of 3 after one throwaway) at both ends of the
 run. ``"contended": true`` is emitted when EITHER calibration median
 exceeds ``SPARK_GRAFT_BENCH_CALIB_IDLE`` (default 0.45s; measured
-in-bench idle steady state 0.36-0.37s) x ``SPARK_GRAFT_BENCH_CALIB_BAND``
-(default 1.4), OR the START 1-minute loadavg — sampled before this
-process spins up Spark, so it reflects only OTHER work on the box —
-exceeds ``SPARK_GRAFT_BENCH_LOAD_FRAC`` (default 0.25) x cpu count.
-Two signals because they fail differently: calibration under-reads
-moderate oversubscription (short tasks still get scheduled; 40 spinners
-on 32 CPUs read only 1.4-1.6x), while loadavg lags a minute behind
-load that starts mid-run — together a contaminated artifact declares
-itself.
+in-bench idle steady state 0.34-0.44s) x ``SPARK_GRAFT_BENCH_CALIB_BAND``
+(default 1.4), OR a driver-side SPIN PROBE (median of 5 x 0.2s busy
+loops, measured before Spark starts and again after the headline loop)
+drops below ``SPARK_GRAFT_BENCH_SPIN_BASELINE`` (default 6.5e6 it/s,
+this machine's idle rate) / 1.8. Two signals because they fail
+differently: the Spark calibration under-reads moderate
+oversubscription (short tasks still get scheduled; 40 spinners on 32
+CPUs read only 1.4-1.6x) while the spin probe halves (6.5-7 -> 2.4-3.5
+M it/s measured); and the spin probe measures ACTUAL scheduling delay
+where 1-minute loadavg — the earlier design — false-positives for a
+minute after any heavy job on the box exits (its decaying average
+counts processes that no longer run). Loadavg is still RECORDED as
+context, but it no longer feeds the flag. The end calibration runs
+BEFORE the GHCN side metric on purpose — see the inline note.
 
 Failure posture (round-4 lesson: one broken plan must not silence the
 whole bench):
@@ -290,6 +295,20 @@ def _stats(runs: list[float]) -> tuple[float, float, float]:
     return _pct(s, 0.5), s[0], _pct(s, 0.75) - _pct(s, 0.25)
 
 
+def _spin_rate(samples: int = 5, dur: float = 0.2) -> float:
+    """Median it/s of short driver-side busy loops — a direct probe of
+    CPU scheduling delay (halves under real oversubscription, immune to
+    JVM state and to loadavg's post-job decay lag)."""
+    rates = []
+    for _ in range(samples):
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < dur:
+            n += 1
+        rates.append(n / dur)
+    return sorted(rates)[samples // 2]
+
+
 def _calibrate(spark, registry, build_dir: str) -> float | None:
     """Median of 3 timed runs (after one throwaway) of the fixed
     micro-calibration query at the small SF. Returns None when the small
@@ -310,6 +329,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
     load_start = os.getloadavg()
+    spin_start = _spin_rate()
     spark = get_spark(app_name="bench")
 
     # clamped to >=1: with 0 the adaptive while-clause would evaluate
@@ -416,6 +436,19 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
+    # Load calibration pass #2: immediately after the headline loop, so
+    # it brackets exactly the window `value`/`core13` measure. It must
+    # run BEFORE the GHCN side metric: that pipeline generates 913 files
+    # and persists two layers, and the post-pipeline JVM state (GC
+    # pressure, evicted code cache) inflates the micro-calibration ~2.5x
+    # on a genuinely idle machine — a false "contended" on every run
+    # (observed: calib_end 0.97s after ghcn_e2e vs 0.34-0.44s before).
+    try:
+        calib_end = _calibrate(spark, registry, build_dir)
+    except Exception:  # noqa: BLE001
+        calib_end = None
+    spin_end = _spin_rate()
+
     # GHCN end-to-end medallion wall-clock (side metric; disable with
     # SPARK_GRAFT_BENCH_GHCN=0). The reference's one published number is
     # its bronze build (1h25m for the full 913-file archive on a
@@ -429,24 +462,21 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — side metric must not kill bench
             ghcn_e2e = {"error": _err(e)}
 
-    # Load calibration pass #2: AFTER everything timed, so contention
-    # arriving mid-run is caught too.
-    try:
-        calib_end = _calibrate(spark, registry, build_dir)
-    except Exception:  # noqa: BLE001
-        calib_end = None
     load_end = os.getloadavg()
-    load_frac = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_FRAC", "0.25"))
+    spin_base = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SPIN_BASELINE", "6.5e6")
+    )
     cpus = os.cpu_count() or 1
     contended = any(
         c is not None and c > calib_idle * calib_band
         for c in (calib_start, calib_end)
-    ) or load_start[0] > load_frac * cpus
+    ) or any(sp < spin_base / 1.8 for sp in (spin_start, spin_end))
     load = {
         "avg1m_start": round(load_start[0], 2),
         "avg1m_end": round(load_end[0], 2),
         "cpus": cpus,
-        "load_frac": load_frac,
+        "spin_mps": [round(spin_start / 1e6, 2), round(spin_end / 1e6, 2)],
+        "spin_baseline_mps": round(spin_base / 1e6, 2),
         "calib_start_sec": calib_start,
         "calib_end_sec": calib_end,
         "calib_idle_sec": calib_idle,
@@ -469,6 +499,7 @@ def main() -> None:
         "load": {
             "avg1m": [load["avg1m_start"], load["avg1m_end"]],
             "calib": [calib_start, calib_end],
+            "spin": load["spin_mps"],
         },
         "contended": contended,
     }
