@@ -75,8 +75,13 @@ exceeds ``SPARK_GRAFT_BENCH_CALIB_IDLE`` (default 0.45s; measured
 in-bench idle steady state 0.34-0.44s) x ``SPARK_GRAFT_BENCH_CALIB_BAND``
 (default 1.4), OR a driver-side SPIN PROBE (median of 5 x 0.2s busy
 loops, measured before Spark starts and again after the headline loop)
-drops below ``SPARK_GRAFT_BENCH_SPIN_BASELINE`` (default 6.5e6 it/s,
-this machine's idle rate) / 1.8. Two signals because they fail
+drops below the spin REFERENCE / 1.8, where the reference is the max
+of ``SPARK_GRAFT_BENCH_SPIN_BASELINE`` (default 6.5e6 it/s, this
+machine's cold-idle rate) and both of the run's own probes — frequency
+boost pushes a warmed post-loop probe to ~11 M it/s on this host, so a
+run clean at either end raises its own bar and a start-contended run
+(observed: spins 4.1 -> 11.33, every query ~1.35x slow) can no longer
+hide under the static threshold. Two signals because they fail
 differently: the Spark calibration under-reads moderate
 oversubscription (short tasks still get scheduled; 40 spinners on 32
 CPUs read only 1.4-1.6x) while the spin probe halves (6.5-7 -> 2.4-3.5
@@ -86,6 +91,12 @@ minute after any heavy job on the box exits (its decaying average
 counts processes that no longer run). Loadavg is still RECORDED as
 context, but it no longer feeds the flag. The end calibration runs
 BEFORE the GHCN side metric on purpose — see the inline note.
+
+Operational note (how the r7/r8 contaminated numbers happened): run
+this script SYNCHRONOUSLY and do nothing else on the box. A bench
+launched in the background while an agent/driver process keeps working
+measures that process too — observed as a uniform ~1.35x inflation
+across every query with loadavg near 1.
 
 Failure posture (round-4 lesson: one broken plan must not silence the
 whole bench):
@@ -466,11 +477,20 @@ def main() -> None:
     spin_base = float(
         os.environ.get("SPARK_GRAFT_BENCH_SPIN_BASELINE", "6.5e6")
     )
+    # The spin reference is the BEST of (env baseline, both probes): CPU
+    # frequency boost makes a post-loop probe on this host read up to
+    # ~11 M it/s vs the ~6.9 cold-idle median, so a run that was clean at
+    # either end raises its own bar. Observed failure this closed: a run
+    # with spins (4.1, 11.33) — contended at start by a concurrent
+    # process, uniformly ~1.35x slow — passed the static 6.5/1.8=3.6
+    # threshold; against its own 11.33 reference it flags correctly,
+    # while a clean run (7.36, 10.82) stays below the flag either way.
+    spin_ref = max(spin_start, spin_end, spin_base)
     cpus = os.cpu_count() or 1
     contended = any(
         c is not None and c > calib_idle * calib_band
         for c in (calib_start, calib_end)
-    ) or any(sp < spin_base / 1.8 for sp in (spin_start, spin_end))
+    ) or any(sp < spin_ref / 1.8 for sp in (spin_start, spin_end))
     load = {
         "avg1m_start": round(load_start[0], 2),
         "avg1m_end": round(load_end[0], 2),
