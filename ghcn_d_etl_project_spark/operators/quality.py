@@ -302,3 +302,118 @@ def recommendations(
     if not recs:
         recs.append("All validation checks passed - data quality is good")
     return recs
+
+
+def corr_pairs(
+    df: DataFrame, pairs: list[tuple[str, str]], round_digits: int = 6
+) -> DataFrame:
+    """Pearson correlation + population covariance for column PAIRS, one
+    deterministic scan for all of them.
+
+    Extends ``summary_stats``'s exact-moment recipe to cross-moments:
+    per-row double products (bit-identical across engines) are quantized
+    to DECIMAL and summed exactly, then each pair's correlation is ONE
+    double expression over identical sums —
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    — so the result is reproducible regardless of partitioning, unlike
+    ``F.corr``'s order-dependent streaming co-moment accumulation. Output
+    long format: (col_x, col_y, n, covar_pop, corr), one row per pair,
+    produced by a stack over the single wide aggregate row (no union of
+    per-pair scans). NULL-complete rows only: rows where either side is
+    NULL are excluded per pair via conditional moments (matching SQL
+    ``corr``/``covar_pop`` two-sided NULL semantics).
+    """
+    cols = sorted({c for p in pairs for c in p})
+    aggs: list[Column] = []
+    for cx, cy in pairs:
+        x, y = F.col(cx), F.col(cy)
+        both = x.isNotNull() & y.isNotNull()
+        xs, ys = F.when(both, x), F.when(both, y)
+        tag = f"{cx}__{cy}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"{tag}__n"),
+            F.sum(xs.cast("decimal(28,4)")).cast("double").alias(f"{tag}__sx"),
+            F.sum(ys.cast("decimal(28,4)")).cast("double").alias(f"{tag}__sy"),
+            F.sum((xs * xs).cast("decimal(30,6)")).cast("double").alias(f"{tag}__sxx"),
+            F.sum((ys * ys).cast("decimal(30,6)")).cast("double").alias(f"{tag}__syy"),
+            F.sum((xs * ys).cast("decimal(30,6)")).cast("double").alias(f"{tag}__sxy"),
+        ]
+    wide = df.agg(*aggs)
+    parts = [
+        f"'{cx}', '{cy}', `{cx}__{cy}__n`, `{cx}__{cy}__sx`, `{cx}__{cy}__sy`, "
+        f"`{cx}__{cy}__sxx`, `{cx}__{cy}__syy`, `{cx}__{cy}__sxy`"
+        for cx, cy in pairs
+    ]
+    stacked = wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {', '.join(parts)}) as "
+            "(col_x, col_y, n, sx, sy, sxx, syy, sxy)"
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return stacked.select(
+        "col_x",
+        "col_y",
+        F.col("n").cast("long").alias("n"),
+        F.round((sxy - sx * sy / n) / n, round_digits).alias("covar_pop"),
+        F.when(
+            denom > 0, F.round((n * sxy - sx * sy) / denom, round_digits)
+        ).alias("corr"),
+    )
+
+
+def histogram_fixed_width(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram over [lo, hi): bin index, bounds, count,
+    share — the scale path for distribution profiling (single groupBy on
+    a derived integer key; map-side partial aggregation collapses each
+    partition to <= n_bins rows before the shuffle).
+
+    Values outside [lo, hi) are clamped into the edge bins (floor/ceil
+    semantics match SQL ``least(greatest(...))`` exactly, so the oracle
+    can restate it verbatim). Bin bounds are derived from the bin index
+    with the same double arithmetic on both engines. ``share`` divides
+    by the total via a broadcast 1-row cross join — no single-partition
+    window, same posture as ``completeness``.
+    """
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    x = F.col(col)
+    bin_idx = F.least(
+        F.greatest(
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        df.where(x.isNotNull())
+        .groupBy(bin_idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = binned.agg(F.sum("n").alias("__total"))
+    b = F.col("bin").cast("double")
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (F.lit(lo) + b * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (b + 1) * F.lit(width)).alias("bin_hi"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("__total").cast("double"),
+                round_digits,
+            ).alias("share"),
+        )
+    )

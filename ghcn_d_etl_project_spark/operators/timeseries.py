@@ -1,0 +1,191 @@
+"""Time-series densification: date spines, gap fill, interpolation.
+
+The reference's daily climate series carry implicit gaps — station-days
+with no observation simply do not exist as rows, and its rolling ROWS
+frames silently treat a 7-row window as "7 days" regardless of missing
+dates (``src/transform/gold_processor.py:195-199``; SURVEY.md §2.6 notes
+the RANGE-frame correction this engine already ships). Densification is
+the other half of that correction: materialize the missing grid rows so
+downstream ROWS frames, lag features, and ML feature matrices see a
+complete calendar. The same operator family is what a training-data
+pipeline uses to regularize event series before windowed feature
+extraction.
+
+Scale design — the join-free construction:
+
+The textbook gap fill is spine -> left join -> IGNORE NULLS window
+(three shuffles: span aggregate, (key, date) join, key window). This
+module instead uses lead-explode: one window gives each observed row its
+successor's date, then ``sequence()`` + ``explode`` emits the row itself
+plus every missing day until that successor — each emitted gap row
+natively CARRYING the forward-filled value, no join and no second pass.
+
+  * one shuffle total for fill (the window's hash partition on keys);
+  * output size = exactly the densified grid (sum of per-key day spans),
+    identical to the spine approach;
+  * the per-row explode fan-out is bounded by the longest observation
+    gap, not by the series length — no skew amplification beyond what
+    the data's gaps already imply. A pathological years-long gap in one
+    key emits a long array from one task; callers with such data should
+    cap ``max_gap_days``.
+
+The DuckDB oracle for ``gap_fill_events`` (plans/windows.py) deliberately
+uses the OTHER construction (generate_series spine + LEFT JOIN +
+last_value IGNORE NULLS) so the two formulations cross-check each other.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["date_spine", "gap_fill_ffill", "interpolate_linear"]
+
+
+def date_spine(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    out_col: str = "day",
+) -> DataFrame:
+    """Per-key daily calendar spine spanning each key's own observed
+    [min, max] date range: one row per (key, day).
+
+    One shuffle (the span aggregate, map-side partial) + one explode.
+    Useful standalone when the dense grid is the product (calendar-
+    complete fact tables, coverage audits); ``gap_fill_ffill`` below does
+    NOT build it — see the module docstring.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    span = df.groupBy(*key_cols).agg(
+        F.min(F.col(date_col).cast("date")).alias("__d0"),
+        F.max(F.col(date_col).cast("date")).alias("__d1"),
+    )
+    return span.select(
+        *key_cols,
+        F.explode(F.sequence("__d0", "__d1")).alias(out_col),
+    )
+
+
+def _check_reserved(df: DataFrame, names: Sequence[str]) -> None:
+    clash = [c for c in df.columns if c in set(names)]
+    if clash:
+        raise ValueError(f"input carries reserved internal column(s): {clash}")
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_cols: Sequence[str],
+    max_gap_days: int | None = None,
+) -> DataFrame:
+    """Densify a per-key daily series and forward-fill its values.
+
+    Input: at most one row per (key, date) — pre-aggregate first (the
+    operator raises downstream ambiguity, not silently: duplicate dates
+    make ``lead`` emit overlapping sequences, caught by the grid-size
+    tests). Output: one row per (key, day) for every day in the key's
+    [min, max] observed range, with
+
+      * ``<v>``        — the observed value, NULL on gap rows;
+      * ``<v>_ffill``  — last observation carried forward (never NULL);
+      * ``is_gap``     — 1 on synthesized rows, else 0 (BIGINT);
+      * ``days_since_obs`` — staleness of the carried value (BIGINT, 0
+        on observed rows).
+
+    Join-free lead-explode construction: ONE shuffle (see module
+    docstring). ``max_gap_days`` truncates the fill horizon: gaps longer
+    than it are left un-synthesized beyond the cap (the series resumes at
+    the next observation), bounding worst-case fan-out for pathological
+    keys.
+    """
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    _check_reserved(df, ["__day", "__obs_day", "__next_day"])
+    d = F.col(date_col).cast("date")
+    w = Window.partitionBy(*key_cols).orderBy(d)
+
+    # the window result must be materialized BEFORE the generator — Spark
+    # rejects window expressions inside explode()'s argument
+    with_next = df.withColumn("__obs_day", d).withColumn(
+        "__next_day", F.lead(d).over(w)
+    )
+    # horizon = day before the next observation (or the row's own day at
+    # the series end), optionally capped at max_gap_days past the row
+    horizon = F.coalesce(F.date_add("__next_day", -1), F.col("__obs_day"))
+    if max_gap_days is not None:
+        horizon = F.least(
+            horizon, F.date_add("__obs_day", int(max_gap_days))
+        )
+    exploded = with_next.withColumn(
+        "__day", F.explode(F.sequence("__obs_day", horizon))
+    )
+    grid, obs = F.col("__day"), F.col("__obs_day")
+    is_obs = grid == obs
+    out_cols: list[Column] = [F.col(k) for k in key_cols] + [
+        grid.alias(date_col)
+    ]
+    for v in value_cols:
+        out_cols.append(F.when(is_obs, F.col(v)).alias(v))
+        out_cols.append(F.col(v).alias(f"{v}_ffill"))
+    out_cols.append((~is_obs).cast("long").alias("is_gap"))
+    out_cols.append(F.datediff(grid, obs).cast("long").alias("days_since_obs"))
+    return exploded.select(*out_cols)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify and LINEARLY interpolate between consecutive observations.
+
+    Same join-free lead-explode construction as ``gap_fill_ffill`` — the
+    next observation's (date, value) ride along via the same single
+    window, so each synthesized row computes
+
+        v_prev + (v_next - v_prev) * gap_position / gap_length
+
+    in one expression. Trailing rows (no next observation) are not
+    synthesized; observed rows keep their exact value (the formula is
+    bypassed, not trusted, at position 0). Adds ``is_gap`` like the
+    ffill twin. One shuffle.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    _check_reserved(df, ["__day", "__obs_day", "__next_day", "__next_val"])
+    d = F.col(date_col).cast("date")
+    w = Window.partitionBy(*key_cols).orderBy(d)
+    # windows materialized before the generator (see gap_fill_ffill)
+    exploded = (
+        df.withColumn("__obs_day", d)
+        .withColumn("__next_day", F.lead(d).over(w))
+        .withColumn("__next_val", F.lead(value_col).over(w))
+        .withColumn(
+            "__day",
+            F.explode(
+                F.sequence(
+                    "__obs_day",
+                    F.coalesce(
+                        F.date_add("__next_day", -1), F.col("__obs_day")
+                    ),
+                )
+            ),
+        )
+    )
+    grid, obs = F.col("__day"), F.col("__obs_day")
+    pos = F.datediff(grid, obs).cast("double")
+    length = F.datediff("__next_day", obs).cast("double")
+    v0, v1 = F.col(value_col), F.col("__next_val")
+    interp = F.when(grid == obs, v0).otherwise(v0 + (v1 - v0) * pos / length)
+    return exploded.select(
+        *[F.col(k) for k in key_cols],
+        grid.alias(date_col),
+        interp.alias(f"{value_col}_interp"),
+        (grid != obs).cast("long").alias("is_gap"),
+    )

@@ -196,3 +196,105 @@ def iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (mergeable single-pass sketch, no sort). Approximate => rows-only
     check, mirroring the reference's approxQuantile(…, 0.05)."""
     return approx_quantile_bounds(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Bivariate profiling (extension): exact-moment correlation + histogram —
+# the two profile shapes the univariate A13 family doesn't cover
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT
+    COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+               THEN 1 END) AS n1,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy1,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx1,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy1,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy1,
+    CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sy2,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS syy2,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sxy2,
+    CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sxy3
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         n1 AS n, sx1 AS sx, sy1 AS sy, sxx1 AS sxx, syy1 AS syy, sxy1 AS sxy
+  FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n1, sx1, sy2, sxx1, syy2, sxy2 FROM m
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount', n1, sy1, sy2, syy1, syy2, sxy3 FROM m
+)
+SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+       round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS corr
+FROM pairs
+"""
+
+
+@register("corr_matrix", oracle=_CORR_ORACLE, tags=("quality", "agg"), late=True)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + population covariance over the three
+    lineitem measures, all pairs in ONE scan
+    (``operators/quality.py:corr_pairs``). Correlations come from exact
+    DECIMAL co-moments folded into one double expression — deterministic
+    under any partitioning, where ``F.corr``'s streaming accumulation is
+    order-dependent and could never hash-match an oracle. lineitem has no
+    NULLs, so the three pairs share one n; the operator still computes
+    per-pair conditional moments (two-sided NULL semantics), and the
+    oracle mirrors that with a CASE-counted n."""
+    from ghcn_d_etl_project_spark.operators.quality import corr_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    return corr_pairs(
+        li,
+        [
+            ("l_quantity", "l_extendedprice"),
+            ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount"),
+        ],
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT),
+                        0), 19) AS bin,
+         COUNT(*) AS n
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS total FROM binned)
+SELECT CAST(bin AS BIGINT) AS bin,
+       0.0 + CAST(bin AS DOUBLE) * 25000.0 AS bin_lo,
+       0.0 + (CAST(bin AS DOUBLE) + 1) * 25000.0 AS bin_hi,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+FROM binned, tot
+"""
+
+
+@register(
+    "histogram_bins", oracle=_HISTOGRAM_ORACLE, tags=("quality", "agg"), late=True
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin fixed-width histogram of o_totalprice over [0, 500k)
+    (``operators/quality.py:histogram_fixed_width``): one groupBy on a
+    derived integer key — map-side partials collapse every partition to
+    <= 20 rows before the shuffle, so the plan is scan-bound at any
+    scale; share via broadcast 1-row total, no single-partition
+    window."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        histogram_fixed_width,
+    )
+
+    return histogram_fixed_width(
+        t(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, hi=500_000.0, n_bins=20
+    )

@@ -298,3 +298,71 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification + forward fill (extension): the missing-row half
+# of the reference's ROWS-frame gap problem (gold_processor.py:195-199)
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+j AS (
+  SELECT s.user_id, s.day, d.total
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+f AS (
+  SELECT user_id, day, total,
+         last_value(total IGNORE NULLS) OVER w AS total_ffill,
+         CAST(max(CASE WHEN total IS NOT NULL THEN day END) OVER w AS DATE)
+           AS obs_day
+  FROM j
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, total, total_ffill,
+       CAST(total IS NULL AS BIGINT) AS is_gap,
+       CAST(date_diff('day', obs_day, day) AS BIGINT) AS days_since_obs
+FROM f
+"""
+
+
+@register(
+    "gap_fill_events",
+    oracle=_GAP_FILL_ORACLE,
+    tags=("window", "timeseries"),
+    late=True,
+)
+def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase totals per user, densified over each user's own
+    [min, max] span with last-observation-carried-forward + staleness
+    (``operators/timeseries.py:gap_fill_ffill``). The Spark side is the
+    join-free lead-explode construction (one shuffle); the oracle is the
+    textbook generate_series spine + LEFT JOIN + IGNORE NULLS window —
+    two independent formulations of the same semantics cross-checking
+    each other."""
+    from ghcn_d_etl_project_spark.operators.timeseries import gap_fill_ffill
+    from ghcn_d_etl_project_spark.plans._util import dsum
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value", scale=6).alias("total"))
+    out = gap_fill_ffill(daily, ["user_id"], "day", ["total"])
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        as_date_str("day").alias("day"),
+        "total",
+        "total_ffill",
+        "is_gap",
+        "days_since_obs",
+    )

@@ -1,0 +1,88 @@
+"""Bivariate profiling operators (operators/quality.py): exact-moment
+correlation pairs and fixed-width histograms. The corr_matrix /
+histogram_bins oracle queries pin engine parity; these pin the operator
+semantics against numpy and hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.quality import (
+    corr_pairs,
+    histogram_fixed_width,
+)
+
+
+def test_corr_pairs_matches_numpy(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 8.0]
+    ys = [2.0, 1.0, 4.0, 3.0, 7.0, 6.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = corr_pairs(df, [("x", "y")]).collect()[0]
+    assert r.n == 6
+    assert r.corr == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-6)
+    assert r.covar_pop == pytest.approx(np.cov(xs, ys, bias=True)[0, 1], abs=1e-6)
+
+
+def test_corr_pairs_null_rows_pairwise_complete(spark):
+    """A NULL on either side drops the row for THAT pair only."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 10.0), (2.0, None, 20.0), (3.0, 6.0, None), (4.0, 8.0, 40.0)],
+        "x double, y double, z double",
+    )
+    out = {(r.col_x, r.col_y): r for r in corr_pairs(df, [("x", "y"), ("x", "z")]).collect()}
+    rxy, rxz = out[("x", "y")], out[("x", "z")]
+    assert rxy.n == 3 and rxz.n == 3
+    # (x,y) over rows 1,3,4 is exactly linear y=2x
+    assert rxy.corr == pytest.approx(1.0, abs=1e-6)
+    # (x,z) over rows 1,2,4 is exactly linear z=10x
+    assert rxz.corr == pytest.approx(1.0, abs=1e-6)
+
+
+def test_corr_pairs_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = corr_pairs(df, [("x", "y")]).collect()[0]
+    assert r.corr is None  # undefined, not 0 and not NaN
+    assert r.covar_pop == pytest.approx(0.0, abs=1e-9)
+
+
+def test_corr_pairs_one_scan_many_pairs(spark):
+    """All pairs fold into ONE aggregate: a single Exchange in the plan."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("double").alias("y"),
+        (F.col("id") % 7).cast("double").alias("z"),
+    )
+    out = corr_pairs(df, [("x", "y"), ("x", "z"), ("y", "z")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:1200]
+    assert out.count() == 3
+
+
+def test_histogram_counts_and_edges(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 5.0, 9.99, 10.0, 15.0, 25.0, -3.0, 99.0, None]],
+        "x double",
+    )
+    # [0, 30) in 3 bins of 10; -3 clamps into bin 0, 99 into bin 2
+    rows = {r.bin: r for r in histogram_fixed_width(df, "x", 0.0, 30.0, 3).collect()}
+    assert rows[0].n == 4  # 0, 5, 9.99, -3
+    assert rows[1].n == 2  # 10, 15
+    assert rows[2].n == 2  # 25, 99
+    assert (rows[0].bin_lo, rows[0].bin_hi) == (0.0, 10.0)
+    assert (rows[2].bin_lo, rows[2].bin_hi) == (20.0, 30.0)
+    assert sum(r.n for r in rows.values()) == 8  # NULL excluded
+    assert math.isclose(sum(r.share for r in rows.values()), 1.0, abs_tol=1e-6)
+
+
+def test_histogram_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        histogram_fixed_width(df, "x", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        histogram_fixed_width(df, "x", 10.0, 10.0, 5)

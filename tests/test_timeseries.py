@@ -1,0 +1,186 @@
+"""Time-series densification operators (operators/timeseries.py):
+date spines, join-free gap fill + forward fill, linear interpolation.
+The gap_fill_events oracle query cross-checks the lead-explode
+construction against DuckDB's spine-join formulation; these tests pin
+the operator semantics and the one-shuffle/no-join plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.timeseries import (
+    date_spine,
+    gap_fill_ffill,
+    interpolate_linear,
+)
+
+D = dt.date
+
+
+def _series(spark):
+    # key "a": observations on day 1, 4, 5 (gap of 2 days after day 1)
+    # key "b": single observation (no gaps, span of 1)
+    return spark.createDataFrame(
+        [
+            ("a", D(2024, 1, 1), 10.0),
+            ("a", D(2024, 1, 4), 40.0),
+            ("a", D(2024, 1, 5), 50.0),
+            ("b", D(2024, 3, 1), 7.0),
+        ],
+        "k string, day date, v double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# date_spine
+# ---------------------------------------------------------------------------
+
+
+def test_date_spine_spans_each_key_min_max(spark):
+    out = date_spine(_series(spark), ["k"], "day").collect()
+    by_key: dict[str, list[dt.date]] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r.day)
+    assert sorted(by_key["a"]) == [D(2024, 1, d) for d in range(1, 6)]
+    assert by_key["b"] == [D(2024, 3, 1)]
+
+
+def test_date_spine_empty_keys_raises(spark):
+    with pytest.raises(ValueError, match="key_cols"):
+        date_spine(_series(spark), [], "day")
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_ffill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_exact_rows(spark):
+    rows = {
+        (r.k, r.day): r
+        for r in gap_fill_ffill(_series(spark), ["k"], "day", ["v"]).collect()
+    }
+    assert len(rows) == 6  # 5 days for a + 1 for b
+
+    # observed rows: value kept, gap 0, staleness 0
+    for key, day, v in [
+        ("a", D(2024, 1, 1), 10.0),
+        ("a", D(2024, 1, 4), 40.0),
+        ("a", D(2024, 1, 5), 50.0),
+        ("b", D(2024, 3, 1), 7.0),
+    ]:
+        r = rows[(key, day)]
+        assert (r.v, r.v_ffill, r.is_gap, r.days_since_obs) == (v, v, 0, 0)
+
+    # synthesized rows: NULL value, carried ffill, staleness counts up
+    r2 = rows[("a", D(2024, 1, 2))]
+    assert (r2.v, r2.v_ffill, r2.is_gap, r2.days_since_obs) == (None, 10.0, 1, 1)
+    r3 = rows[("a", D(2024, 1, 3))]
+    assert (r3.v, r3.v_ffill, r3.is_gap, r3.days_since_obs) == (None, 10.0, 1, 2)
+
+
+def test_gap_fill_multiple_value_cols(spark):
+    df = spark.createDataFrame(
+        [("a", D(2024, 1, 1), 1.0, 100.0), ("a", D(2024, 1, 3), 3.0, 300.0)],
+        "k string, day date, x double, y double",
+    )
+    mid = {
+        r.day: r
+        for r in gap_fill_ffill(df, ["k"], "day", ["x", "y"]).collect()
+    }[D(2024, 1, 2)]
+    assert (mid.x, mid.x_ffill, mid.y, mid.y_ffill) == (None, 1.0, None, 100.0)
+
+
+def test_gap_fill_max_gap_cap(spark):
+    """A 9-day gap capped at 2: fill stops 2 days past the observation,
+    the series resumes at the next real row — no unbounded fan-out."""
+    df = spark.createDataFrame(
+        [("a", D(2024, 1, 1), 1.0), ("a", D(2024, 1, 11), 2.0)],
+        "k string, day date, v double",
+    )
+    days = sorted(
+        r.day
+        for r in gap_fill_ffill(df, ["k"], "day", ["v"], max_gap_days=2).collect()
+    )
+    assert days == [D(2024, 1, 1), D(2024, 1, 2), D(2024, 1, 3), D(2024, 1, 11)]
+
+
+def test_gap_fill_reserved_name_collision_raises(spark):
+    df = _series(spark).withColumn("__day", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        gap_fill_ffill(df, ["k"], "day", ["v"])
+
+
+def test_gap_fill_grid_size_law_random(spark):
+    """Output size == sum over keys of (max-min span + 1), for arbitrary
+    observation patterns."""
+    rng = random.Random(7)
+    rows, expected = [], 0
+    for ki in range(8):
+        days = sorted(rng.sample(range(60), rng.randint(1, 12)))
+        expected += days[-1] - days[0] + 1
+        rows += [
+            (f"k{ki}", D(2024, 1, 1) + dt.timedelta(days=d), float(d))
+            for d in days
+        ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = gap_fill_ffill(df, ["k"], "day", ["v"])
+    assert out.count() == expected
+    # ffill is total on the densified grid: never NULL
+    assert out.filter(F.col("v_ffill").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# interpolate_linear
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_linear_exact(spark):
+    df = spark.createDataFrame(
+        [("a", D(2024, 1, 1), 10.0), ("a", D(2024, 1, 4), 40.0)],
+        "k string, day date, v double",
+    )
+    got = {
+        r.day: (r.v_interp, r.is_gap)
+        for r in interpolate_linear(df, ["k"], "day", "v").collect()
+    }
+    assert got == {
+        D(2024, 1, 1): (10.0, 0),
+        D(2024, 1, 2): (20.0, 1),
+        D(2024, 1, 3): (30.0, 1),
+        D(2024, 1, 4): (40.0, 0),  # observed endpoint: exact, not derived
+    }
+
+
+def test_interpolate_trailing_rows_not_synthesized(spark):
+    """After the last observation there is no next value to interpolate
+    toward — the operator must not invent rows there."""
+    df = spark.createDataFrame(
+        [("a", D(2024, 1, 1), 1.0)], "k string, day date, v double"
+    )
+    out = interpolate_linear(df, ["k"], "day", "v").collect()
+    assert len(out) == 1 and out[0].v_interp == 1.0
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the join-free claim, pinned
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_events_plan_is_join_free_two_shuffles(spark):
+    """The registered query = daily aggregate + gap fill. The fill itself
+    adds exactly ONE exchange (the lead window's per-key partition); the
+    aggregate adds the other. No join operator of any kind — that is the
+    point of the lead-explode construction vs the textbook spine join."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    df = all_queries()["gap_fill_events"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 shuffles (agg + window), saw {n}:\n{plan[:1500]}"
+    assert "Generate explode(sequence" in plan
