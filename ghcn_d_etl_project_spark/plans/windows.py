@@ -341,6 +341,7 @@ FROM f
     oracle=_GAP_FILL_ORACLE,
     tags=("window", "timeseries"),
     late=True,
+    bench=True,
 )
 def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase totals per user, densified over each user's own
