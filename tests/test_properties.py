@@ -357,3 +357,91 @@ def test_scd2_invariants(spark, hist_rows, change_rows, strategy):
     newly_closed = {r.k for r in out if r.valid_to == t_eff}
     assert newly_closed == {k for k in real if k in prev_current}
     assert len(out) == len(hist_rows) + len(real)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 3),  # key
+        st.dictionaries(
+            st.integers(0, 40),  # day offset
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gap_fill_laws(spark, series):
+    """Gap-fill laws on arbitrary per-key daily series:
+    (1) grid size == sum over keys of (span + 1);
+    (2) filtering is_gap == 0 round-trips to exactly the input rows
+        (densification is lossless — the inverse law);
+    (3) v_ffill equals the value at the most recent observed day <= the
+        grid day (the forward-fill definition, checked independently);
+    (4) days_since_obs counts the distance to that observation."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import gap_fill_ffill
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(days=d), v)
+        for k, obs in series.items()
+        for d, v in obs.items()
+    ]
+    df = spark.createDataFrame(rows, "k long, day date, v double")
+    out = gap_fill_ffill(df, ["k"], "day", ["v"]).collect()
+
+    spans = {
+        k: (min(obs), max(obs)) for k, obs in series.items()
+    }
+    assert len(out) == sum(d1 - d0 + 1 for d0, d1 in spans.values())
+
+    observed = {(r.k, r.day): r.v for r in out if r.is_gap == 0}
+    assert observed == {(k, d): v for (k, d, v) in rows}
+
+    for r in out:
+        obs_days = sorted(series[r.k])
+        day_off = (r.day - base).days
+        prev = max(d for d in obs_days if d <= day_off)
+        assert r.v_ffill == series[r.k][prev]
+        assert r.days_since_obs == day_off - prev
+        assert (r.v is None) == (r.is_gap == 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 30),
+        st.floats(-1e3, 1e3, allow_nan=False, width=16),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_interpolate_linear_laws(spark, obs):
+    """Linear interpolation laws: observed days exact; synthesized days
+    lie on the segment between their neighbors (checked against a
+    python reference); the final observation has no synthetic tail."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=d), v) for d, v in obs.items()]
+    df = spark.createDataFrame(rows, "k long, day date, v double")
+    out = {(r.day - base).days: r for r in interpolate_linear(df, ["k"], "day", "v").collect()}
+
+    days = sorted(obs)
+    assert max(out) == days[-1]  # nothing synthesized past the last obs
+    for d, r in out.items():
+        if r.is_gap == 0:
+            assert d in obs and r.v_interp == obs[d]
+        else:
+            d0 = max(x for x in days if x < d)
+            d1 = min(x for x in days if x > d)
+            expect = obs[d0] + (obs[d1] - obs[d0]) * (d - d0) / (d1 - d0)
+            assert abs(r.v_interp - expect) < 1e-9
