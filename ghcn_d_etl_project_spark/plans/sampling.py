@@ -140,3 +140,64 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("long").alias("w"),
         F.round("es_key", 6).alias("es_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split (extension): split keyed on CONTENT, not id — exact
+# and formatting-only duplicates can never straddle train/test
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SPLIT_ORACLE = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, fp,
+         CAST(concat('0x', substr(md5(fp), 1, 4)) AS INTEGER) % 100 AS bucket
+  FROM f
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, fp,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups
+FROM b
+"""
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("sampling", "split", "dedup"),
+    late=True,
+)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the CONTENT fingerprint instead
+    of the row id: ``dataset_split(fingerprint(text))``. An id-keyed
+    split hashes each copy of a duplicated document independently, so
+    ~28% of dup groups straddle splits under 80/10/10 — silent
+    train-test contamination; hashing the fingerprint sends every exact
+    or formatting-only copy to the same side by construction (pinned on
+    planted dups in tests/test_sampling.py, including a demonstration
+    that the id-keyed split DOES straddle the same fixture). ``n_dups``
+    (one window on fp — the only shuffle; the split itself is a pure
+    projection) sizes each group for audit. For NEAR-duplicate safety,
+    key the same primitive on the dedup cluster representative instead
+    (``dedup_clusters``'s keep-min id) — hash-defined, so that
+    composition is pytest-checked rather than oracle-checked."""
+    from ghcn_d_etl_project_spark.operators.common import dataset_split
+    from ghcn_d_etl_project_spark.operators.textops import fingerprint
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    fp = fingerprint("text").alias("fp")
+    return (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", fp)
+        .withColumn("split", dataset_split("fp"))
+        .withColumn(
+            "n_dups", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+    )

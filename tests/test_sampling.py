@@ -137,3 +137,55 @@ def test_weighted_sample_key_rejects_nonpositive_weights(spark):
     # positive weights still flow through untouched
     ok = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, w double")
     assert ok.select(weighted_sample_key("id", "w")).count() == 2
+
+
+def test_leakage_safe_split_never_straddles_planted_dups(spark):
+    """Plant duplicate groups (exact copies + formatting-only variants)
+    across 120 distinct contents: the content-keyed split must put every
+    group wholly on one side, while the id-keyed split demonstrably
+    straddles at least one group on the same fixture — the bug this
+    operator exists to prevent."""
+    from ghcn_d_etl_project_spark.operators.common import dataset_split
+    from ghcn_d_etl_project_spark.operators.textops import fingerprint
+    import pyspark.sql.functions as F
+
+    rows = []
+    did = 0
+    for g in range(120):
+        body = f"document number {g} with shared content"
+        variants = [body, body, body.upper() + "!!", "  " + body + "  "]
+        for v in variants:
+            rows.append((did, v))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        dataset_split(fingerprint("text")).alias("split_by_content"),
+        dataset_split("doc_id").alias("split_by_id"),
+    ).collect()
+
+    by_fp: dict[str, set] = {}
+    by_fp_id: dict[str, set] = {}
+    for r in out:
+        by_fp.setdefault(r.fp, set()).add(r.split_by_content)
+        by_fp_id.setdefault(r.fp, set()).add(r.split_by_id)
+    assert len(by_fp) == 120  # formatting variants collapse per group
+    assert all(len(s) == 1 for s in by_fp.values()), "content split straddled"
+    n_straddled = sum(1 for s in by_fp_id.values() if len(s) > 1)
+    assert n_straddled > 0, "fixture too small to show the id-split bug"
+
+
+def test_leakage_safe_split_query_contract(spark):
+    """Registered query: splits disjoint+exhaustive, n_dups counts the
+    fingerprint group, and the assignment is a pure function of fp
+    (same fp -> same split across the whole output)."""
+    q = all_queries()["leakage_safe_split"]
+    rows = q.fn(spark, SF_DIR).collect()
+    assert rows and all(r.split in ("train", "val", "test") for r in rows)
+    fp_split: dict[str, str] = {}
+    fp_n: dict[str, int] = {}
+    for r in rows:
+        assert fp_split.setdefault(r.fp, r.split) == r.split
+        fp_n[r.fp] = fp_n.get(r.fp, 0) + 1
+    assert all(r.n_dups == fp_n[r.fp] for r in rows)
