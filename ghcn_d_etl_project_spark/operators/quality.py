@@ -417,3 +417,67 @@ def histogram_fixed_width(
             ).alias("share"),
         )
     )
+
+
+def avg_ranks(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Attach the column's global AVERAGE rank (the tie convention
+    Spearman requires): rank(v) = (#rows < v) + (#rows == v + 1) / 2.
+
+    Scale-correct global ranking without a global sort: ranks are a
+    function of the VALUE, so they are computed on the distinct-value
+    table (groupBy + map-side partials), cumulated there, and broadcast
+    back onto the fact — the fact table itself never shuffles or sorts.
+    The cumulative count runs in a single-partition window ON THE VALUE
+    TABLE ONLY, bounded by column cardinality, not row count (same
+    bounded-SinglePartition posture as token_shards' offset table). For
+    near-unique high-cardinality columns (where the value table IS the
+    data) route through ``operators/prefix.py``'s distributed running
+    total instead.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{col}__rank"
+    if out_col in df.columns:
+        raise ValueError(f"rank column {out_col!r} already exists")
+    vals = df.where(F.col(col).isNotNull()).groupBy(col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        col,
+        (
+            F.coalesce(F.sum("__cnt").over(w), F.lit(0)).cast("double")
+            + (F.col("__cnt").cast("double") + 1.0) / 2.0
+        ).alias(out_col),
+    )
+    return df.join(F.broadcast(ranked), on=col, how="left")
+
+
+def spearman_pairs(
+    df: DataFrame, pairs: list[tuple[str, str]], round_digits: int = 6
+) -> DataFrame:
+    """Spearman rank correlation for column pairs: average ranks per
+    column (``avg_ranks`` — value-table cumulation + broadcast, no fact
+    shuffle), then Pearson on the ranks via ``corr_pairs``'s exact
+    DECIMAL co-moments. Ranks are exact k/2 halves (double- and
+    decimal-exact), so the whole statistic is deterministic and
+    oracle-checkable — no approximation anywhere. One aggregate scan
+    after the rank joins. NULLs on either side of a pair drop the row
+    for that pair (inherited from corr_pairs); ranks are computed over
+    each column's non-null rows.
+    """
+    cols = sorted({c for p in pairs for c in p})
+    ranked = df
+    for c in cols:
+        ranked = avg_ranks(ranked, c)
+    out = corr_pairs(
+        ranked, [(f"{a}__rank", f"{b}__rank") for a, b in pairs], round_digits
+    )
+    strip = F.regexp_replace(F.col("col_x"), "__rank$", "")
+    stripy = F.regexp_replace(F.col("col_y"), "__rank$", "")
+    return out.select(
+        strip.alias("col_x"),
+        stripy.alias("col_y"),
+        "n",
+        F.col("corr").alias("spearman_rho"),
+    )

@@ -298,3 +298,95 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_fixed_width(
         t(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, hi=500_000.0, n_bins=20
     )
+
+
+_SPEARMAN_RANK_CTES = """
+qv AS (SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+qr AS (
+  SELECT v,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) + (CAST(c AS DOUBLE) + 1) / 2 AS r
+  FROM qv
+),
+dv AS (SELECT l_discount AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+dr AS (
+  SELECT v,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) + (CAST(c AS DOUBLE) + 1) / 2 AS r
+  FROM dv
+),
+tv AS (SELECT l_tax AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+tr AS (
+  SELECT v,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) + (CAST(c AS DOUBLE) + 1) / 2 AS r
+  FROM tv
+),
+ranked AS (
+  SELECT qr.r AS rq, dr.r AS rd, tr.r AS rt
+  FROM lineitem l
+  JOIN qr ON l.l_quantity = qr.v
+  JOIN dr ON l.l_discount = dr.v
+  JOIN tr ON l.l_tax = tr.v
+),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(rq AS DECIMAL(28,4))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(rd AS DECIMAL(28,4))) AS DOUBLE) AS sd,
+    CAST(SUM(CAST(rt AS DECIMAL(28,4))) AS DOUBLE) AS st,
+    CAST(SUM(CAST(rq * rq AS DECIMAL(30,6))) AS DOUBLE) AS sqq,
+    CAST(SUM(CAST(rd * rd AS DECIMAL(30,6))) AS DOUBLE) AS sdd,
+    CAST(SUM(CAST(rt * rt AS DECIMAL(30,6))) AS DOUBLE) AS stt,
+    CAST(SUM(CAST(rq * rd AS DECIMAL(30,6))) AS DOUBLE) AS sqd,
+    CAST(SUM(CAST(rq * rt AS DECIMAL(30,6))) AS DOUBLE) AS sqt,
+    CAST(SUM(CAST(rd * rt AS DECIMAL(30,6))) AS DOUBLE) AS sdt
+  FROM ranked
+)
+"""
+
+_SPEARMAN_ORACLE = f"""
+WITH {_SPEARMAN_RANK_CTES},
+pairs AS (
+  SELECT 'l_quantity' AS col_x, 'l_discount' AS col_y,
+         n, sq AS sx, sd AS sy, sqq AS sxx, sdd AS syy, sqd AS sxy FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax', n, sq, st, sqq, stt, sqt FROM m
+  UNION ALL
+  SELECT 'l_discount', 'l_tax', n, sd, st, sdd, stt, sdt FROM m
+)
+SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS spearman_rho
+FROM pairs
+"""
+
+
+@register(
+    "spearman_matrix", oracle=_SPEARMAN_ORACLE, tags=("quality", "agg"), late=True
+)
+def spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over the three low-cardinality lineitem
+    measures (``operators/quality.py:spearman_pairs``): average ranks are
+    a function of the VALUE, so they are computed on each column's
+    distinct-value table (50/11/9 rows) and broadcast back — the fact
+    table never globally sorts or shuffles for ranking, which is what
+    makes rank statistics feasible at 100 TB. Pearson on the ranks then
+    reuses corr_pairs' exact DECIMAL co-moments (ranks are exact k/2
+    halves), so the whole statistic is deterministic — no approximation
+    — and the oracle restates both stages exactly."""
+    from ghcn_d_etl_project_spark.operators.quality import spearman_pairs
+
+    li = t(spark, sf_dir, "lineitem")
+    return spearman_pairs(
+        li,
+        [
+            ("l_quantity", "l_discount"),
+            ("l_quantity", "l_tax"),
+            ("l_discount", "l_tax"),
+        ],
+    )

@@ -86,3 +86,59 @@ def test_histogram_validation(spark):
         histogram_fixed_width(df, "x", 0.0, 10.0, 0)
     with pytest.raises(ValueError):
         histogram_fixed_width(df, "x", 10.0, 10.0, 5)
+
+
+def test_avg_ranks_tie_convention_matches_pandas(spark):
+    import pandas as pd
+
+    from ghcn_d_etl_project_spark.operators.quality import avg_ranks
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(xs)], "i long, x double")
+    got = {r.i: r.x__rank for r in avg_ranks(df, "x").collect()}
+    want = pd.Series(xs).rank(method="average")
+    assert all(got[i] == want[i] for i in range(len(xs)))
+
+
+def test_spearman_matches_pandas(spark):
+    import pandas as pd
+
+    xs = [1.0, 2.0, 2.0, 4.0, 7.0, 7.0, 7.0, 9.0]
+    ys = [3.0, 1.0, 4.0, 4.0, 6.0, 5.0, 9.0, 8.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    from ghcn_d_etl_project_spark.operators.quality import spearman_pairs
+
+    r = spearman_pairs(df, [("x", "y")]).collect()[0]
+    want = pd.DataFrame({"x": xs, "y": ys}).corr(method="spearman").loc["x", "y"]
+    assert r.n == 8
+    assert r.spearman_rho == pytest.approx(want, abs=1e-6)
+
+
+def test_spearman_monotone_invariance(spark):
+    """rho(x, f(x)) == 1 for strictly increasing f, regardless of how
+    nonlinear f is — the property Pearson lacks."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        corr_pairs,
+        spearman_pairs,
+    )
+
+    df = spark.range(1, 40).select(
+        F.col("id").cast("double").alias("x"),
+        F.exp(F.col("id").cast("double") / 5.0).alias("y"),
+    )
+    rho = spearman_pairs(df, [("x", "y")]).collect()[0].spearman_rho
+    pearson = corr_pairs(df, [("x", "y")]).collect()[0].corr
+    assert rho == pytest.approx(1.0, abs=1e-6)
+    assert pearson < 0.999  # strictly less: the relationship is nonlinear
+
+
+def test_spearman_matrix_fact_side_never_sorts(spark):
+    """Ranks come from broadcast value tables: the executed plan must
+    join them with BroadcastHashJoin and contain no SortMergeJoin — the
+    fact table is never globally sorted or re-shuffled for ranking."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    df = all_queries()["spearman_matrix"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan[:1200]
