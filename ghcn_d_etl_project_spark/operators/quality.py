@@ -481,3 +481,95 @@ def spearman_pairs(
         "n",
         F.col("corr").alias("spearman_rho"),
     )
+
+
+def categorical_association(
+    df: DataFrame, col_x: str, col_y: str, round_digits: int = 6
+) -> DataFrame:
+    """Association statistics for two categorical columns, one scan:
+    chi-square test statistic, degrees of freedom, Cramer's V, mutual
+    information (nats), and the margin entropies.
+
+    The ONLY row-scale work is the contingency groupBy (map-side
+    partials collapse each partition to <= |X|*|Y| cells); margins,
+    expected counts, and every statistic derive from that small cell
+    table (joined back via broadcast). Zero cells are handled without
+    materializing them: sum((o-e)^2/e) over ALL cells equals
+    sum_observed((o-e)^2/e - e) + n, since expected counts total n.
+    Per-cell contributions (identical doubles from identical integer
+    counts on any engine) are quantized to DECIMAL before the final
+    small sum, so the result does not depend on Spark's cell
+    accumulation order. NULL categories count as a regular level
+    (dropna upstream to exclude them).
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    cells = df.groupBy(x.alias("__x"), y.alias("__y")).agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    rx = cells.groupBy("__x").agg(F.sum("__o").alias("__rx"))
+    cy = cells.groupBy("__y").agg(F.sum("__o").alias("__cy"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count(F.lit(1)).alias("__cells"),
+    )
+    j = (
+        cells.join(F.broadcast(rx), "__x")
+        .join(F.broadcast(cy), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("__o").cast("double")
+    n = F.col("__n").cast("double")
+    e = F.col("__rx").cast("double") * F.col("__cy").cast("double") / n
+    # chi2 contribution with the zero-cell correction folded in; MI in nats
+    chi_c = (o - e) * (o - e) / e - e
+    mi_c = (o / n) * F.log(o * n / (F.col("__rx") * F.col("__cy")).cast("double"))
+    dec = "decimal(28,12)"
+    agg = j.agg(
+        F.max("__n").alias("n"),
+        F.max("__cells").alias("cells"),
+        F.count_distinct("__x").alias("nx"),
+        F.count_distinct("__y").alias("ny"),
+        F.sum(chi_c.cast(dec)).cast("double").alias("chi_part"),
+        F.sum(mi_c.cast(dec)).cast("double").alias("mi"),
+    )
+    # margin entropies from the (tiny) margin tables, same determinism recipe
+    hx = rx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (
+                -(F.col("__rx").cast("double") / F.col("__n").cast("double"))
+                * F.log(F.col("__rx").cast("double") / F.col("__n").cast("double"))
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("h_x")
+    )
+    hy = cy.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            (
+                -(F.col("__cy").cast("double") / F.col("__n").cast("double"))
+                * F.log(F.col("__cy").cast("double") / F.col("__n").cast("double"))
+            ).cast(dec)
+        )
+        .cast("double")
+        .alias("h_y")
+    )
+    chi2 = F.col("chi_part") + F.col("n").cast("double")
+    k = F.least(F.col("nx"), F.col("ny")).cast("double")
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.lit(col_x).alias("col_x"),
+            F.lit(col_y).alias("col_y"),
+            F.col("n").cast("long").alias("n"),
+            ((F.col("nx") - 1) * (F.col("ny") - 1)).cast("long").alias("dof"),
+            F.round(chi2, round_digits).alias("chi2"),
+            F.when(
+                (k > 1) & (F.col("n") > 0),
+                F.round(F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1))), round_digits),
+            ).alias("cramers_v"),
+            F.round(F.col("mi"), round_digits).alias("mutual_info"),
+            F.round(F.col("h_x"), round_digits).alias("h_x"),
+            F.round(F.col("h_y"), round_digits).alias("h_y"),
+        )
+    )

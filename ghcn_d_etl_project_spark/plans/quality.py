@@ -390,3 +390,79 @@ def spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("l_discount", "l_tax"),
         ],
     )
+
+
+_CAT_ASSOC_ORACLE = """
+WITH cells AS (
+  SELECT lang AS x, source AS y, COUNT(*) AS o FROM documents GROUP BY 1, 2
+),
+rx AS (SELECT x, SUM(o) AS r FROM cells GROUP BY 1),
+cy AS (SELECT y, SUM(o) AS c FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n, COUNT(*) AS cells,
+               (SELECT COUNT(*) FROM rx) AS nx,
+               (SELECT COUNT(*) FROM cy) AS ny
+        FROM cells),
+parts AS (
+  SELECT
+    CAST(SUM(CAST(
+      (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      AS DECIMAL(28,12))) AS DOUBLE) AS chi_part,
+    CAST(SUM(CAST(
+      (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(r * c AS DOUBLE))
+      AS DECIMAL(28,12))) AS DOUBLE) AS mi
+  FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+),
+hx AS (
+  SELECT CAST(SUM(CAST(
+    -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+    * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_x
+  FROM rx CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM(CAST(
+    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_y
+  FROM cy CROSS JOIN tot
+)
+SELECT 'lang' AS col_x, 'source' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof,
+       round(chi_part + CAST(n AS DOUBLE), 6) AS chi2,
+       CASE WHEN LEAST(nx, ny) > 1 AND n > 0
+            THEN round(sqrt((chi_part + CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * (LEAST(nx, ny) - 1))), 6)
+       END AS cramers_v,
+       round(mi, 6) AS mutual_info,
+       round(h_x, 6) AS h_x,
+       round(h_y, 6) AS h_y
+FROM parts, tot, hx, hy
+"""
+
+
+@register(
+    "categorical_association",
+    oracle=_CAT_ASSOC_ORACLE,
+    tags=("quality", "agg"),
+    late=True,
+)
+def categorical_association_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square, Cramer's V, mutual information, and margin entropies
+    for documents (lang x source) in one contingency scan
+    (``operators/quality.py:categorical_association``) — the
+    feature-selection / drift-detection primitive. Everything past the
+    groupBy runs on the <= |X|*|Y| cell table; zero cells fold in
+    algebraically (sum over all cells of (o-e)^2/e == observed-cell sum
+    of ((o-e)^2/e - e) + n); per-cell contributions quantize to DECIMAL
+    before the final sum so the statistic is accumulation-order-free on
+    both engines."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        categorical_association,
+    )
+
+    return categorical_association(
+        t(spark, sf_dir, "documents"), "lang", "source"
+    )

@@ -142,3 +142,79 @@ def test_spearman_matrix_fact_side_never_sorts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+def _assoc_reference(pairs):
+    """Pure-python chi2/V/MI/entropies for a list of (x, y) rows."""
+    from collections import Counter
+
+    n = len(pairs)
+    cells, rx, cy = Counter(pairs), Counter(), Counter()
+    for x, y in pairs:
+        rx[x] += 1
+        cy[y] += 1
+    chi2 = 0.0
+    for x in rx:
+        for y in cy:
+            e = rx[x] * cy[y] / n
+            o = cells.get((x, y), 0)
+            chi2 += (o - e) ** 2 / e
+    mi = sum(
+        (o / n) * math.log(o * n / (rx[x] * cy[y])) for (x, y), o in cells.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in rx.values())
+    hy = -sum((c / n) * math.log(c / n) for c in cy.values())
+    k = min(len(rx), len(cy))
+    v = math.sqrt(chi2 / (n * (k - 1))) if k > 1 else None
+    return chi2, v, mi, hx, hy, (len(rx) - 1) * (len(cy) - 1)
+
+
+def test_categorical_association_matches_reference(spark):
+    """Planted 3x3 table WITH a structural zero cell — the algebraic
+    zero-cell fold-in must reproduce the full-grid chi-square."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        categorical_association,
+    )
+
+    pairs = (
+        [("a", "p")] * 12 + [("a", "q")] * 3 + [("a", "r")] * 5
+        + [("b", "p")] * 2 + [("b", "q")] * 9  # (b, r) never occurs
+        + [("c", "p")] * 4 + [("c", "q")] * 1 + [("c", "r")] * 14
+    )
+    df = spark.createDataFrame(pairs, "x string, y string")
+    r = categorical_association(df, "x", "y").collect()[0]
+    chi2, v, mi, hx, hy, dof = _assoc_reference(pairs)
+    assert r.n == len(pairs) and r.dof == dof
+    assert r.chi2 == pytest.approx(chi2, abs=1e-6)
+    assert r.cramers_v == pytest.approx(v, abs=1e-6)
+    assert r.mutual_info == pytest.approx(mi, abs=1e-6)
+    assert r.h_x == pytest.approx(hx, abs=1e-6)
+    assert r.h_y == pytest.approx(hy, abs=1e-6)
+
+
+def test_categorical_association_independent_is_zero(spark):
+    """An exact product distribution: chi2 == 0 and MI == 0."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        categorical_association,
+    )
+
+    pairs = [(x, y) for x in ("a", "b") for y in ("p", "q", "r") for _ in range(5)]
+    r = categorical_association(
+        spark.createDataFrame(pairs, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-9)
+    assert r.mutual_info == pytest.approx(0.0, abs=1e-9)
+    assert r.cramers_v == pytest.approx(0.0, abs=1e-9)
+
+
+def test_categorical_association_self_mi_is_entropy(spark):
+    """MI(x, x) == H(x): the information-theory identity."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        categorical_association,
+    )
+
+    vals = ["a"] * 7 + ["b"] * 2 + ["c"] * 11
+    df = spark.createDataFrame([(v, v) for v in vals], "x string, y string")
+    r = categorical_association(df, "x", "y").collect()[0]
+    assert r.mutual_info == pytest.approx(r.h_x, abs=1e-6)
+    assert r.h_x == pytest.approx(r.h_y, abs=1e-9)
