@@ -573,3 +573,49 @@ def categorical_association(
             F.round(F.col("h_y"), round_digits).alias("h_y"),
         )
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: Column | str,
+    y_col: Column | str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (least-squares slope +
+    intercept): the per-entity trend primitive (spend trajectory per
+    customer, temperature trend per station, drift per shard).
+
+    Same exact-DECIMAL-moment recipe as ``corr_pairs``, but per GROUP:
+    one hash aggregate (map-side partials) collects the five sums, then
+
+        slope     = (n*sxy - sx*sy) / (n*sxx - sx*sx)
+        intercept = (sy - slope*sx) / n
+
+    as one double expression over identical sums — deterministic under
+    any partitioning, unlike ``F.regr_slope``'s streaming accumulation.
+    Groups with n < 2 or zero x-variance get NULL slope/intercept.
+    Output: group_cols + (n, slope, intercept).
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    both = x.isNotNull() & y.isNotNull()
+    xs, ys = F.when(both, x), F.when(both, y)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(both, F.lit(1))).alias("__n"),
+        F.sum(xs.cast("decimal(28,4)")).cast("double").alias("__sx"),
+        F.sum(ys.cast("decimal(28,4)")).cast("double").alias("__sy"),
+        F.sum((xs * xs).cast("decimal(30,6)")).cast("double").alias("__sxx"),
+        F.sum((xs * ys).cast("decimal(30,6)")).cast("double").alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx, sy, sxx, sxy = (F.col(c) for c in ("__sx", "__sy", "__sxx", "__sxy"))
+    det = n * sxx - sx * sx
+    slope = F.when((F.col("__n") >= 2) & (det != 0), (n * sxy - sx * sy) / det)
+    intercept = F.when(slope.isNotNull(), (sy - slope * sx) / n)
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+    )

@@ -627,3 +627,108 @@ def incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_partial(delta, keys, "l_partkey"),
     ]
     return finalize_distinct(merge_distinct_partials(parts, keys), keys)
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles (extension): the group-wise shape of A14 —
+# exact anchor at oracle scale; groups at 100 TB use the approx sketch
+# ---------------------------------------------------------------------------
+
+_GROUP_QUANTILES_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       round(quantile_cont(value, CAST(0.1 AS DOUBLE)), 6) AS p10,
+       round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 6) AS p50,
+       round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 6) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "group_quantiles",
+    oracle=_GROUP_QUANTILES_ORACLE,
+    tags=("agg", "quantile"),
+    late=True,
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P10/P50/P90 of event value PER GROUP — the group-wise twin
+    of column_stats_outliers' global quantiles (A14), one hash aggregate.
+    Same posture as there: exact ``percentile`` buffers each group's
+    values, the right oracle anchor at test SF; swap
+    ``percentile_approx`` (mergeable sketch, same call shape) for
+    100 TB groups. Both engines interpolate the same continuous-quantile
+    definition; outputs rounded to 6dp on both sides."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.expr("percentile(value, 0.1D)"), 6).alias("p10"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear trend (extension): least-squares slope per entity
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH pts AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders
+),
+m AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY o_custkey
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) != 0
+            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) != 0
+            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                       / n, 6)
+       END AS intercept
+FROM m
+"""
+
+
+@register(
+    "trend_per_customer", oracle=_TREND_ORACLE, tags=("agg", "ml"), late=True
+)
+def trend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend trend: least-squares slope + intercept of
+    order totalprice over order date (days since the corpus epoch),
+    1,500 regressions in one hash aggregate
+    (``operators/quality.py:group_trend``). Exact DECIMAL moments per
+    group make every regression deterministic under any partitioning —
+    the distributed version of fitting a trend line per entity, the
+    per-entity drift / trajectory feature a training pipeline derives
+    at feature-engineering time."""
+    from ghcn_d_etl_project_spark.operators.quality import group_trend
+
+    o = t(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = group_trend(pts, ["o_custkey"], "x", "y")
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "n",
+        "slope",
+        "intercept",
+    )

@@ -218,3 +218,60 @@ def test_categorical_association_self_mi_is_entropy(spark):
     r = categorical_association(df, "x", "y").collect()[0]
     assert r.mutual_info == pytest.approx(r.h_x, abs=1e-6)
     assert r.h_x == pytest.approx(r.h_y, abs=1e-9)
+
+
+def test_group_trend_matches_numpy_polyfit(spark):
+    from ghcn_d_etl_project_spark.operators.quality import group_trend
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [1.0, 2.5, 3.1, 5.2, 6.9]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert r.n == 5
+    assert r.slope == pytest.approx(slope, abs=1e-6)
+    assert r.intercept == pytest.approx(intercept, abs=1e-6)
+
+
+def test_group_trend_degenerate_groups_null(spark):
+    """n=1 and zero-x-variance groups: NULL slope/intercept, not a
+    divide-by-zero NaN."""
+    from ghcn_d_etl_project_spark.operators.quality import group_trend
+
+    df = spark.createDataFrame(
+        [("single", 1.0, 5.0), ("flatx", 2.0, 1.0), ("flatx", 2.0, 9.0)],
+        "g string, x double, y double",
+    )
+    got = {r.g: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert got["single"].slope is None and got["single"].intercept is None
+    assert got["flatx"].slope is None and got["flatx"].intercept is None
+
+
+def test_group_trend_null_rows_dropped_pairwise(spark):
+    from ghcn_d_etl_project_spark.operators.quality import group_trend
+
+    df = spark.createDataFrame(
+        [("g", 0.0, 0.0), ("g", 1.0, 2.0), ("g", None, 99.0), ("g", 2.0, None)],
+        "g string, x double, y double",
+    )
+    r = group_trend(df, ["g"], "x", "y").collect()[0]
+    assert r.n == 2 and r.slope == pytest.approx(2.0) and r.intercept == pytest.approx(0.0)
+
+
+def test_group_quantiles_matches_numpy(spark):
+    """Spark's exact percentile == numpy's 'linear' (continuous) method
+    per group — the interpolation definition both engines share."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+    from ghcn_d_etl_project_spark.plans._util import t as load
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in all_queries()["group_quantiles"].fn(spark, sf).collect()}
+    vals = load(spark, sf, "events").select("event_type", "value").toPandas()
+    for et, grp in vals.groupby("event_type"):
+        v = grp["value"].dropna().to_numpy()
+        assert out[et].n == len(v)
+        for q, colname in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+            assert getattr(out[et], colname) == pytest.approx(
+                np.quantile(v, q, method="linear"), abs=1e-6
+            )
