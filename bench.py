@@ -77,11 +77,16 @@ in-bench idle steady state 0.34-0.44s) x ``SPARK_GRAFT_BENCH_CALIB_BAND``
 loops, measured before Spark starts and again after the headline loop)
 drops below the spin REFERENCE / 1.8, where the reference is the max
 of ``SPARK_GRAFT_BENCH_SPIN_BASELINE`` (default 6.5e6 it/s, this
-machine's cold-idle rate) and both of the run's own probes — frequency
-boost pushes a warmed post-loop probe to ~11 M it/s on this host, so a
-run clean at either end raises its own bar and a start-contended run
-(observed: spins 4.1 -> 11.33, every query ~1.35x slow) can no longer
-hide under the static threshold. Two signals because they fail
+machine's cold-idle rate) and every one of the run's own probes —
+frequency boost pushes a warmed post-loop probe to ~11 M it/s on this
+host, so a run clean at any point raises its own bar and a
+start-contended run (observed: spins 4.1 -> 11.33, every query ~1.35x
+slow) can no longer hide under the static threshold. The probes also
+run BETWEEN headline queries (one 0.1s sample each): end-only probes
+miss contention that starts and stops inside the loop — observed as a
+hypervisor CPU-steal window that inflated core13 35% while both end
+probes stayed above threshold; the minimum mid-run sample is reported
+as ``spin`` third element and feeds the flag. Two signals because they fail
 differently: the Spark calibration under-reads moderate
 oversubscription (short tasks still get scheduled; 40 spinners on 32
 CPUs read only 1.4-1.6x) while the spin probe halves (6.5-7 -> 2.4-3.5
@@ -404,7 +409,14 @@ def main() -> None:
     spark.catalog.clearCache()
 
     stages_out: dict[str, dict[str, float]] = {}
+    # Mid-run steal detection: one cheap spin sample between queries.
+    # The end probes miss contention that starts and stops INSIDE the
+    # loop (observed: a host-steal window left spins (7.14, 5.54) —
+    # both above threshold — while core13 inflated 35%); the minimum of
+    # these per-query samples closes that blind spot at ~0.1s/query.
+    spin_mid: list[float] = []
     for name, q in queries.items():
+        spin_mid.append(_spin_rate(samples=1, dur=0.1))
         runs: list[float] = []
         stage_samples: list[dict[str, float]] = []
         staged_fn = _STAGED.get(name)
@@ -485,17 +497,25 @@ def main() -> None:
     # process, uniformly ~1.35x slow — passed the static 6.5/1.8=3.6
     # threshold; against its own 11.33 reference it flags correctly,
     # while a clean run (7.36, 10.82) stays below the flag either way.
-    spin_ref = max(spin_start, spin_end, spin_base)
+    spin_ref = max([spin_start, spin_end, spin_base, *spin_mid])
+    spin_mid_min = min(spin_mid) if spin_mid else None
     cpus = os.cpu_count() or 1
-    contended = any(
-        c is not None and c > calib_idle * calib_band
-        for c in (calib_start, calib_end)
-    ) or any(sp < spin_ref / 1.8 for sp in (spin_start, spin_end))
+    contended = (
+        any(
+            c is not None and c > calib_idle * calib_band
+            for c in (calib_start, calib_end)
+        )
+        or any(sp < spin_ref / 1.8 for sp in (spin_start, spin_end))
+        or (spin_mid_min is not None and spin_mid_min < spin_ref / 1.8)
+    )
     load = {
         "avg1m_start": round(load_start[0], 2),
         "avg1m_end": round(load_end[0], 2),
         "cpus": cpus,
         "spin_mps": [round(spin_start / 1e6, 2), round(spin_end / 1e6, 2)],
+        "spin_mid_min_mps": (
+            round(spin_mid_min / 1e6, 2) if spin_mid_min is not None else None
+        ),
         "spin_baseline_mps": round(spin_base / 1e6, 2),
         "calib_start_sec": calib_start,
         "calib_end_sec": calib_end,
@@ -519,7 +539,7 @@ def main() -> None:
         "load": {
             "avg1m": [load["avg1m_start"], load["avg1m_end"]],
             "calib": [calib_start, calib_end],
-            "spin": load["spin_mps"],
+            "spin": load["spin_mps"] + [load["spin_mid_min_mps"]],
         },
         "contended": contended,
     }
