@@ -121,10 +121,22 @@ def radius_join(
             "longitude grid cells degenerate toward the poles"
         )
 
+    for df, side in ((left, "left"), (right, "right")):
+        clash = {"__cr", "__cc", distance_col} & set(df.columns)
+        if clash:
+            raise ValueError(f"{side} side carries reserved column(s): {sorted(clash)}")
+
     rr, rc = grid_cell(r_lat, r_lon, cell_deg)
     r = right.withColumn("__cr", rr).withColumn("__cc", rc)
-    # collision-suffix right columns
+    # collision-suffix right columns; refuse a left column that already
+    # uses a suffixed name (the rename would silently duplicate it)
     overlap = set(left.columns) & set(right.columns)
+    taken = {f"{c}_r" for c in overlap} & set(left.columns)
+    if taken:
+        raise ValueError(
+            f"left side already has suffixed column(s) {sorted(taken)}; "
+            "rename before joining"
+        )
     for c_ in overlap:
         r = r.withColumnRenamed(c_, f"{c_}_r")
     r_lat2 = f"{r_lat}_r" if r_lat in overlap else r_lat

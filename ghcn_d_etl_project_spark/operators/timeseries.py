@@ -76,19 +76,40 @@ def _check_reserved(df: DataFrame, names: Sequence[str]) -> None:
         raise ValueError(f"input carries reserved internal column(s): {clash}")
 
 
+def _assert_unique_grain(
+    df: DataFrame, key_cols: Sequence[str], date_col: str
+) -> None:
+    dup = (
+        df.groupBy(*key_cols, date_col)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"input has duplicate ({list(key_cols)}, {date_col}) rows — "
+            "pre-aggregate to one row per key-date before densifying"
+        )
+
+
 def gap_fill_ffill(
     df: DataFrame,
     key_cols: Sequence[str],
     date_col: str,
     value_cols: Sequence[str],
     max_gap_days: int | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Densify a per-key daily series and forward-fill its values.
 
-    Input: at most one row per (key, date) — pre-aggregate first (the
-    operator raises downstream ambiguity, not silently: duplicate dates
-    make ``lead`` emit overlapping sequences, caught by the grid-size
-    tests). Output: one row per (key, day) for every day in the key's
+    Input: at most one row per (key, date) — pre-aggregate first.
+    Duplicate dates make ``lead`` emit overlapping day sequences
+    (duplicated grid rows downstream); pass ``validate_unique=True`` to
+    pay one extra aggregate that raises on duplicates instead — off by
+    default because the check is a full shuffle at scale and most
+    callers feed a groupBy output that is unique by construction.
+    Output: one row per (key, day) for every day in the key's
     [min, max] observed range, with
 
       * ``<v>``        — the observed value, NULL on gap rows;
@@ -106,6 +127,8 @@ def gap_fill_ffill(
     if not key_cols or not value_cols:
         raise ValueError("key_cols and value_cols must be non-empty")
     _check_reserved(df, ["__day", "__obs_day", "__next_day"])
+    if validate_unique:
+        _assert_unique_grain(df, key_cols, date_col)
     d = F.col(date_col).cast("date")
     w = Window.partitionBy(*key_cols).orderBy(d)
 
@@ -142,6 +165,7 @@ def interpolate_linear(
     key_cols: Sequence[str],
     date_col: str,
     value_col: str,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Densify and LINEARLY interpolate between consecutive observations.
 
@@ -159,6 +183,8 @@ def interpolate_linear(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     _check_reserved(df, ["__day", "__obs_day", "__next_day", "__next_val"])
+    if validate_unique:
+        _assert_unique_grain(df, key_cols, date_col)
     d = F.col(date_col).cast("date")
     w = Window.partitionBy(*key_cols).orderBy(d)
     # windows materialized before the generator (see gap_fill_ffill)

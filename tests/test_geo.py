@@ -99,3 +99,13 @@ def test_radius_join_validates_inputs(spark):
         radius_join(df, df, radius_km=0.0)
     with pytest.raises(ValueError, match="coordinate"):
         radius_join(df, df.select("pid"), radius_km=1.0)
+
+
+def test_radius_join_refuses_suffix_and_reserved_collisions(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, lat double, lon double")
+    with_suffixed = df.withColumn("lat_r", F.lit(0.0))
+    with pytest.raises(ValueError, match="suffixed"):
+        radius_join(with_suffixed, df, radius_km=1.0)
+    with_reserved = df.withColumn("distance_km", F.lit(0.0))
+    with pytest.raises(ValueError, match="reserved"):
+        radius_join(df, with_reserved, radius_km=1.0)

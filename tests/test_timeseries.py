@@ -184,3 +184,16 @@ def test_gap_fill_events_plan_is_join_free_two_shuffles(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 2, f"expected 2 shuffles (agg + window), saw {n}:\n{plan[:1500]}"
     assert "Generate explode(sequence" in plan
+
+
+def test_gap_fill_validate_unique_raises_on_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a", D(2024, 1, 1), 1.0), ("a", D(2024, 1, 1), 2.0)],
+        "k string, day date, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        gap_fill_ffill(df, ["k"], "day", ["v"], validate_unique=True)
+    with pytest.raises(ValueError, match="duplicate"):
+        interpolate_linear(df, ["k"], "day", "v", validate_unique=True)
+    # default path stays cheap: no validation aggregate, no raise
+    assert gap_fill_ffill(df, ["k"], "day", ["v"]).count() >= 2
