@@ -366,3 +366,78 @@ def run_pipeline(
         "normals": gold_normals(silver),
         "ml_features": gold_ml_features(silver),
     }
+
+
+def gold_ml_features_dense(silver: DataFrame) -> DataFrame:
+    """Calendar-dense variant of ``gold_ml_features``: densify each
+    station's daily series before windowing, so lag/rolling features see
+    a complete calendar instead of the reference's gap-blind ROWS frames
+    (``gold_processor.py:195-199`` treats "7 rows" as "7 days"; SURVEY
+    §2.6). Composition of ``operators/timeseries.py:gap_fill_ffill``
+    with the same feature expressions:
+
+      * synthesized station-days carry forward-filled TMAX/TMIN/PRCP
+        (``*_ffill``), ``is_gap`` = 1, and ``days_since_obs`` staleness
+        — the ML-side can weight or mask them;
+      * ``tmax_lag1``/``tmax_7day_avg`` etc. compute over the DENSE grid
+        from the ffill columns, so a "7-row window" is now exactly 7
+        calendar days at every station;
+      * observed rows keep raw values in the original columns (NULL on
+        synthesized rows), preserving auditability.
+
+    Same shuffle budget as the sparse variant (one window partition by
+    station) plus the gap-fill's own window — the explode adds rows, not
+    exchanges.
+    """
+    from ghcn_d_etl_project_spark.operators.timeseries import gap_fill_ffill
+
+    dense = gap_fill_ffill(
+        silver.select("ID", "DATE", "TMAX", "TMIN", "PRCP"),
+        ["ID"],
+        "DATE",
+        ["TMAX", "TMIN", "PRCP"],
+    )
+    w = Window.partitionBy("ID").orderBy("DATE")
+    w7 = w.rowsBetween(-6, 0)  # over the dense grid: exactly 7 days
+    return (
+        dense.withColumn("tmax_lag1", F.lag("TMAX_ffill", 1).over(w))
+        .withColumn("tmin_lag1", F.lag("TMIN_ffill", 1).over(w))
+        .withColumn("prcp_lag1", F.lag("PRCP_ffill", 1).over(w))
+        .withColumn("tmax_7day_avg", F.avg("TMAX_ffill").over(w7))
+        .withColumn("tmin_7day_avg", F.avg("TMIN_ffill").over(w7))
+        .withColumn("prcp_7day_sum", F.sum("PRCP_ffill").over(w7))
+    )
+
+
+def nearest_stations(stations: DataFrame, radius_km: float = 75.0) -> DataFrame:
+    """Each station's nearest OTHER station within ``radius_km`` —
+    the gap-imputation / cross-station-QA lookup the reference's
+    state-only filtering cannot express, composed from
+    ``operators/geo.py:radius_join`` (grid-bucketed equi-join, no
+    cross product) + one rank window over the candidate pairs.
+
+    Output: one row per station that has a neighbor in range
+    (ID, LATITUDE, LONGITUDE, neighbor_id, distance_km).
+    """
+    from ghcn_d_etl_project_spark.operators.geo import radius_join
+
+    pts = stations.select(
+        "ID",
+        F.col("LATITUDE").alias("lat"),
+        F.col("LONGITUDE").alias("lon"),
+    )
+    pairs = radius_join(pts, pts, radius_km=radius_km).where(
+        F.col("ID") != F.col("ID_r")
+    )
+    w = Window.partitionBy("ID").orderBy("distance_km", "ID_r")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "ID",
+            F.col("lat").alias("LATITUDE"),
+            F.col("lon").alias("LONGITUDE"),
+            F.col("ID_r").alias("neighbor_id"),
+            "distance_km",
+        )
+    )

@@ -334,3 +334,63 @@ def test_maybe_cache_size_gate(spark):
         assert got_big.count() == 5000
     finally:
         got_big.unpersist()
+
+
+def test_ml_features_dense_windows_see_full_calendar(spark):
+    """gold_ml_features_dense (r8 composition): a station with a 3-day
+    hole gets synthesized rows carrying forward-filled values, and the
+    'previous row' lag is now truly 'previous DAY' — the gap-blind ROWS
+    quirk the sparse variant reproduces on purpose."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.pipelines.ghcn import gold_ml_features_dense
+
+    d = dt.date
+    silver = spark.createDataFrame(
+        [
+            (S1, d(2021, 1, 1), 20.0, 5.0, 0.0),
+            (S1, d(2021, 1, 5), 24.0, 9.0, 4.0),  # 3-day hole before this
+            (S1, d(2021, 1, 6), 26.0, 11.0, 0.0),
+        ],
+        "ID string, DATE date, TMAX double, TMIN double, PRCP double",
+    )
+    out = {r.DATE: r for r in gold_ml_features_dense(silver).collect()}
+    assert len(out) == 6  # full calendar 1..6
+    # synthesized day 3: ffill from day 1, flagged, staleness 2
+    r3 = out[d(2021, 1, 3)]
+    assert (r3.is_gap, r3.days_since_obs, r3.TMAX, r3.TMAX_ffill) == (1, 2, None, 20.0)
+    # day 5's lag over the DENSE grid is day 4's carried value (20.0),
+    # not the sparse variant's previous-ROW value (also 20.0 here but
+    # via day 1) — day 6's lag distinguishes: previous DAY = 24.0
+    assert out[d(2021, 1, 6)].tmax_lag1 == 24.0
+    assert out[d(2021, 1, 5)].tmax_lag1 == 20.0
+    # 7-day avg at day 6 covers exactly days 1-6 of the dense grid
+    expect = (20.0 + 20.0 + 20.0 + 20.0 + 24.0 + 26.0) / 6
+    assert out[d(2021, 1, 6)].tmax_7day_avg == pytest.approx(expect)
+
+
+def test_nearest_stations_composition(spark, fixture_paths):
+    """nearest_stations over the stations fixture: Atlanta and Savannah
+    pick each other (~345 km), Miami's closest in-radius neighbor is
+    Savannah; distances match an independent haversine."""
+    from ghcn_d_etl_project_spark.operators.geo import EARTH_RADIUS_KM
+    from ghcn_d_etl_project_spark.pipelines.ghcn import nearest_stations
+
+    _, stations_path = fixture_paths
+    stations = read_stations(spark, stations_path)  # no state filter
+    out = {r.ID: r for r in nearest_stations(stations, radius_km=800.0).collect()}
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (*a, *b))
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(x))
+
+    atl, sav, mia = (33.7, -84.4), (32.1, -81.1), (25.8, -80.2)
+    assert out[S1].neighbor_id == S2
+    assert out[S2].neighbor_id == S1
+    assert out["USC0FL00001"].neighbor_id == S2
+    assert out[S1].distance_km == pytest.approx(hav(atl, sav), abs=1e-9)
+    assert out["USC0FL00001"].distance_km == pytest.approx(hav(mia, sav), abs=1e-9)
