@@ -1,0 +1,209 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The reference's event-shaped inputs (station observation streams,
+``src/transform/silver_processor.py``'s long event grain) stop at
+windowed aggregation; a product-analytics user of the same engine
+immediately asks the two questions this module answers: *how many users
+progressed through an ordered sequence of actions* (funnel) and *how many
+users from each signup period were still active k periods later*
+(retention). Both are first-class operators in every commercial event
+engine; both reduce to single-shuffle Spark plans.
+
+Scale design:
+
+``funnel_steps`` computes each user's earliest strictly-ordered
+completion time per step with CHAINED CONDITIONAL WINDOW MINIMA over an
+unordered user partition: ``t1 = min(ts) where type = step1``;
+``t_i = min(ts) where type = step_i and ts > t_{i-1}``. Greedy earliest
+completion is exact for funnel existence (if any ordered occurrence
+chain exists, the greedy one does). All k windows share one partition
+spec with NO ordering, so the physical plan is a single hash Exchange on
+the user key and k pipelined Window operators with no Sort; the
+follow-up per-user collapse reuses that partitioning (hash partitioning
+on ``user`` satisfies the clustered distribution of a
+``groupBy(user)``), and the final step-count aggregate is a partial-agg
+single-row reduce. Total: ONE shuffle of the events table, regardless of
+k. No self-joins (the naive k-way self-join funnel is O(n^k) and
+unshippable at 100 TB).
+
+``cohort_retention`` derives each user's cohort (period of first
+activity) with the same partition-only window min, truncates activity to
+periods, and counts distinct (cohort, offset, user) triples — the full
+event volume shuffles once (the window); every later exchange carries
+only map-side-collapsed triples or the O(cohorts x horizon) triangle.
+Retention percentages come from a window over that tiny summary, never a
+second pass over the events.
+
+Neither operator collects to the driver; outputs are O(steps) and
+O(cohorts x horizon) rows respectively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "funnel_summary", "cohort_retention"]
+
+_PERIODS = {"day": "day", "week": "week", "month": "month"}
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user earliest strictly-ordered completion time for each step.
+
+    Returns one row per user observed in ``df`` with columns ``user_col``
+    and ``t1..tk`` (timestamp of the user's earliest completion of step
+    i that happens STRICTLY after their counted completion of step i-1;
+    NULL if the user never got that far). Duplicate step names are
+    rejected — the chained-minimum recurrence needs distinct predicates
+    per level (the same type twice is expressible but almost always a
+    caller bug).
+
+    One shuffle: all window minima share an orderless partition on
+    ``user_col`` and the collapsing ``groupBy`` reuses its partitioning.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step names in funnel: {list(steps)}")
+    reserved = [c for c in df.columns if c.startswith("__t")]
+    if reserved:
+        raise ValueError(f"input carries reserved __t* columns: {reserved}")
+
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(
+            f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"__t{i}"
+    return out.groupBy(user_col).agg(
+        *[
+            F.max(f"__t{i}").alias(f"t{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+
+
+def funnel_summary(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion counts: one row per step with the number of
+    users whose ordered journey reached it and the conversion rate
+    relative to step 1 (rounded to 6 places; NULL when nobody entered).
+
+    Built on :func:`funnel_steps`; the final reshape is a single-row
+    aggregate stacked to ``len(steps)`` rows — no extra pass over the
+    events.
+    """
+    per_user = funnel_steps(
+        df, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").alias(f"c{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args: list[Column] = []
+    for i, step in enumerate(steps, start=1):
+        stack_args += [
+            F.lit(i).cast("long"),
+            F.lit(step),
+            F.col(f"c{i}").cast("long"),
+            F.when(
+                F.col("c1") > 0,
+                F.round(F.col(f"c{i}") / F.col("c1"), 6),
+            ).cast("double"),
+        ]
+    n = len(steps)
+    return counts.select(F.stack(F.lit(n), *stack_args)).toDF(
+        "step_idx", "step", "users", "pct_of_first"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by the period of their
+    FIRST observed activity (their cohort), counted once per subsequent
+    period they were active in.
+
+    Returns one row per (cohort_period, period_offset) with
+    ``cohort_size`` (users whose first activity fell in that period —
+    identical at every offset of a cohort), ``active_users`` (distinct
+    users of the cohort active at that offset) and ``retention_pct``
+    (= active / cohort_size, offset 0 is 1.0 by construction).
+
+    ``period`` is ``day`` / ``week`` (ISO, Monday-truncated) / ``month``.
+    One full-data shuffle (the orderless window min on ``user_col`` for
+    cohort assignment); the follow-up exchanges move only the distinct
+    (cohort, offset, user) triples — O(users x horizon), already heavily
+    collapsed map-side — and the O(cohorts x horizon) triangle the
+    percentage window divides over. The events table is scanned and
+    shuffled exactly once.
+    """
+    if period not in _PERIODS:
+        raise ValueError(f"period must be one of {sorted(_PERIODS)}")
+    unit = _PERIODS[period]
+    per_day = {"day": 1, "week": 7}.get(period)
+
+    w = Window.partitionBy(user_col)
+    x = (
+        df.select(user_col, ts_col)
+        .withColumn("__first", F.min(ts_col).over(w))
+        .select(
+            F.col(user_col),
+            F.date_trunc(unit, "__first").cast("date").alias("__cohort"),
+            F.date_trunc(unit, ts_col).cast("date").alias("__active"),
+        )
+    )
+    if per_day is not None:
+        offset = (
+            F.datediff("__active", "__cohort") / F.lit(per_day)
+        ).cast("long")
+    else:
+        offset = F.months_between("__active", "__cohort").cast("long")
+    tri = (
+        x.select(user_col, "__cohort", offset.alias("__offset"))
+        .distinct()
+        .groupBy("__cohort", "__offset")
+        .agg(F.count("*").alias("active_users"))
+    )
+    wc = Window.partitionBy("__cohort")
+    return (
+        tri.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("__offset") == 0, F.col("active_users"))
+            ).over(wc),
+        )
+        .select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_period"),
+            F.col("__offset").alias("period_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention_pct"),
+        )
+    )

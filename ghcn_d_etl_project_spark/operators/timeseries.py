@@ -41,7 +41,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["date_spine", "gap_fill_ffill", "interpolate_linear"]
+__all__ = [
+    "date_spine",
+    "gap_fill_ffill",
+    "interpolate_linear",
+    "merge_intervals",
+]
 
 
 def date_spine(
@@ -214,4 +219,73 @@ def interpolate_linear(
         grid.alias(date_col),
         interp.alias(f"{value_col}_interp"),
         (grid != obs).cast("long").alias("is_gap"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping or touching [start, end] intervals per key
+    into maximal disjoint islands — the classic interval-union operator
+    (downtime stitching, availability coverage, contiguous-activity
+    spans) that SQL engines make users hand-roll every time.
+
+    Returns one row per merged island: the key columns, the island's
+    ``start_col`` (min) / ``end_col`` (max) and ``n_source`` (how many
+    input intervals it absorbed). Two intervals merge when the later
+    one's start is <= the running maximum of earlier ends (touching
+    endpoints merge; change semantics by pre-shrinking ends if open
+    intervals are wanted). Rows with NULL start or end are rejected —
+    a NULL boundary has no defensible island assignment.
+
+    Scale shape: the running-max-of-ends / flag / running-sum chain uses
+    TWO window expressions over the SAME (key, order by start, end)
+    spec, so the plan is one hash Exchange + one Sort feeding a single
+    Window operator; the island collapse reuses the key partitioning
+    (hash on keys satisfies the clustered distribution of
+    ``groupBy(keys, island)``). One shuffle + one sort total, no join,
+    no driver collection. Per-key work is linear in that key's interval
+    count; a whale key serializes within its partition exactly like
+    sessionization (inherent to per-key ordering).
+    """
+    if not key_cols:
+        raise ValueError("merge_intervals needs at least one key column")
+    _check_reserved(df, ["__pmax", "__new", "__island"])
+
+    keys = [F.col(k) for k in key_cols]
+    s, e = F.col(start_col), F.col(end_col)
+    bad = df.where(s.isNull() | e.isNull() | (e < s)).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"invalid interval row (NULL bound or {end_col} < {start_col})"
+        )
+    w = Window.partitionBy(*keys).orderBy(s.asc(), e.asc())
+    flagged = (
+        df.withColumn(
+            "__pmax",
+            F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "__new",
+            F.when(F.col("__pmax").isNull() | (s > F.col("__pmax")), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(*keys, F.col("__island"))
+        .agg(
+            F.min(s).alias(start_col),
+            F.max(e).alias(end_col),
+            F.count("*").alias("n_source"),
+        )
+        .drop("__island")
     )

@@ -367,3 +367,183 @@ def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         "days_since_obs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (extension): ordered funnel, cohort retention,
+# interval union — the product-analytics trio over the events table
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+), c AS (
+  SELECT COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3 FROM u
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST(c1 AS BIGINT) AS users,
+         CASE WHEN c1 > 0 THEN ROUND(c1 * 1.0 / c1, 6) END AS pct_of_first
+  FROM c
+  UNION ALL
+  SELECT 2, 'click', CAST(c2 AS BIGINT),
+         CASE WHEN c1 > 0 THEN ROUND(c2 * 1.0 / c1, 6) END FROM c
+  UNION ALL
+  SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+         CASE WHEN c1 > 0 THEN ROUND(c3 * 1.0 / c1, 6) END FROM c
+)
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("window", "events", "funnel"),
+    late=True,
+    bench=True,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel over the events
+    table (``operators/funnel.py:funnel_summary``): users counted at
+    step i only if step i happened strictly after their greedy-earliest
+    completion of step i-1. The Spark plan is ONE shuffle — three
+    conditional window minima sharing an orderless user partition, the
+    per-user collapse reusing that partitioning, and a single-row final
+    count; the naive k-way self-join formulation is O(n^k) and is
+    exactly what this operator exists to avoid. Oracle restates the
+    identical chained-minimum recurrence in DuckDB."""
+    from ghcn_d_etl_project_spark.operators.funnel import funnel_summary
+
+    e = t(spark, sf_dir, "events")
+    return funnel_summary(e, ["view", "click", "purchase"])
+
+
+_COHORT_ORACLE = """
+WITH f AS (
+  SELECT user_id, ts,
+         MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+), p AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', first_ts) AS DATE) AS cohort,
+         CAST(
+           date_diff('day',
+                     CAST(date_trunc('week', first_ts) AS DATE),
+                     CAST(date_trunc('week', ts) AS DATE)) / 7
+           AS BIGINT) AS period_offset
+  FROM f
+), tri AS (
+  SELECT cohort, period_offset, COUNT(*) AS active_users
+  FROM p GROUP BY cohort, period_offset
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_period,
+       period_offset,
+       CAST(MAX(CASE WHEN period_offset = 0 THEN active_users END)
+              OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+       CAST(active_users AS BIGINT) AS active_users,
+       ROUND(active_users * 1.0 /
+             MAX(CASE WHEN period_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort), 6) AS retention_pct
+FROM tri
+"""
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle=_COHORT_ORACLE,
+    tags=("window", "events", "cohort"),
+    late=True,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle
+    (``operators/funnel.py:cohort_retention``): users grouped by the
+    ISO week of their first event, counted once per subsequent week
+    active. The events table shuffles ONCE (orderless window min for
+    cohort assignment); the later exchanges carry only the
+    map-side-collapsed distinct triples and the O(cohorts x horizon)
+    triangle the retention-percentage window divides over — never a
+    second event pass."""
+    from ghcn_d_etl_project_spark.operators.funnel import cohort_retention
+
+    e = t(spark, sf_dir, "events")
+    return cohort_retention(e, period="week")
+
+
+_INTERVAL_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni
+  FROM w
+), g AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(MIN(s), '%Y-%m-%d %H:%M:%S.%f') AS span_start,
+       strftime(MAX(e), '%Y-%m-%d %H:%M:%S.%f') AS span_end,
+       CAST(epoch_us(MAX(e)) - epoch_us(MIN(s)) AS BIGINT) AS covered_us,
+       CAST(COUNT(*) AS BIGINT) AS n_source
+FROM g GROUP BY user_id, island
+"""
+
+
+@register(
+    "interval_merge_events",
+    oracle=_INTERVAL_ORACLE,
+    tags=("window", "events", "interval"),
+    late=True,
+    bench=True,
+)
+def interval_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (``operators/timeseries.py:merge_intervals``):
+    each engagement event opens a 2-hour activity interval; overlapping
+    or touching intervals per user coalesce into maximal disjoint spans
+    (running-max-of-ends island construction — one Exchange + one Sort
+    feeding a single Window operator, island collapse reuses the key
+    partitioning). Oracle restates the same recurrence; both engines
+    compare microsecond-exact timestamps so island boundaries are
+    bit-identical."""
+    from ghcn_d_etl_project_spark.operators.timeseries import merge_intervals
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+    )
+    out = merge_intervals(e, ["user_id"], "s", "e")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("s", fmt).alias("span_start"),
+        F.date_format("e", fmt).alias("span_end"),
+        (F.unix_micros("e") - F.unix_micros("s")).alias("covered_us"),
+        F.col("n_source").cast("long").alias("n_source"),
+    )

@@ -1,0 +1,272 @@
+"""Event-sequence analytics (operators/funnel.py + merge_intervals):
+ordered funnels, cohort retention, interval union. The three oracle
+queries (funnel_conversion / cohort_retention_weekly /
+interval_merge_events) cross-check the window formulations against
+DuckDB; these tests pin the operator SEMANTICS on adversarial
+hand-built inputs (strict ordering, greedy-earliest correctness,
+touching-interval merges) and the single-full-shuffle plan shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.funnel import (
+    cohort_retention,
+    funnel_steps,
+    funnel_summary,
+)
+from ghcn_d_etl_project_spark.operators.timeseries import merge_intervals
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel_steps / funnel_summary
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose purchase precedes their click must NOT count as
+    converted — strictly-after semantics, the defining property."""
+    df = _events(
+        spark,
+        [
+            # u1: clean A -> B -> C
+            (1, TS(2024, 1, 1, 0), "view"),
+            (1, TS(2024, 1, 1, 1), "click"),
+            (1, TS(2024, 1, 1, 2), "purchase"),
+            # u2: purchase BEFORE click -> reaches step 2 only
+            (2, TS(2024, 1, 1, 0), "view"),
+            (2, TS(2024, 1, 1, 1), "purchase"),
+            (2, TS(2024, 1, 1, 2), "click"),
+            # u3: never viewed -> reaches nothing even with click+purchase
+            (3, TS(2024, 1, 1, 0), "click"),
+            (3, TS(2024, 1, 1, 1), "purchase"),
+        ],
+    )
+    out = {
+        r["step"]: r
+        for r in funnel_summary(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"]["users"] == 2
+    assert out["click"]["users"] == 2
+    assert out["purchase"]["users"] == 1
+    assert out["purchase"]["pct_of_first"] == 0.5
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    """step i at exactly step i-1's counted time is NOT strictly after."""
+    df = _events(
+        spark,
+        [
+            (1, TS(2024, 1, 1, 0), "view"),
+            (1, TS(2024, 1, 1, 0), "click"),  # tie -> no advance
+            (2, TS(2024, 1, 1, 0), "view"),
+            (2, TS(2024, 1, 1, 0, 0, 1), "click"),
+        ],
+    )
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_summary(df, ["view", "click"]).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
+def test_funnel_greedy_earliest_is_complete(spark):
+    """Greedy earliest completion finds a chain whenever one exists:
+    the user's FIRST view is followed by no click, but a later
+    view->click pair exists — greedy anchors on the first view yet the
+    later click still counts because it is after it."""
+    df = _events(
+        spark,
+        [
+            (1, TS(2024, 1, 1), "view"),
+            (1, TS(2024, 1, 3), "view"),
+            (1, TS(2024, 1, 4), "click"),
+        ],
+    )
+    rows = funnel_steps(df, ["view", "click"]).collect()
+    assert rows[0]["t1"] == TS(2024, 1, 1)
+    assert rows[0]["t2"] == TS(2024, 1, 4)
+
+
+def test_funnel_rejects_bad_specs(spark):
+    df = _events(spark, [(1, TS(2024, 1, 1), "view")])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(df, ["view"])
+    with pytest.raises(ValueError, match="duplicate step"):
+        funnel_steps(df, ["view", "view"])
+    with pytest.raises(ValueError, match="reserved"):
+        funnel_steps(df.withColumn("__t1", F.lit(1)), ["view", "click"])
+
+
+def test_funnel_single_full_shuffle(spark):
+    """The events table must shuffle exactly once — k chained window
+    minima share one orderless user partition and the per-user collapse
+    reuses it; only the final single-row count adds a SinglePartition
+    exchange. A second hash exchange would mean the naive re-shuffle."""
+    df = _events(spark, [(1, TS(2024, 1, 1), "view")])
+    plan = funnel_summary(
+        df, ["view", "click", "purchase"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_weekly_semantics(spark):
+    # u1 first active week of Mon 2024-01-01; active again week +2
+    # u2 same cohort, never returns
+    # u3 cohort week of Mon 2024-01-08, returns week +1
+    df = _events(
+        spark,
+        [
+            (1, TS(2024, 1, 2), "view"),
+            (1, TS(2024, 1, 16), "view"),
+            (1, TS(2024, 1, 17), "click"),  # same week, counted once
+            (2, TS(2024, 1, 3), "view"),
+            (3, TS(2024, 1, 9), "view"),
+            (3, TS(2024, 1, 15), "view"),
+        ],
+    )
+    out = {
+        (r["cohort_period"], r["period_offset"]): r
+        for r in cohort_retention(df, period="week").collect()
+    }
+    r00 = out[("2024-01-01", 0)]
+    assert r00["cohort_size"] == 2 and r00["active_users"] == 2
+    assert r00["retention_pct"] == 1.0
+    r02 = out[("2024-01-01", 2)]
+    assert r02["active_users"] == 1 and r02["retention_pct"] == 0.5
+    r11 = out[("2024-01-08", 1)]
+    assert r11["cohort_size"] == 1 and r11["retention_pct"] == 1.0
+    assert ("2024-01-01", 1) not in out  # nobody active that week
+
+
+def test_cohort_retention_rejects_unknown_period(spark):
+    df = _events(spark, [(1, TS(2024, 1, 1), "view")])
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(df, period="fortnight")
+
+
+def test_cohort_single_full_data_shuffle(spark):
+    """Full event volume shuffles once (the cohort-assignment window);
+    later exchanges carry only collapsed triples / the triangle. Pin:
+    the window exchange keys on the user column alone."""
+    df = _events(spark, [(1, TS(2024, 1, 1), "view")])
+    plan = (
+        cohort_retention(df, period="week")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    first_ex = plan.find("Exchange hashpartitioning")
+    assert first_ex != -1
+    # the deepest (last-printed) exchange is the one on raw events
+    last_ex = plan.rfind("Exchange hashpartitioning")
+    seg = plan[last_ex : plan.find("\n", last_ex)]
+    assert "user_id" in seg and "__cohort" not in seg
+
+
+# ---------------------------------------------------------------------------
+# merge_intervals
+# ---------------------------------------------------------------------------
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+
+
+def test_merge_intervals_overlap_touch_disjoint(spark):
+    df = _iv(
+        spark,
+        [
+            # overlapping pair -> one island
+            ("a", TS(2024, 1, 1, 0), TS(2024, 1, 1, 2)),
+            ("a", TS(2024, 1, 1, 1), TS(2024, 1, 1, 3)),
+            # touching endpoint -> merges into the same island
+            ("a", TS(2024, 1, 1, 3), TS(2024, 1, 1, 4)),
+            # gap -> new island
+            ("a", TS(2024, 1, 1, 5), TS(2024, 1, 1, 6)),
+            # other key untouched
+            ("b", TS(2024, 1, 1, 0), TS(2024, 1, 1, 1)),
+        ],
+    )
+    out = sorted(
+        merge_intervals(df, ["k"], "s", "e").collect(),
+        key=lambda r: (r["k"], r["s"]),
+    )
+    assert [(r["k"], r["s"].hour, r["e"].hour, r["n_source"]) for r in out] == [
+        ("a", 0, 4, 3),
+        ("a", 5, 6, 1),
+        ("b", 0, 1, 1),
+    ]
+
+
+def test_merge_intervals_contained_interval_absorbed(spark):
+    """An interval fully inside an earlier one must not split the island
+    even when a LATER interval starts after the contained one's end —
+    this is exactly the case the running-max-of-ends (not lag(end))
+    construction exists for."""
+    df = _iv(
+        spark,
+        [
+            ("a", TS(2024, 1, 1, 0), TS(2024, 1, 1, 10)),
+            ("a", TS(2024, 1, 1, 1), TS(2024, 1, 1, 2)),  # contained
+            ("a", TS(2024, 1, 1, 3), TS(2024, 1, 1, 11)),  # after 1-2 ends
+        ],
+    )
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    assert out[0]["n_source"] == 3 and out[0]["e"] == TS(2024, 1, 1, 11)
+
+
+def test_merge_intervals_rejects_invalid(spark):
+    with pytest.raises(ValueError, match="invalid interval"):
+        merge_intervals(
+            _iv(spark, [("a", TS(2024, 1, 2), TS(2024, 1, 1))]),
+            ["k"], "s", "e",
+        ).collect()
+    with pytest.raises(ValueError, match="invalid interval"):
+        merge_intervals(
+            _iv(spark, [("a", None, TS(2024, 1, 1))]), ["k"], "s", "e"
+        ).collect()
+    with pytest.raises(ValueError, match="reserved"):
+        merge_intervals(
+            _iv(spark, [("a", TS(2024, 1, 1), TS(2024, 1, 2))]).withColumn(
+                "__island", F.lit(1)
+            ),
+            ["k"], "s", "e",
+        )
+    with pytest.raises(ValueError, match="key column"):
+        merge_intervals(_iv(spark, []), [], "s", "e")
+
+
+def test_merge_intervals_one_exchange_one_sort(spark):
+    """Both windows share one (key, start, end) spec and the island
+    collapse reuses the key partitioning: exactly one Exchange and one
+    Sort in the whole plan."""
+    df = _iv(spark, [("a", TS(2024, 1, 1), TS(2024, 1, 2))])
+    plan = (
+        merge_intervals(df, ["k"], "s", "e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort ") == 1
+    assert "Join" not in plan

@@ -207,7 +207,7 @@ def test_coverage_md_totals_match_registry():
     assert doc_core == len(oracle) - len(late)
     assert doc_rows_only == len(qs) - len(oracle)
     # the late list spelled out in the line must match too
-    tail = text[m.end():m.end() + 450]
+    tail = text[m.end():m.end() + 700]
     for name in late:
         assert f"`{name}`" in tail, f"late query {name} missing from Totals"
 
