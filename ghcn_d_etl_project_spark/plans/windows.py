@@ -198,7 +198,11 @@ WITH ranked AS (
          CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
               AS BIGINT) AS drnk,
          CAST(ntile(4) OVER (PARTITION BY o_custkey
-                             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+                             ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile,
+         ROUND(percent_rank() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC), 6) AS prank,
+         ROUND(cume_dist() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC), 6) AS cume
   FROM orders
 )
 SELECT * FROM ranked WHERE rn <= 3
@@ -207,9 +211,12 @@ SELECT * FROM ranked WHERE rn <= 3
 
 @register("rank_topk_per_group", oracle=_RANK_ORACLE, tags=("window",))
 def rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer with the full ranking family
-    (row_number/rank/dense_rank/ntile) — the distributed top-k-per-group
-    pattern; non-winners never leave their partition."""
+    """Top-3 orders per customer with the full ranking + distribution
+    family (row_number/rank/dense_rank/ntile/percent_rank/cume_dist) —
+    the distributed top-k-per-group pattern; non-winners never leave
+    their partition. percent_rank and cume_dist order by the VALUE alone
+    (tie-stable by definition: equal prices share a rank), while
+    row_number/ntile carry the unique o_orderkey tiebreaker."""
     o = t(spark, sf_dir, "orders")
     by_price = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     w_price = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
@@ -224,6 +231,8 @@ def rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_price).cast("long").alias("rnk"),
         F.dense_rank().over(w_price).cast("long").alias("drnk"),
         F.ntile(4).over(w_full).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w_price), 6).alias("prank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cume"),
     )
     return ranked.filter(F.col("rn") <= 3)
 
