@@ -445,3 +445,145 @@ def test_interpolate_linear_laws(spark, obs):
             d1 = min(x for x in days if x > d)
             expect = obs[d0] + (obs[d1] - obs[d0]) * (d - d0) / (d1 - d0)
             assert abs(r.v_interp - expect) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Interval-union laws (operators/timeseries.py:merge_intervals)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),        # key
+            st.integers(0, 500),      # start offset (seconds)
+            st.integers(0, 120),      # duration (seconds, 0 = point)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_merge_intervals_laws(spark, intervals):
+    """Interval-union laws on arbitrary interval sets: output islands
+    per key are pairwise disjoint AND non-touching (else they'd have
+    merged); every input interval is contained in exactly one island;
+    n_source sums to the input count; the union of covered time is
+    preserved exactly (an island's span equals the union of its source
+    intervals, so total covered seconds match a brute-force sweep)."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import merge_intervals
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+        for (k, s, d) in intervals
+    ]
+    df = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    total_source = 0
+    for k, islands in by_key.items():
+        islands.sort(key=lambda r: r.s)
+        # disjoint and non-touching
+        for a, b in zip(islands, islands[1:]):
+            assert a.e < b.s, (k, a, b)
+        # containment: every input interval inside exactly one island
+        inputs = [
+            (base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + d))
+            for (kk, s, d) in intervals
+            if kk == k
+        ]
+        for s, e in inputs:
+            homes = [i for i in islands if i.s <= s and e <= i.e]
+            assert len(homes) == 1, (k, s, e, islands)
+        total_source += sum(i.n_source for i in islands)
+        # exact coverage: brute-force union sweep per key
+        pts = sorted(set(inputs))
+        covered = 0.0
+        cur_s, cur_e = None, None
+        for s, e in pts:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += (cur_e - cur_s).total_seconds()
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            covered += (cur_e - cur_s).total_seconds()
+        got = sum((i.e - i.s).total_seconds() for i in islands)
+        assert abs(got - covered) < 1e-9, (k, got, covered)
+    assert total_source == len(intervals)
+
+
+# ---------------------------------------------------------------------------
+# Funnel laws (operators/funnel.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),        # user
+            st.integers(0, 1000),     # ts offset seconds
+            st.sampled_from(["a", "b", "c", "x"]),  # event type
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_laws(spark, events):
+    """Funnel laws on arbitrary event streams: step counts are monotone
+    non-increasing; per-user completion times are strictly increasing
+    where present; a NULL at step i forces NULL at every later step;
+    and each user's counted times exist as real events of the right
+    type (greedy-earliest: t1 is the user's true earliest step-1
+    event)."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.funnel import funnel_steps
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=off), typ)
+        for (u, off, typ) in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["a", "b", "c"]
+    out = funnel_steps(df, steps).collect()
+
+    counts = [sum(1 for r in out if r[f"t{i}"] is not None) for i in (1, 2, 3)]
+    assert counts[0] >= counts[1] >= counts[2]
+    per_user_events: dict[int, list] = {}
+    for (u, off, typ) in events:
+        per_user_events.setdefault(u, []).append(
+            (base + dt.timedelta(seconds=off), typ)
+        )
+    for r in out:
+        ts_chain = [r.t1, r.t2, r.t3]
+        # NULL prefix law + strict increase
+        seen_null = False
+        prev = None
+        for v in ts_chain:
+            if v is None:
+                seen_null = True
+            else:
+                assert not seen_null, r  # no value after a NULL
+                if prev is not None:
+                    assert v > prev, r
+                prev = v
+        # t1 is the true earliest step-1 event for the user
+        firsts = [t for (t, typ) in per_user_events[r.user_id] if typ == "a"]
+        if firsts:
+            assert r.t1 == min(firsts), r
+        else:
+            assert r.t1 is None
+        # counted times are real events of the right type
+        for v, typ in zip(ts_chain, steps):
+            if v is not None:
+                assert (v, typ) in per_user_events[r.user_id], r
