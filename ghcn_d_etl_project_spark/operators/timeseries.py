@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "date_spine",
+    "ewma",
     "gap_fill_ffill",
     "interpolate_linear",
     "merge_intervals",
@@ -288,4 +289,69 @@ def merge_intervals(
             F.count("*").alias("n_source"),
         )
         .drop("__island")
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    *,
+    alpha: float | None = None,
+    halflife_rows: float | None = None,
+    order_cols: Sequence[str] = (),
+    suffix: str = "_ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value_cols``
+    ordered by ``ts_col`` (ties broken by ``order_cols`` — pass a unique
+    tiebreaker for deterministic output, same contract as
+    sessionization): ``y_i = (1 - a) * y_{i-1} + a * x_i`` (the
+    ``adjust=False`` recurrence; NULLs carry the previous smoothed value
+    forward). Exactly one of ``alpha`` (in (0, 1]) or ``halflife_rows``
+    must be given.
+
+    Why not a window function: the recurrence's closed form needs
+    ``(1-a)^{-j}`` prefix factors that overflow doubles after a few
+    hundred rows, so no overflow-safe pure-SQL formulation exists for
+    unbounded series. The honest Spark shape is per-key
+    ``applyInPandas``: one shuffle on the keys, Arrow-batched transfer,
+    and pandas' C-vectorized ``Series.ewm`` doing the numerically exact
+    recurrence. Per-key memory is that key's row count — the same
+    whale-key serialization caveat as every per-key-ordered operator
+    here; the plan is Exchange -> FlatMapGroupsInPandas, nothing else.
+    """
+    if (alpha is None) == (halflife_rows is None):
+        raise ValueError("pass exactly one of alpha / halflife_rows")
+    if alpha is not None and not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if halflife_rows is not None and halflife_rows <= 0:
+        raise ValueError(f"halflife_rows must be positive, got {halflife_rows}")
+    if not key_cols:
+        raise ValueError("ewma needs at least one key column")
+    out_names = [f"{c}{suffix}" for c in value_cols]
+    _check_reserved(df, out_names)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(n, DoubleType(), True) for n in out_names]
+    )
+    sort_cols = [ts_col, *order_cols]
+    ew_kw = (
+        {"alpha": float(alpha)}
+        if alpha is not None
+        else {"halflife": float(halflife_rows)}
+    )
+    vals = list(value_cols)
+
+    def smooth(pdf):  # pragma: no cover — executes on workers
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        for c, n in zip(vals, out_names):
+            pdf[n] = pdf[c].ewm(adjust=False, ignore_na=True, **ew_kw).mean()
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in key_cols]).applyInPandas(
+        smooth, schema=schema
     )

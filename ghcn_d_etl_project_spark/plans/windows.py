@@ -556,3 +556,37 @@ def interval_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("e") - F.unix_micros("s")).alias("covered_us"),
         F.col("n_source").cast("long").alias("n_source"),
     )
+
+
+@register(
+    "ewma_events",
+    oracle=None,  # iterative recurrence: (1-a)^{-j} prefix factors
+    # overflow doubles after ~300 rows, so no overflow-safe pure-SQL
+    # formulation exists — pytest pins the recurrence exactly instead
+    tags=("window", "timeseries", "pandas"),
+)
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of the event value series
+    (``operators/timeseries.py:ewma``): the adjust=False recurrence
+    y_i = (1-a) y_{i-1} + a x_i via per-key Arrow-batched applyInPandas
+    (pandas' C-vectorized ewm) — the honest Spark shape for a stateful
+    recurrence no window function can express overflow-safely. One
+    shuffle on user_id; rows-only checked here, the recurrence itself
+    is pinned exactly in ``tests/test_timeseries.py``."""
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ewma(
+        e, ["user_id"], "ts", ["value"], alpha=0.3,
+        order_cols=("event_id",),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", fmt).alias("ts"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+        F.round("value_ewma", 6).alias("value_ewma"),
+    )

@@ -270,3 +270,101 @@ def test_merge_intervals_one_exchange_one_sort(spark):
     assert plan.count("Exchange") == 1
     assert plan.count("Sort ") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ewma (lives in operators/timeseries.py but tested with the event ops)
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_exact_recurrence(spark):
+    """y_i = (1-a) y_{i-1} + a x_i, per key, ordered by ts — compared
+    against a hand-rolled recurrence to 1e-12."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    TS = dt.datetime
+    rows = [
+        ("a", TS(2024, 1, 1, h), float(v))
+        for h, v in enumerate([10, 20, 0, 5, 5, 100])
+    ] + [("b", TS(2024, 1, 1, 0), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r["k"], r["ts"]): r["v_ewma"]
+        for r in ewma(df, ["k"], "ts", ["v"], alpha=0.25).collect()
+    }
+    a = 0.25
+    y = None
+    for h, v in enumerate([10, 20, 0, 5, 5, 100]):
+        y = v if y is None else (1 - a) * y + a * v
+        assert abs(out[("a", TS(2024, 1, 1, h))] - y) < 1e-12
+    assert out[("b", TS(2024, 1, 1, 0))] == 7.0
+
+
+def test_ewma_null_carries_previous(spark):
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    TS = dt.datetime
+    df = spark.createDataFrame(
+        [("a", TS(2024, 1, 1, 0), 10.0), ("a", TS(2024, 1, 1, 1), None),
+         ("a", TS(2024, 1, 1, 2), 20.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = [
+        r["v_ewma"]
+        for r in sorted(
+            ewma(df, ["k"], "ts", ["v"], alpha=0.5).collect(),
+            key=lambda r: r["ts"],
+        )
+    ]
+    assert got[0] == 10.0
+    assert got[1] == 10.0  # NULL carries previous smoothed value
+    assert abs(got[2] - 15.0) < 1e-12  # 0.5*10 + 0.5*20
+
+
+def test_ewma_rejects_bad_specs(spark):
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="exactly one"):
+        ewma(df, ["k"], "ts", ["v"])
+    with pytest.raises(ValueError, match="exactly one"):
+        ewma(df, ["k"], "ts", ["v"], alpha=0.5, halflife_rows=3)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["k"], "ts", ["v"], alpha=1.5)
+    with pytest.raises(ValueError, match="halflife"):
+        ewma(df, ["k"], "ts", ["v"], halflife_rows=-1)
+    with pytest.raises(ValueError, match="key column"):
+        ewma(df, [], "ts", ["v"], alpha=0.5)
+    with pytest.raises(ValueError, match="reserved"):
+        ewma(
+            df.withColumn("v_ewma", df.v), ["k"], "ts", ["v"], alpha=0.5
+        )
+
+
+def test_ewma_plan_is_one_exchange_flatmap(spark):
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    plan = (
+        ewma(df, ["k"], "ts", ["v"], alpha=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
