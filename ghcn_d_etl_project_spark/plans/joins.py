@@ -640,3 +640,46 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("c_acctbal"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance record linkage (extension, r8): symmetric-delete blocking
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=_FUZZY_ORACLE,
+    tags=("join", "linkage"),
+    late=True,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 record linkage over customer names
+    (``operators/linkage.py:fuzzy_pairs``): symmetric-delete blocking —
+    each name emits its 1-deletion neighborhood, candidates come from a
+    plain variant EQUI-JOIN (provably complete for ed <= 1 by the
+    pigeonhole argument in the module docstring), exact JVM-side
+    levenshtein verifies last. The oracle is deliberately the
+    brute-force N^2 formulation this operator exists to avoid — the
+    completeness proof is what makes the two hash-match. Variant
+    equi-join + one pair-dedup exchange, explode factor len+1, no
+    cartesian product."""
+    from ghcn_d_etl_project_spark.operators.linkage import fuzzy_pairs
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = fuzzy_pairs(c, "c_custkey", "c_name")
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dist",
+    )
