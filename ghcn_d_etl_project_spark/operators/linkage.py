@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_variants", "fuzzy_pairs"]
+__all__ = ["deletion_variants", "fuzzy_join", "fuzzy_pairs"]
 
 
 def deletion_variants(col: str | F.Column, max_len: int = 64) -> F.Column:
@@ -122,3 +122,82 @@ def fuzzy_pairs(
     return cand.withColumn(
         "dist", F.levenshtein("txt_a", "txt_b").cast("long")
     ).where(F.col("dist") <= 1).drop("txt_a", "txt_b")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    max_len: int = 64,
+    best_only: bool = True,
+) -> DataFrame:
+    """Two-table edit-distance-1 join: each LEFT row matched to the
+    RIGHT rows whose ``right_text`` is within edit distance 1 of its
+    ``left_text`` — the dirty-fact-keys-to-clean-dimension lookup
+    (typo'd station ids, misspelled names against a reference list).
+
+    Same symmetric-delete completeness argument as :func:`fuzzy_pairs`;
+    candidates come from the variant equi-join, exact ``levenshtein``
+    verifies, and with ``best_only`` each left TEXT keeps only its
+    minimum-distance matches (an exact match beats one-edit candidates —
+    ties at the same distance are all kept, the caller picks a
+    tiebreak). Inner-join semantics: left rows with no match within
+    distance 1 are dropped. Output: all left columns, all right
+    columns, ``dist``. Column name collisions between the two sides are
+    rejected.
+
+    The match depends only on the text VALUE, so candidates are keyed
+    on the distinct left texts — no synthetic row id (branch-consistent
+    by construction, unlike ``monotonically_increasing_id`` schemes)
+    and the candidate work is proportional to distinct texts, not rows.
+    Scale: the clean reference side is typically small — Catalyst
+    broadcasts its exploded variants and the dirty side never shuffles;
+    with two large sides both shuffle on the variant key. ``best_only``
+    adds one window partitioned on the left text, never a second scan.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint, overlap: "
+            f"{sorted(overlap)}"
+        )
+    for df, col in ((left, left_text), (right, right_text)):
+        if col not in df.columns:
+            raise ValueError(f"missing text column {col!r}")
+    if "__ltxt" in left.columns or "__ltxt" in right.columns:
+        raise ValueError("input carries reserved column '__ltxt'")
+    from pyspark.sql import Window
+
+    ltexts = (
+        left.select(F.col(left_text).alias("__ltxt"))
+        .where(F.col("__ltxt").isNotNull())
+        .distinct()
+    )
+    lv = ltexts.select(
+        "__ltxt",
+        F.explode(deletion_variants("__ltxt", max_len=max_len)).alias("__v"),
+    )
+    rv = right.where(F.col(right_text).isNotNull()).select(
+        "*",
+        F.explode(
+            deletion_variants(right_text, max_len=max_len)
+        ).alias("__v"),
+    )
+    cand = (
+        lv.join(rv, "__v")
+        .drop("__v")
+        .distinct()
+        .withColumn("dist", F.levenshtein("__ltxt", right_text).cast("long"))
+        .where(F.col("dist") <= 1)
+    )
+    if best_only:
+        w = Window.partitionBy("__ltxt")
+        cand = (
+            cand.withColumn("__best", F.min("dist").over(w))
+            .where(F.col("dist") == F.col("__best"))
+            .drop("__best")
+        )
+    return left.join(
+        cand, F.col(left_text) == F.col("__ltxt")
+    ).drop("__ltxt")

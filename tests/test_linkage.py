@@ -115,3 +115,73 @@ def test_plan_no_cartesian_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join (two-table lookup)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_best_only_prefers_exact(spark):
+    """A dirty name with both an exact and a one-edit reference match
+    keeps only the exact one under best_only; a typo'd name gets its
+    one-edit correction; an unmatchable name drops (inner
+    semantics)."""
+    from ghcn_d_etl_project_spark.operators.linkage import fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [(1, "smith"), (2, "smth"), (3, "qqqqq")],
+        "fact_id long, name string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "smith"), (11, "smiths"), (12, "jones")],
+        "ref_id long, ref_name string",
+    )
+    out = {
+        r["fact_id"]: (r["ref_id"], r["dist"])
+        for r in fuzzy_join(dirty, ref, "name", "ref_name").collect()
+    }
+    assert out[1] == (10, 0)  # exact beats the one-edit "smiths"
+    assert out[2] == (10, 1)  # dropped-letter typo corrected
+    assert 3 not in out
+    # note: a transposition ("smiht") is levenshtein distance 2 and is
+    # correctly OUT of scope for this operator (Damerau is not claimed)
+
+
+def test_fuzzy_join_all_matches_without_best_only(spark):
+    from ghcn_d_etl_project_spark.operators.linkage import fuzzy_join
+
+    dirty = spark.createDataFrame([(1, "smith")], "fact_id long, name string")
+    ref = spark.createDataFrame(
+        [(10, "smith"), (11, "smiths"), (12, "smit")],
+        "ref_id long, ref_name string",
+    )
+    out = fuzzy_join(dirty, ref, "name", "ref_name", best_only=False)
+    assert sorted((r["ref_id"], r["dist"]) for r in out.collect()) == [
+        (10, 0), (11, 1), (12, 1),
+    ]
+
+
+def test_fuzzy_join_duplicate_left_rows_each_matched(spark):
+    """Rows sharing a text all get the match (candidates are keyed on
+    the distinct text, then joined back)."""
+    from ghcn_d_etl_project_spark.operators.linkage import fuzzy_join
+
+    dirty = spark.createDataFrame(
+        [(1, "abc"), (2, "abc")], "fact_id long, name string"
+    )
+    ref = spark.createDataFrame([(10, "abd")], "ref_id long, ref_name string")
+    out = fuzzy_join(dirty, ref, "name", "ref_name").collect()
+    assert sorted(r["fact_id"] for r in out) == [1, 2]
+    assert all(r["dist"] == 1 for r in out)
+
+
+def test_fuzzy_join_rejects_column_overlap(spark):
+    from ghcn_d_etl_project_spark.operators.linkage import fuzzy_join
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(2, "y")], "id long, ref string")
+    with pytest.raises(ValueError, match="disjoint"):
+        fuzzy_join(a, b, "name", "ref")
+    with pytest.raises(ValueError, match="missing text column"):
+        fuzzy_join(a, b.withColumnRenamed("id", "rid"), "nope", "ref")
