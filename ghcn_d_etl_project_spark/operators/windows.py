@@ -104,3 +104,50 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    window: Window,
+    value_col: str,
+    preceding: int,
+    min_obs: int = 5,
+    scale: int = 2,
+    exclude_current: bool = True,
+) -> DataFrame:
+    """Rolling z-score anomaly signal: how many standard deviations the
+    current value sits from its own trailing window's mean.
+
+    ``exclude_current`` (default) uses the frame
+    ``[preceding PRECEDING, 1 PRECEDING]`` so the tested value cannot
+    contaminate its own baseline — the difference between "is this
+    order unusual given the customer's history" and a self-referential
+    statistic. Rows with fewer than ``min_obs`` baseline observations
+    get NULL (a z-score against 2 points is noise pretending to be
+    signal). Adds ``<value>_zscore`` plus ``<value>_base_n``.
+
+    Engine-parity by construction: mean and variance come from exact
+    DECIMAL sum / sum-of-squares partials over the frame (accumulation
+    order cannot change the result), combined in ONE double expression
+    ``(n*s2 - s1*s1) / (n*(n-1))`` — a DuckDB oracle restating the same
+    expression tree is bit-identical. One shuffle: all three frame
+    aggregates share the window spec.
+    """
+    if preceding < 1:
+        raise ValueError("preceding must be >= 1")
+    if min_obs < 2:
+        raise ValueError("min_obs must be >= 2 (variance needs 2 points)")
+    hi = -1 if exclude_current else 0
+    frame = window.rowsBetween(-preceding, hi)
+    dec = F.col(value_col).cast(f"decimal(24,{scale})")
+    dec2 = (dec * dec).cast(f"decimal(38,{2 * scale})")
+    n = F.count(dec).over(frame).cast("double")
+    s1 = F.sum(dec).over(frame).cast("double")
+    s2 = F.sum(dec2).over(frame).cast("double")
+    mean = s1 / n
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    ok = (n >= min_obs) & (var > 0)
+    return df.withColumn(
+        f"{value_col}_base_n", n.cast("long")
+    ).withColumn(f"{value_col}_zscore", F.when(ok, z))

@@ -590,3 +590,77 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round("value_ewma", 6).alias("value_ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (extension, r8)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = f"""
+WITH fr AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+         CAST(COUNT(CAST(o_totalprice AS DECIMAL(24,2)))
+                OVER ({_WIN_SQL} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+              AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2)))
+                OVER ({_WIN_SQL} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+              AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2))
+                       * CAST(o_totalprice AS DECIMAL(24,2))
+                       AS DECIMAL(38,4)))
+                OVER ({_WIN_SQL} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+              AS DOUBLE) AS s2
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, order_date,
+       CAST(n AS BIGINT) AS base_n,
+       CASE WHEN n >= 5 AND (n*s2 - s1*s1) / (n*(n-1)) > 0
+            THEN ROUND(
+              (o_totalprice - s1/n)
+                / sqrt((n*s2 - s1*s1) / (n*(n-1))), 6)
+       END AS price_zscore,
+       CAST(
+         COALESCE(abs((o_totalprice - s1/n)
+                      / sqrt((n*s2 - s1*s1) / (n*(n-1)))) > 3
+                  AND n >= 5 AND (n*s2 - s1*s1) / (n*(n-1)) > 0,
+                  FALSE) AS BIGINT) AS is_anomaly
+FROM fr
+"""
+
+
+@register(
+    "rolling_zscore_orders",
+    oracle=_ZSCORE_ORACLE,
+    tags=("window", "quality", "anomaly"),
+    late=True,
+)
+def rolling_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (``operators/windows.py:rolling_zscore``): each order scored against
+    its customer's OWN trailing-20-order baseline with the current row
+    excluded from its baseline frame, NULL below 5 observations, |z| > 3
+    flagged. Mean/variance from exact DECIMAL sum + sum-of-squares
+    partials combined in one double expression — the oracle restates the
+    identical expression tree, so both engines are bit-identical. One
+    shuffle: all frame aggregates share the (customer, date, orderkey)
+    window spec."""
+    from ghcn_d_etl_project_spark.operators.windows import rolling_zscore
+
+    o = t(spark, sf_dir, "orders")
+    w = ordered_window(["o_custkey"], ["o_orderdate", "o_orderkey"])
+    out = rolling_zscore(
+        o, w, "o_totalprice", preceding=20, min_obs=5, scale=2
+    )
+    z = F.col("o_totalprice_zscore")
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        as_date_str("o_orderdate").alias("order_date"),
+        F.col("o_totalprice_base_n").alias("base_n"),
+        F.round(z, 6).alias("price_zscore"),
+        F.coalesce(F.abs(z) > 3, F.lit(False))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

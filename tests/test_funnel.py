@@ -368,3 +368,55 @@ def test_ewma_plan_is_one_exchange_flatmap(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_excludes_current_row(spark):
+    """The tested value must not contaminate its own baseline: a spike
+    after a flat history scores against the FLAT mean/std, which has
+    zero variance -> NULL (not a diluted z)."""
+    import statistics
+
+    from pyspark.sql import Window
+
+    from ghcn_d_etl_project_spark.operators.windows import rolling_zscore
+
+    rows = [("a", i, 100.0) for i in range(6)] + [("a", 6, 200.0)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    w = Window.partitionBy("k").orderBy("seq")
+    out = {
+        r["seq"]: r
+        for r in rolling_zscore(df, w, "v", preceding=10, min_obs=3).collect()
+    }
+    # flat baseline -> var 0 -> NULL even for the spike
+    assert out[6]["v_zscore"] is None
+    assert out[6]["v_base_n"] == 6
+
+    # varied baseline: z computed against the PRIOR 3 values only
+    rows2 = [("b", 0, 10.0), ("b", 1, 20.0), ("b", 2, 30.0), ("b", 3, 100.0)]
+    df2 = spark.createDataFrame(rows2, "k string, seq long, v double")
+    out2 = {
+        r["seq"]: r["v_zscore"]
+        for r in rolling_zscore(df2, w, "v", preceding=10, min_obs=3).collect()
+    }
+    base = [10.0, 20.0, 30.0]
+    want = (100.0 - statistics.mean(base)) / statistics.stdev(base)
+    assert abs(out2[3] - want) < 1e-9
+    assert out2[2] is None  # only 2 prior observations < min_obs
+
+
+def test_rolling_zscore_validation(spark):
+    from pyspark.sql import Window
+
+    from ghcn_d_etl_project_spark.operators.windows import rolling_zscore
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, seq long, v double")
+    w = Window.partitionBy("k").orderBy("seq")
+    with pytest.raises(ValueError, match="preceding"):
+        rolling_zscore(df, w, "v", preceding=0)
+    with pytest.raises(ValueError, match="min_obs"):
+        rolling_zscore(df, w, "v", preceding=5, min_obs=1)
