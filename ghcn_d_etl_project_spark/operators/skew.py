@@ -39,7 +39,9 @@ unsalted join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # phase-2 combine fn per simple decomposable aggregate; counts combine by
@@ -243,3 +245,76 @@ def recommend_n_salts(
         "partitions": shuffle_partitions,
         "skewed": n_salts > 1,
     }
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-distribution diagnostic: the measurement that decides whether
+    a join/agg on ``key_cols`` needs the salting operators above, AQE
+    skew handling, or nothing. One row per top-``top_k`` heaviest key
+    (deterministic tie-break on the key values), each carrying both the
+    key's own stats and the global distribution:
+
+      * ``n_rows``          — the key's row count;
+      * ``share_pct``       — its share of all rows (rounded, 6);
+      * ``heavy_rank``      — 1 = heaviest;
+      * ``n_keys``          — distinct key count (global);
+      * ``p50_size`` / ``p90_size`` — interpolated group-size
+        percentiles (global);
+      * ``max_size``        — the heaviest key's count (global);
+      * ``skew_ratio``      — max_size / mean size (global; 1.0 =
+        perfectly uniform). A reducer processing the heaviest key does
+        ~``skew_ratio``x the average partition's key work — the number
+        to compare against your straggler tolerance.
+
+    Scale: the top-k branch and the summary branch each recompute the
+    per-key count (Spark does not share subplans across branches), so
+    the input is SCANNED twice — but both shuffles move only
+    map-side-combined per-key partials, O(distinct keys x map tasks)
+    records, never the raw rows. The summary is a single-row aggregate
+    broadcast onto the TakeOrdered top-k via a bounded (top_k x 1)
+    nested-loop join — the pair-explosion guard pattern does not apply
+    to a 5-row diagnostic. Output is ``top_k`` rows — safe to collect
+    and log in production jobs. Callers running repeated diagnostics
+    over the same frame should persist it first; the operator stays
+    side-effect-free by design.
+    """
+    if not key_cols:
+        raise ValueError("skew_report needs at least one key column")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    sizes = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("__total"),
+        F.expr("percentile(n_rows, 0.5)").alias("p50_size"),
+        F.expr("percentile(n_rows, 0.9)").alias("p90_size"),
+        F.max("n_rows").alias("max_size"),
+    )
+    top = sizes.orderBy(
+        F.col("n_rows").desc(), *[F.col(k) for k in key_cols]
+    ).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k) for k in key_cols])
+    return (
+        top.join(F.broadcast(summary))
+        .select(
+            *key_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") * 100.0 / F.col("__total"), 6).alias(
+                "share_pct"
+            ),
+            F.row_number().over(w).cast("long").alias("heavy_rank"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round("p50_size", 6).alias("p50_size"),
+            F.round("p90_size", 6).alias("p90_size"),
+            F.col("max_size").cast("long").alias("max_size"),
+            F.round(
+                F.col("max_size") * F.col("n_keys") / F.col("__total"), 6
+            ).alias("skew_ratio"),
+        )
+    )

@@ -732,3 +732,59 @@ def trend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope",
         "intercept",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics (extension, r8): measure before you salt
+# ---------------------------------------------------------------------------
+
+_SKEW_REPORT_ORACLE = """
+WITH sizes AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+), s AS (
+  SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total,
+         quantile_cont(n_rows, 0.5) AS p50,
+         quantile_cont(n_rows, 0.9) AS p90,
+         MAX(n_rows) AS mx
+  FROM sizes
+), top AS (
+  SELECT * FROM sizes ORDER BY n_rows DESC, l_suppkey LIMIT 5
+)
+SELECT CAST(t.l_suppkey AS BIGINT) AS l_suppkey,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       ROUND(t.n_rows * 100.0 / s.total, 6) AS share_pct,
+       CAST(row_number() OVER (ORDER BY t.n_rows DESC, t.l_suppkey)
+            AS BIGINT) AS heavy_rank,
+       CAST(s.n_keys AS BIGINT) AS n_keys,
+       ROUND(s.p50, 6) AS p50_size,
+       ROUND(s.p90, 6) AS p90_size,
+       CAST(s.mx AS BIGINT) AS max_size,
+       ROUND(s.mx * s.n_keys / s.total, 6) AS skew_ratio
+FROM top t CROSS JOIN s
+"""
+
+
+@register(
+    "skew_report_lineitem",
+    oracle=_SKEW_REPORT_ORACLE,
+    tags=("agg", "skew", "diagnostic"),
+    late=True,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics over lineitem's supplier key
+    (``operators/skew.py:skew_report``): the measurement that decides
+    whether a join/agg needs salting, AQE skew handling, or nothing —
+    top heavy keys with their shares plus the global group-size
+    distribution (interpolated percentiles, max, skew_ratio = heaviest
+    key vs mean). Both branches shuffle only map-side-combined per-key
+    partials (O(distinct keys), never raw rows); the summary is a
+    single-row aggregate broadcast back onto the TakeOrdered top-k.
+    Oracle restates it with quantile_cont (the same linear
+    interpolation as Spark's percentile)."""
+    from ghcn_d_etl_project_spark.operators.skew import skew_report
+
+    li = t(spark, sf_dir, "lineitem")
+    out = skew_report(li, ["l_suppkey"], top_k=5)
+    return out.withColumn(
+        "l_suppkey", F.col("l_suppkey").cast("long")
+    )

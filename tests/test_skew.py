@@ -168,3 +168,63 @@ def test_recommend_n_salts_empty_input(spark):
         "n_salts": 1, "top_count": 0, "total": 0, "n_keys": 0,
         "hot_share": 0.0, "partitions": 8, "skewed": False,
     }
+
+
+# ---------------------------------------------------------------------------
+# skew_report (r8): measure before you salt
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_planted_whale(spark):
+    """90%-hot-key data: the whale must rank first with the right share,
+    and skew_ratio must say 'the heaviest key is ~N_KEYS x the mean' —
+    the number that justifies salting."""
+    from ghcn_d_etl_project_spark.operators.skew import skew_report
+
+    rows = [("whale", i) for i in range(900)] + [
+        (f"k{j}", i) for j in range(10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = skew_report(df, ["k"], top_k=3).collect()
+    assert len(out) == 3
+    top = out[0]
+    assert top["k"] == "whale" and top["heavy_rank"] == 1
+    assert top["n_rows"] == 900 and top["n_keys"] == 11
+    assert abs(top["share_pct"] - 90.0) < 1e-6
+    # mean size = 1000/11; ratio = 900 / (1000/11) = 9.9
+    assert abs(top["skew_ratio"] - 9.9) < 1e-6
+    assert top["max_size"] == 900
+    # runner-up keys tie at 10 rows -> deterministic key-order tiebreak
+    assert [r["k"] for r in out[1:]] == ["k0", "k1"]
+
+
+def test_skew_report_uniform_ratio_near_one(spark):
+    from ghcn_d_etl_project_spark.operators.skew import skew_report
+
+    rows = [(f"k{j}", i) for j in range(8) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    out = skew_report(df, ["k"], top_k=1).collect()[0]
+    assert out["skew_ratio"] == 1.0
+    assert out["p50_size"] == 5.0 and out["max_size"] == 5
+
+
+def test_skew_report_validation_and_plan(spark):
+    from ghcn_d_etl_project_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([("a", 1)], "k string, x long")
+    with pytest.raises(ValueError, match="key column"):
+        skew_report(df, [])
+    with pytest.raises(ValueError, match="top_k"):
+        skew_report(df, ["k"], top_k=0)
+    plan = (
+        skew_report(df, ["k"], top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two branches, each shuffling only map-side-combined per-key
+    # partials; summary joins back via broadcast; top-k is TakeOrdered
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # map-side combine before each shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # top-k never globally sorts
