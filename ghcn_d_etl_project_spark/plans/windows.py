@@ -664,3 +664,59 @@ def rolling_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (extension, r8): path analysis
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6)
+         AS prob
+FROM pairs
+"""
+
+
+@register(
+    "event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    tags=("window", "events", "path"),
+    late=True,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix: for every (prev, next)
+    event-type pair, the observed count and the conditional probability
+    P(next | prev) — the path-analysis primitive behind journey Sankeys
+    and Markov attribution, completing the funnel/cohort/session trio.
+    One full-data shuffle (the per-user lag window, deterministic
+    (ts, event_id) ordering); the pair aggregation reuses nothing heavy
+    — its exchange carries only the event-type pair counts, and the
+    probability normalization is a window over the tiny matrix."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
+    )
