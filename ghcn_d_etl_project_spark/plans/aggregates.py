@@ -788,3 +788,72 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "l_suppkey", F.col("l_suppkey").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association mining (extension, r8): support / confidence / lift
+# ---------------------------------------------------------------------------
+
+_ASSOC_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+), nb AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, day FROM b)
+), items AS (
+  SELECT event_type, COUNT(*) AS n_item FROM b GROUP BY 1
+), pairs AS (
+  SELECT l.event_type AS item_a, r.event_type AS item_b,
+         COUNT(*) AS n_pair
+  FROM b l JOIN b r
+    ON l.user_id = r.user_id AND l.day = r.day
+   AND l.event_type < r.event_type
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.n_pair AS BIGINT) AS n_baskets_both,
+       ROUND(p.n_pair * 1.0 / nb.n * 100.0, 6) AS support_pct,
+       ROUND(p.n_pair * 1.0 / ia.n_item, 6) AS conf_a_to_b,
+       ROUND(p.n_pair * 1.0 / ib.n_item, 6) AS conf_b_to_a,
+       ROUND((p.n_pair * 1.0 / nb.n)
+             / ((ia.n_item * 1.0 / nb.n) * (ib.n_item * 1.0 / nb.n)), 6)
+         AS lift
+FROM pairs p
+JOIN items ia ON ia.event_type = p.item_a
+JOIN items ib ON ib.event_type = p.item_b
+CROSS JOIN nb
+"""
+
+
+@register(
+    "event_copurchase",
+    oracle=_ASSOC_ORACLE,
+    tags=("agg", "association"),
+    late=True,
+)
+def event_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over (user, day) event-type baskets
+    (``operators/association.py:basket_pairs``): support, both
+    confidences, and lift — which behaviors co-occur in the same
+    user-day beyond chance. The pair self-join is ON THE BASKET KEYS so
+    its fan-out is bounded by basket width C(5, 2), never basket count;
+    item/pair counts are map-side-combined over bounded vocabularies
+    and the one-row basket total broadcasts. Oracle restates the same
+    relational algebra."""
+    from ghcn_d_etl_project_spark.operators.association import basket_pairs
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    )
+    out = basket_pairs(e, ["user_id", "day"], "event_type")
+    return out.select(
+        F.col("item_a"),
+        F.col("item_b"),
+        "n_baskets_both",
+        "support_pct",
+        "conf_a_to_b",
+        "conf_b_to_a",
+        "lift",
+    )
