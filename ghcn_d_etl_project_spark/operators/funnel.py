@@ -79,7 +79,13 @@ def funnel_steps(
         raise ValueError(f"input carries reserved __t* columns: {reserved}")
 
     w = Window.partitionBy(user_col)
-    out = df.select(user_col, ts_col, type_col)
+    # NULL-timestamp events cannot be ordered in a funnel — drop them
+    # EXPLICITLY (min() would skip them anyway, but a user whose only
+    # step-1 event has a NULL ts should read as "not entered", not
+    # depend on aggregate NULL-skipping trivia)
+    out = df.select(user_col, ts_col, type_col).where(
+        F.col(ts_col).isNotNull()
+    )
     prev: str | None = None
     for i, step in enumerate(steps, start=1):
         cond = F.col(type_col) == F.lit(step)
@@ -168,8 +174,11 @@ def cohort_retention(
     per_day = {"day": 1, "week": 7}.get(period)
 
     w = Window.partitionBy(user_col)
+    # NULL timestamps carry no period — dropped explicitly (a user with
+    # only NULL-ts activity has no cohort, not a NULL-cohort row)
     x = (
         df.select(user_col, ts_col)
+        .where(F.col(ts_col).isNotNull())
         .withColumn("__first", F.min(ts_col).over(w))
         .select(
             F.col(user_col),

@@ -331,6 +331,11 @@ def ewma(
         raise ValueError("ewma needs at least one key column")
     out_names = [f"{c}{suffix}" for c in value_cols]
     _check_reserved(df, out_names)
+    # a NULL timestamp has no position in the recurrence — pandas would
+    # silently sort it last and let it consume a smoothing step; refuse
+    # loudly instead (same posture as merge_intervals)
+    if df.where(F.col(ts_col).isNull()).limit(1).count():
+        raise ValueError(f"ewma: NULL {ts_col!r} row has no defined order")
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 

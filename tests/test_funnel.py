@@ -420,3 +420,31 @@ def test_rolling_zscore_validation(spark):
         rolling_zscore(df, w, "v", preceding=0)
     with pytest.raises(ValueError, match="min_obs"):
         rolling_zscore(df, w, "v", preceding=5, min_obs=1)
+
+
+def test_null_ts_handling_across_event_ops(spark):
+    """NULL timestamps: funnel and cohort DROP them explicitly (a user
+    whose only entry event has NULL ts reads as not-entered / no
+    cohort); ewma REFUSES them (a NULL has no position in the
+    recurrence)."""
+    from ghcn_d_etl_project_spark.operators.timeseries import ewma
+
+    df = _events(
+        spark,
+        [(1, None, "view"), (1, TS(2024, 1, 2), "click"), (2, TS(2024, 1, 1), "view")],
+    )
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_summary(df, ["view", "click"]).collect()
+    }
+    assert out["view"] == 1  # user 1's NULL-ts view does not count
+    cohorts = cohort_retention(df, period="day").collect()
+    assert all(r["cohort_period"] is not None for r in cohorts)
+    assert {r["cohort_period"] for r in cohorts} == {"2024-01-02", "2024-01-01"}
+
+    vdf = spark.createDataFrame(
+        [("a", None, 1.0), ("a", TS(2024, 1, 1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="NULL 'ts'"):
+        ewma(vdf, ["k"], "ts", ["v"], alpha=0.5)
