@@ -13,6 +13,10 @@ from ghcn_d_etl_project_spark.operators.contamination import (  # noqa: F401
     word_ngrams,
 )
 from ghcn_d_etl_project_spark.operators.dedup import simhash64  # noqa: F401
+from ghcn_d_etl_project_spark.operators.geo import haversine_km  # noqa: F401
+from ghcn_d_etl_project_spark.operators.linkage import (  # noqa: F401
+    deletion_variants,
+)
 from ghcn_d_etl_project_spark.operators.similarity import (  # noqa: F401
     cosine,
     dot,
@@ -51,9 +55,11 @@ __all__ = [
     "cosine",
     "count_if",
     "davg",
+    "deletion_variants",
     "dot",
     "dsum",
     "fingerprint",
+    "haversine_km",
     "lang_id",
     "lsum",
     "norm",
