@@ -111,22 +111,31 @@ def funnel_summary(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Funnel conversion counts: one row per step with the number of
-    users whose ordered journey reached it and the conversion rate
-    relative to step 1 (rounded to 6 places; NULL when nobody entered).
+    users whose ordered journey reached it, the conversion rate
+    relative to step 1, and the mean time-to-reach from step 1 in
+    seconds among users who got there (0.0 at step 1; NULL when nobody
+    did). Rates and times rounded to 6 places.
 
     Built on :func:`funnel_steps`; the final reshape is a single-row
     aggregate stacked to ``len(steps)`` rows — no extra pass over the
-    events.
+    events. The time average goes through an exact DECIMAL sum of
+    microsecond deltas (engine-parity convention: accumulation order
+    cannot change the value).
     """
     per_user = funnel_steps(
         df, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
     )
-    counts = per_user.agg(
-        *[
-            F.count(f"t{i}").alias(f"c{i}")
-            for i in range(1, len(steps) + 1)
-        ]
-    )
+    aggs: list[Column] = []
+    for i in range(1, len(steps) + 1):
+        aggs.append(F.count(f"t{i}").alias(f"c{i}"))
+        aggs.append(
+            F.sum(
+                (F.unix_micros(f"t{i}") - F.unix_micros("t1")).cast(
+                    "decimal(24,0)"
+                )
+            ).alias(f"d{i}")
+        )
+    counts = per_user.agg(*aggs)
     stack_args: list[Column] = []
     for i, step in enumerate(steps, start=1):
         stack_args += [
@@ -137,10 +146,19 @@ def funnel_summary(
                 F.col("c1") > 0,
                 F.round(F.col(f"c{i}") / F.col("c1"), 6),
             ).cast("double"),
+            F.when(
+                F.col(f"c{i}") > 0,
+                F.round(
+                    F.col(f"d{i}").cast("double")
+                    / F.col(f"c{i}")
+                    / 1000000.0,
+                    6,
+                ),
+            ).cast("double"),
         ]
     n = len(steps)
     return counts.select(F.stack(F.lit(n), *stack_args)).toDF(
-        "step_idx", "step", "users", "pct_of_first"
+        "step_idx", "step", "users", "pct_of_first", "avg_sec_from_first"
     )
 
 

@@ -401,19 +401,32 @@ WITH s1 AS (
   SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
   FROM s3 GROUP BY user_id
 ), c AS (
-  SELECT COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3 FROM u
+  SELECT COUNT(t1) AS c1, COUNT(t2) AS c2, COUNT(t3) AS c3,
+         SUM(CAST(epoch_us(t1) - epoch_us(t1) AS DECIMAL(24,0))) AS d1,
+         SUM(CAST(epoch_us(t2) - epoch_us(t1) AS DECIMAL(24,0))) AS d2,
+         SUM(CAST(epoch_us(t3) - epoch_us(t1) AS DECIMAL(24,0))) AS d3
+  FROM u
 )
 SELECT * FROM (
   SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
          CAST(c1 AS BIGINT) AS users,
-         CASE WHEN c1 > 0 THEN ROUND(c1 * 1.0 / c1, 6) END AS pct_of_first
+         CASE WHEN c1 > 0 THEN ROUND(c1 * 1.0 / c1, 6) END AS pct_of_first,
+         CASE WHEN c1 > 0
+              THEN ROUND(CAST(d1 AS DOUBLE) / c1 / 1000000.0, 6)
+         END AS avg_sec_from_first
   FROM c
   UNION ALL
   SELECT 2, 'click', CAST(c2 AS BIGINT),
-         CASE WHEN c1 > 0 THEN ROUND(c2 * 1.0 / c1, 6) END FROM c
+         CASE WHEN c1 > 0 THEN ROUND(c2 * 1.0 / c1, 6) END,
+         CASE WHEN c2 > 0
+              THEN ROUND(CAST(d2 AS DOUBLE) / c2 / 1000000.0, 6)
+         END FROM c
   UNION ALL
   SELECT 3, 'purchase', CAST(c3 AS BIGINT),
-         CASE WHEN c1 > 0 THEN ROUND(c3 * 1.0 / c1, 6) END FROM c
+         CASE WHEN c1 > 0 THEN ROUND(c3 * 1.0 / c1, 6) END,
+         CASE WHEN c3 > 0
+              THEN ROUND(CAST(d3 AS DOUBLE) / c3 / 1000000.0, 6)
+         END FROM c
 )
 """
 

@@ -61,6 +61,11 @@ def test_funnel_strict_ordering(spark):
     assert out["click"]["users"] == 2
     assert out["purchase"]["users"] == 1
     assert out["purchase"]["pct_of_first"] == 0.5
+    # time-to-reach: u1 clicks +1h, u2 clicks +2h -> mean 5400s; only
+    # u1 purchases, +2h -> 7200s; step 1 is 0 by definition
+    assert out["view"]["avg_sec_from_first"] == 0.0
+    assert out["click"]["avg_sec_from_first"] == 5400.0
+    assert out["purchase"]["avg_sec_from_first"] == 7200.0
 
 
 def test_funnel_same_timestamp_does_not_advance(spark):
