@@ -21,6 +21,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     quality,
     llm,
     multimodal,
+    curation,
 )
 from ghcn_d_etl_project_spark.plans.registry import Query, all_queries, register
 
