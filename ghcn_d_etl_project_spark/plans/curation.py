@@ -76,3 +76,68 @@ def golden_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         strategy="agg",
     )
     return out.select("fp", "doc_id", "lang", "n_chars", "n_members")
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI between two time slices
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH u AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS side
+  FROM orders
+), b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((x - 0.0) / 50000.0) AS BIGINT), 0), 9) AS bin,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM u WHERE x IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_base) AS DOUBLE) AS ta, CAST(SUM(n_cur) AS DOUBLE) AS tb FROM b
+), s AS (
+  SELECT bin, n_base, n_cur,
+         GREATEST(CAST(n_base AS DOUBLE) / ta, 1e-6) AS p,
+         GREATEST(CAST(n_cur AS DOUBLE) / tb, 1e-6) AS q
+  FROM b, tot
+), terms AS (
+  SELECT CAST(bin AS BIGINT) AS bin,
+         0.0 + CAST(bin AS DOUBLE) * 50000.0 AS bin_lo,
+         0.0 + (CAST(bin AS DOUBLE) + 1) * 50000.0 AS bin_hi,
+         CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+         ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+         ROUND((p - q) * LN(p / q), 6) AS psi_term
+  FROM s
+)
+SELECT terms.*, t.psi_total FROM terms, (
+  SELECT CAST(SUM(CAST(psi_term AS DECIMAL(28,6))) AS DOUBLE) AS psi_total FROM terms
+) t
+"""
+
+
+@register(
+    "psi_drift_orders",
+    oracle=_PSI_ORACLE,
+    tags=("quality", "drift"),
+    late=True,
+)
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution,
+    pre-1998 baseline vs 1998+ current
+    (``operators/quality.py:psi_drift``): the drift monitor a feature
+    pipeline runs per column per day. Tag + union + ONE hash aggregate
+    on the shared fixed-width bin grid (map-side partials collapse each
+    partition to <= n_bins rows pre-shuffle — not two histogram jobs
+    joined); eps-clamped shares keep one-sided-empty bins finite;
+    ``psi_total`` is the exact DECIMAL sum of rounded per-bin terms, so
+    the headline number is order-insensitive and engine-portable."""
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return psi_drift(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(~(F.col("o_orderdate") < cut)),
+        "o_totalprice",
+        lo=0.0,
+        hi=500000.0,
+        n_bins=10,
+    )

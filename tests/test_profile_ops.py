@@ -275,3 +275,100 @@ def test_group_quantiles_matches_numpy(spark):
             assert getattr(out[et], colname) == pytest.approx(
                 np.quantile(v, q, method="linear"), abs=1e-6
             )
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def _one_col(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    vals = [5, 15, 15, 25, 35, 35, 35]
+    out = psi_drift(
+        _one_col(spark, vals), _one_col(spark, vals), "x", 0.0, 40.0, 4
+    ).collect()
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+
+
+def test_psi_hand_computed(spark):
+    """base: 3 in bin0, 1 in bin1; cur: 1 in bin0, 3 in bin1 ->
+    p=(0.75,0.25), q=(0.25,0.75); term = 0.5*ln(3) each ~ 0.549306."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    base = _one_col(spark, [1, 2, 3, 15])
+    cur = _one_col(spark, [4, 11, 12, 13])
+    out = {
+        r["bin"]: r
+        for r in psi_drift(base, cur, "x", 0.0, 20.0, 2).collect()
+    }
+    term = round(0.5 * math.log(3), 6)
+    assert out[0]["n_base"] == 3 and out[0]["n_cur"] == 1
+    assert out[0]["psi_term"] == term and out[1]["psi_term"] == term
+    assert out[0]["psi_total"] == round(2 * term, 6)
+
+
+def test_psi_one_sided_empty_bin_is_finite(spark):
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    base = _one_col(spark, [1, 1, 1, 11])
+    cur = _one_col(spark, [12, 13])  # bin 0 empty on the cur side
+    out = {
+        r["bin"]: r for r in psi_drift(base, cur, "x", 0.0, 20.0, 2).collect()
+    }
+    import math
+
+    assert math.isfinite(out[0]["psi_term"]) and out[0]["psi_term"] > 0
+    assert out[0]["q"] == 1e-6
+
+
+def test_psi_nulls_dropped_and_edges_clamped(spark):
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    base = spark.createDataFrame(
+        [(None,), (-5.0,), (999.0,)], "x double"
+    )
+    cur = _one_col(spark, [5.0])
+    out = {
+        r["bin"]: r for r in psi_drift(base, cur, "x", 0.0, 20.0, 2).collect()
+    }
+    # -5 clamps into bin 0, 999 into bin 1, NULL dropped
+    assert out[0]["n_base"] == 1 and out[1]["n_base"] == 1
+    assert sum(r["n_base"] for r in out.values()) == 2
+
+
+def test_psi_validation(spark):
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    d = _one_col(spark, [1.0])
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(d, d, "x", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="n_bins"):
+        psi_drift(d, d, "x", 1.0, 1.0, 2)
+    with pytest.raises(ValueError, match="eps"):
+        psi_drift(d, d, "x", 0.0, 1.0, 2, eps=0.0)
+
+
+def test_psi_plan_one_scan_per_side(spark):
+    """One hash aggregate on the bin key over the tagged UNION (each
+    side scanned exactly once), then ONE SinglePartition exchange of
+    the <= n_bins aggregated rows feeding both total windows — no join
+    of two histogram jobs, no re-planned input subtree."""
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift
+
+    plan = (
+        psi_drift(_one_col(spark, [1.0]), _one_col(spark, [2.0]), "x", 0.0, 10.0, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Join" not in plan
