@@ -203,3 +203,123 @@ def range_join_pairs(
         F.col("b.ts").alias("ts2"),
         (F.col("b.us") - F.col("a.us")).alias("gap_micros"),
     ).distinct()
+
+
+def bitmap_filter(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Build a fixed-size broadcastable bit-array membership filter over
+    ``keys[key_col]`` — the application-level half of semi-join
+    reduction (Bloom filter semantics built from DataFrame primitives;
+    Spark's AUTOMATIC runtime bloom injection needs thresholds and a
+    planner mood, this one is explicit and composable).
+
+    Each key sets ``k`` bits at ``pmod(xxhash64(key, i), n_bits)``;
+    the bit array is packed into ``n_bits/64`` longs (bucket =
+    position >> 6) via per-bucket ``bit_or`` — a hash aggregate with
+    map-side partials over a vocabulary bounded by n_bits/64, NOT by
+    |keys| — then collapsed to ONE row holding a ``map<long,long>``.
+    2^16 bits = 8 KiB, 2^24 = 2 MiB: broadcastable even when the raw
+    key set (hundreds of millions of keys) is far beyond the broadcast
+    threshold. False-positive rate ~ (1 - e^(-k*n/m))^k; NO false
+    negatives by construction (``bitmap_prune`` keeps every true
+    match — an exact join downstream stays exact).
+
+    NULL keys are dropped build-side (an inner/semi join can never
+    match them).
+    """
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two >= 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        for i in range(k)
+    ]
+    exploded = keys.where(F.col(key_col).isNotNull()).select(
+        F.explode(F.array(*pos)).alias("__pos")
+    )
+    # shiftleft/shiftright with a COLUMN shift amount: the Python
+    # wrappers only take int literals, the SQL functions take expressions
+    buckets = exploded.groupBy(
+        F.call_function("shiftright", F.col("__pos"), F.lit(6)).alias("__bucket")
+    ).agg(
+        F.bit_or(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("__pos") % 64).cast("int"),
+            )
+        ).alias("__bits")
+    )
+    return buckets.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bucket", "__bits"))
+        ).alias("__bitmap")
+    )
+
+
+def bitmap_prune(
+    df: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key_col`` MIGHT be in the filter
+    built by :func:`bitmap_filter` (same ``n_bits``/``k`` — mismatched
+    parameters silently probe wrong bits, so pass them together).
+
+    The one-row bitmap broadcasts (BroadcastNestedLoopJoin of a single
+    row = map-only); the probe is pure JVM bit arithmetic per row — no
+    shuffle of ``df``, no UDF. Survivors are a superset of the true
+    matches: follow with the exact join, which this prune exists to
+    shrink (at 100 TB the win is shuffling only the ~selectivity
+    fraction of the fact table instead of all of it).
+    """
+    probe = F.col(key_col)
+    tests = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(n_bits))
+        word = F.coalesce(
+            F.element_at(
+                "__bitmap", F.call_function("shiftright", pos, F.lit(6))
+            ),
+            F.lit(0).cast("long"),
+        )
+        bit = F.call_function(
+            "shiftrightunsigned", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1).cast("long"))
+        tests.append(bit == 1)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return (
+        df.join(F.broadcast(bitmap), how="cross")
+        .where(probe.isNotNull() & cond)
+        .drop("__bitmap")
+    )
+
+
+def bitmap_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_bits: int = 1 << 16,
+    k: int = 2,
+) -> DataFrame:
+    """Inner join with explicit semi-join reduction: prune ``fact`` by
+    the dim-key bitmap BEFORE the join shuffles it. Result is exactly
+    ``fact.join(dim, on)`` (the filter has no false negatives and the
+    join re-verifies candidates) — which is what lets the DuckDB oracle
+    be the plain join. Single-column ``on`` only (compose the key into
+    one column for multi-key pruning)."""
+    key = on if isinstance(on, str) else on[0]
+    if not isinstance(on, str) and len(on) > 1:
+        raise ValueError("bitmap_prune_join prunes on a single key column")
+    bm = bitmap_filter(dim.select(key), key, n_bits=n_bits, k=k)
+    pruned = bitmap_prune(fact, bm, key, n_bits=n_bits, k=k)
+    return pruned.join(dim, on=key, how="inner")

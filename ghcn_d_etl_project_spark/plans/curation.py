@@ -141,3 +141,53 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=500000.0,
         n_bins=10,
     )
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction: explicit bitmap prune before the fact join
+# ---------------------------------------------------------------------------
+
+_BITMAP_PRUNE_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "bitmap_prune_join_revenue",
+    oracle=_BITMAP_PRUNE_ORACLE,
+    tags=("joins", "bloom", "scale"),
+    late=True,
+)
+def bitmap_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by priority for orders of a SELECTIVE customer subset,
+    with the fact side pruned by an explicit 8 KiB bitmap filter BEFORE
+    the join (``operators/joins.py:bitmap_filter``/``bitmap_prune``/
+    ``bitmap_prune_join``): Bloom-filter semantics from pure DataFrame
+    primitives — k xxhash64 bits per key OR-packed into n_bits/64
+    longs, one-row map broadcast, JVM bit-arithmetic probe, NO shuffle
+    of the fact before the prune. No false negatives by construction
+    and the exact join re-verifies survivors, so the result — and the
+    oracle — is exactly the plain join. The explicit form covers what
+    Spark's automatic runtime bloom injection (pinned in
+    ``test_plans.py``) declines below its thresholds, and scales to dim
+    key sets far beyond the raw broadcast threshold (2^24 bits = 2 MiB
+    covers ~10M keys at ~3% fp)."""
+    from ghcn_d_etl_project_spark.operators.joins import bitmap_prune_join
+    from ghcn_d_etl_project_spark.plans._util import dsum
+
+    o = t(spark, sf_dir, "orders")
+    c = (
+        t(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    joined = bitmap_prune_join(o, c, "o_custkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -159,6 +159,7 @@ def test_coverage_md_names_resolve():
         cdc,
         common as common_ops,
         incremental,
+        joins as join_ops,
         sessions,
         skew,
     )
@@ -166,7 +167,8 @@ def test_coverage_md_names_resolve():
     from ghcn_d_etl_project_spark.sources import readers, writers
 
     resolvable = (
-        ghcn_mod, readers, writers, cdc, sessions, incremental, common_ops, skew
+        ghcn_mod, readers, writers, cdc, sessions, incremental, common_ops,
+        skew, join_ops,
     )
     helpers = {"late"}
     for tok in sorted(cited - names):
