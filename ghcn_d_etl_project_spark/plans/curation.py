@@ -191,3 +191,120 @@ def bitmap_prune_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: per-bucket bounding boxes on the Morton curve
+# ---------------------------------------------------------------------------
+
+
+def _morton16_sql(a: str, b: str) -> str:
+    """DuckDB restatement of sources/writers.py:_morton16 — disjoint
+    bits, so the OR-chain is a plain SUM of shifted bits."""
+    parts = [
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    ]
+    return " + ".join(parts)
+
+
+# Min/max scaling restated declaratively; FLOOR is explicit on both
+# sides because DuckDB's double->BIGINT cast ROUNDS while Spark's
+# truncates (floor == truncate for the non-negative scaled values).
+_ZORDER_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ka,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS kb
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), ext AS (
+  SELECT MIN(ka) AS lo_a, MAX(ka) AS hi_a, MIN(kb) AS lo_b, MAX(kb) AS hi_b
+  FROM keyed
+), scaled AS (
+  SELECT LEAST(65535, CAST(FLOOR(CAST(ka - lo_a AS DOUBLE)
+           / (CASE WHEN hi_a = lo_a THEN 1.0 ELSE CAST(hi_a - lo_a AS DOUBLE) END)
+           * 65535) AS BIGINT)) AS a,
+         LEAST(65535, CAST(FLOOR(CAST(kb - lo_b AS DOUBLE)
+           / (CASE WHEN hi_b = lo_b THEN 1.0 ELSE CAST(hi_b - lo_b AS DOUBLE) END)
+           * 65535) AS BIGINT)) AS b
+  FROM keyed, ext
+), coded AS (
+  SELECT a, b, {_morton16_sql('a', 'b')} AS z FROM scaled
+)
+SELECT CAST(z >> 28 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+       CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+       CAST(MAX(a) - MIN(a) AS BIGINT) AS span_a,
+       CAST(MAX(b) - MIN(b) AS BIGINT) AS span_b
+FROM coded
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_audit",
+    oracle=_ZORDER_ORACLE,
+    tags=("layout", "scale"),
+    late=True,
+)
+def zorder_layout_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit for 2-D Z-order clustering
+    (``sources/writers.py:zorder_key`` — the Morton key behind
+    ``write_zordered``): orders keyed on (custkey, order epoch-day),
+    min/max-scaled to the full 16-bit range (one tiny extremes
+    aggregate broadcast back — at 100 TB those constants come from
+    table statistics), bit-interleaved, then value-range-bucketed on
+    the curve (``z >> 28`` — 16 fixed buckets, NO global sort /
+    single-partition window, unlike an ntile audit). ONE hash aggregate
+    emits each bucket's bounding box and spans in BOTH dimensions — the
+    min/max footer stats a 100 TB scan would prune on; Z-order's
+    promise is that every bucket bounds both, where a single-column
+    sort leaves the other dimension's span at full range. The DuckDB
+    oracle restates the 16-step bit interleave AND the scaling,
+    hash-checking the Morton arithmetic cross-engine (the writer's
+    file-level version of this audit is pytest-pinned in
+    ``test_writers.py::test_zorder_files_bound_both_dims``)."""
+    from ghcn_d_etl_project_spark.sources.writers import zorder_key
+
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    keyed = o.select(
+        F.col("o_custkey").cast("long").alias("ka"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("kb"),
+    )
+    ext = keyed.agg(
+        F.min("ka").alias("lo_a"),
+        F.max("ka").alias("hi_a"),
+        F.min("kb").alias("lo_b"),
+        F.max("kb").alias("hi_b"),
+    )
+
+    def scaled(col: str, lo: str, hi: str):
+        span = F.when(F.col(hi) == F.col(lo), F.lit(1.0)).otherwise(
+            (F.col(hi) - F.col(lo)).cast("double")
+        )
+        return F.least(
+            F.lit(65535).cast("long"),
+            F.floor((F.col(col) - F.col(lo)).cast("double") / span * 65535),
+        )
+
+    coded = (
+        keyed.crossJoin(F.broadcast(ext))
+        .select(
+            scaled("ka", "lo_a", "hi_a").alias("a"),
+            scaled("kb", "lo_b", "hi_b").alias("b"),
+        )
+        .select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+    )
+    return (
+        coded.groupBy(F.shiftright("z", 28).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("a").cast("long").alias("min_a"),
+            F.max("a").cast("long").alias("max_a"),
+            F.min("b").cast("long").alias("min_b"),
+            F.max("b").cast("long").alias("max_b"),
+            (F.max("a") - F.min("a")).cast("long").alias("span_a"),
+            (F.max("b") - F.min("b")).cast("long").alias("span_b"),
+        )
+    )

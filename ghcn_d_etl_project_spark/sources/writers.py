@@ -140,6 +140,17 @@ def _morton16(a, b):
     return code
 
 
+def zorder_key(a, b):
+    """Public Morton-code surface: interleave the low 16 bits of two
+    long columns into one Z-order key (``z = ...b1a1b0a0``). Pure
+    whole-stage-codegen bit arithmetic — usable as a clustering key
+    (``write_zordered``), a range-bucketing key, or a sort key; points
+    close in (a, b) space land close on the curve, so any downstream
+    range grouping bounds BOTH dimensions per group. Bits above 15 are
+    ignored — scale or modulo keys into [0, 65536) first."""
+    return _morton16(a, b)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -191,3 +191,30 @@ def test_zorder_empty_input_and_typed_keys(spark, tmp_path):
 
     with pytest.raises(TypeError, match="l_returnflag"):
         write_zordered(li, str(tmp_path / "z_bad"), "l_orderkey", "l_returnflag")
+
+
+def test_zorder_key_known_codes(spark):
+    """Morton interleave, hand-computed: a-bits land on even positions,
+    b-bits on odd; bits above 15 are dropped."""
+    from ghcn_d_etl_project_spark.sources.writers import zorder_key
+
+    rows = [(1, 0), (0, 1), (3, 5), (65535, 65535), (1 << 16, 0)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+        .collect()
+    ]
+    assert got == [1, 2, 39, (1 << 32) - 1, 0]
+
+
+def test_zorder_audit_buckets_bound_both_dims(spark):
+    """The registered zorder_layout_audit query's law: bucket = top 4
+    Morton bits = top 2 bits of EACH scaled dimension, so every
+    bucket's span is < 2^14 in BOTH dims — the two-sided bound a
+    single-column sort cannot give."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    rows = all_queries()["zorder_layout_audit"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 4
+    assert all(r["span_a"] < (1 << 14) and r["span_b"] < (1 << 14) for r in rows)
