@@ -706,3 +706,66 @@ def psi_drift(
         .over(wall)
         .cast("double"),
     )
+
+
+def histogram_equi_depth(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    exact: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equi-depth (quantile-binned) histogram: ~n/n_bins rows per bin —
+    the distribution profile that stays informative under skew, where
+    ``histogram_fixed_width`` piles everything into one bar (and the
+    statistic query optimizers keep for selectivity estimation).
+
+    Bin edges are the (i/n_bins)-quantiles, rounded to ``round_digits``
+    (both engines round identically, shrinking any last-ulp
+    interpolation disagreement to the measure-zero rounding boundary);
+    each row's bin is the count of edges strictly below it — a JVM
+    higher-order ``filter`` over the broadcast edge array, no join, no
+    UDF. Output per observed bin: ``bin, n, share, min_val, max_val``
+    (actual data extremes, more useful than the theoretical edges).
+
+    ``exact=True`` uses ``percentile`` — ORACLE ANCHOR ONLY: it buffers
+    every value in one aggregation buffer, fine at oracle scale, OOM at
+    100 TB. ``exact=False`` is the scale path: ``percentile_approx``
+    (mergeable sketch, map-side partials), same construction otherwise.
+    Share attaches via an empty-partition window over the <= n_bins
+    aggregated rows (see ``psi_drift`` for why this beats re-planning
+    the input per broadcast-total reference).
+    """
+    if n_bins <= 1:
+        raise ValueError("need n_bins > 1")
+    fracs = ", ".join(repr(i / n_bins) for i in range(1, n_bins))
+    fn = "percentile" if exact else "percentile_approx"
+    x = F.col(col)
+    nn = df.where(x.isNotNull())
+    edges_row = nn.agg(
+        F.transform(
+            F.expr(f"{fn}({col}, array({fracs}))"),
+            lambda e: F.round(e, round_digits),
+        ).alias("__edges")
+    )
+    bin_idx = F.size(F.filter(F.col("__edges"), lambda e: x > e)).cast("long")
+    binned = (
+        nn.crossJoin(F.broadcast(edges_row))
+        .groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(x).cast("double").alias("min_val"),
+            F.max(x).cast("double").alias("max_val"),
+        )
+    )
+    return binned.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double"),
+            round_digits,
+        ).alias("share"),
+        "min_val",
+        "max_val",
+    )

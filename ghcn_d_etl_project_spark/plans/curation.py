@@ -308,3 +308,50 @@ def zorder_layout_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("b") - F.min("b")).cast("long").alias("span_b"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: quantile bins (the skew-proof distribution profile)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH ed AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+           e -> round(e, 6)) AS edges
+  FROM orders WHERE o_totalprice IS NOT NULL
+), b AS (
+  SELECT len(list_filter(ed.edges, e -> o.o_totalprice > e)) AS bin,
+         o.o_totalprice AS x
+  FROM orders o, ed WHERE o.o_totalprice IS NOT NULL
+), g AS (
+  SELECT bin, COUNT(*) AS n, MIN(x) AS min_val, MAX(x) AS max_val
+  FROM b GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share,
+       min_val, max_val
+FROM g
+"""
+
+
+@register(
+    "equidepth_hist_orders",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("quality", "profile"),
+    late=True,
+)
+def equidepth_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order prices, 8 quantile bins
+    (``operators/quality.py:histogram_equi_depth``): the skew-proof
+    distribution profile (each bin ~ n/8 rows) and the statistic
+    optimizers keep for selectivity. Exact ``percentile`` edges as the
+    oracle anchor (the ``exact=False`` twin swaps in the mergeable
+    ``percentile_approx`` sketch for 100 TB, same construction);
+    per-row binning is a JVM higher-order filter over the broadcast
+    edge array — no join, no UDF, one groupBy with map-side partials.
+    The DuckDB oracle rebuilds the same rounded ``quantile_cont`` edges
+    and ``list_filter`` binning."""
+    from ghcn_d_etl_project_spark.operators.quality import histogram_equi_depth
+
+    o = t(spark, sf_dir, "orders")
+    return histogram_equi_depth(o, "o_totalprice", n_bins=8, exact=True)

@@ -372,3 +372,66 @@ def test_psi_plan_one_scan_per_side(spark):
     assert plan.count("Exchange SinglePartition") == 1
     assert plan.count("Scan ExistingRDD") == 2
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# histogram_equi_depth
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_balanced_bins(spark):
+    """80 distinct values into 8 bins -> exactly 10 per bin, shares 0.125."""
+    from ghcn_d_etl_project_spark.operators.quality import histogram_equi_depth
+
+    df = _one_col(spark, range(80))
+    out = {r["bin"]: r for r in histogram_equi_depth(df, "x", 8).collect()}
+    assert sorted(out) == list(range(8))
+    assert all(r["n"] == 10 and r["share"] == 0.125 for r in out.values())
+    # bins tile the data: consecutive min/max ranges don't overlap
+    for i in range(7):
+        assert out[i]["max_val"] < out[i + 1]["min_val"]
+
+
+def test_equidepth_skew_proof(spark):
+    """Heavy skew (90% of mass at one value): fixed-width piles ~all
+    rows into one bar; equi-depth still spreads the tail into its own
+    bins. The duplicated median value spans several quantile edges, so
+    its single bin legitimately holds the duplicate mass."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        histogram_equi_depth,
+        histogram_fixed_width,
+    )
+
+    vals = [5.0] * 90 + [float(v) for v in range(100, 110)]
+    df = _one_col(spark, vals)
+    fixed = {r["bin"]: r["n"] for r in histogram_fixed_width(df, "x", 0.0, 110.0, 8).collect()}
+    assert max(fixed.values()) == 90  # one bar has ~everything
+    eq = histogram_equi_depth(df, "x", 8).collect()
+    tail_bins = [r for r in eq if r["min_val"] >= 100.0]
+    assert len(tail_bins) >= 1 and sum(r["n"] for r in tail_bins) == 10
+
+
+def test_equidepth_exact_and_approx_agree_on_clean_data(spark):
+    """At small n the sketch is exact, so both paths must coincide —
+    pins that the approx twin is the same construction."""
+    from ghcn_d_etl_project_spark.operators.quality import histogram_equi_depth
+
+    df = _one_col(spark, range(64))
+    a = sorted(tuple(r) for r in histogram_equi_depth(df, "x", 4, exact=True).collect())
+    b = sorted(tuple(r) for r in histogram_equi_depth(df, "x", 4, exact=False).collect())
+    assert a == b
+
+
+def test_equidepth_validation_and_plan(spark):
+    from ghcn_d_etl_project_spark.operators.quality import histogram_equi_depth
+
+    df = _one_col(spark, range(10))
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_equi_depth(df, "x", 1)
+    plan = (
+        histogram_equi_depth(df, "x", 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # edge array broadcasts; binning is a higher-order filter, no UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
