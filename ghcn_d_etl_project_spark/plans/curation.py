@@ -355,3 +355,88 @@ def equidepth_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders")
     return histogram_equi_depth(o, "o_totalprice", n_bins=8, exact=True)
+
+# ---------------------------------------------------------------------------
+# Declarative expectations suite (dbt-tests / GE staple, fused passes)
+# ---------------------------------------------------------------------------
+
+_EXPECTATIONS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+fused AS (
+  SELECT
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+    COUNT(*) - COUNT(DISTINCT o_orderkey)
+      - COALESCE(MAX(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS v1,
+    SUM(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN o_totalprice IS NOT NULL
+              AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS v3,
+    SUM(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$') THEN 1 ELSE 0 END) AS v4
+  FROM orders
+),
+fk AS (
+  SELECT COUNT(*) AS v5 FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT * FROM (
+  SELECT 'not_null:o_orderkey' AS check_id, 'not_null' AS kind,
+         'o_orderkey' AS col, CAST(v0 AS BIGINT) AS n_violations,
+         CAST(n_rows AS BIGINT) AS n_rows, v0 = 0 AS passed FROM fused, n
+  UNION ALL
+  SELECT 'unique:o_orderkey', 'unique', 'o_orderkey',
+         CAST(v1 AS BIGINT), CAST(n_rows AS BIGINT), v1 = 0 FROM fused, n
+  UNION ALL
+  SELECT 'accepted_values:o_orderstatus', 'accepted_values', 'o_orderstatus',
+         CAST(v2 AS BIGINT), CAST(n_rows AS BIGINT), v2 = 0 FROM fused, n
+  UNION ALL
+  SELECT 'in_range:o_totalprice', 'in_range', 'o_totalprice',
+         CAST(v3 AS BIGINT), CAST(n_rows AS BIGINT), v3 = 0 FROM fused, n
+  UNION ALL
+  SELECT 'regex_match:o_orderpriority', 'regex_match', 'o_orderpriority',
+         CAST(v4 AS BIGINT), CAST(n_rows AS BIGINT), v4 = 0 FROM fused, n
+  UNION ALL
+  SELECT 'foreign_key:o_custkey', 'foreign_key', 'o_custkey',
+         CAST(v5 AS BIGINT), CAST(n_rows AS BIGINT), v5 = 0 FROM fk, n
+)
+"""
+
+
+@register(
+    "expectations_orders",
+    oracle=_EXPECTATIONS_ORACLE,
+    tags=("quality", "contract"),
+    late=True,
+)
+def expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders
+    (``operators/expectations.py:run_expectations`` — the dbt-tests /
+    Great-Expectations staple): not-null + unique keys, accepted status
+    values, price range, priority format, and referential integrity to
+    customer. The suite COMPILES to two jobs — all row-local checks and
+    the uniqueness count fuse into ONE aggregate over the table
+    (violation flags summed side by side, ``count - count_distinct``
+    riding the same pass), plus one LEFT ANTI count for the FK — where
+    the reference's validator (``src/utils/data_validator.py:86-115``)
+    and a naive suite runner scan once per check. NULL convention: only
+    ``not_null`` counts NULLs; value checks skip them; ``unique``
+    treats NULL as a value."""
+    from ghcn_d_etl_project_spark.operators.expectations import (
+        Expectation as E,
+        run_expectations,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return run_expectations(
+        o,
+        [
+            E.not_null("o_orderkey"),
+            E.unique("o_orderkey"),
+            E.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            E.in_range("o_totalprice", 0, 1000000),
+            E.regex_match("o_orderpriority", r"^[1-5]-[A-Z]+$"),
+            E.foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )
