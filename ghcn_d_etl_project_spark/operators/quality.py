@@ -769,3 +769,79 @@ def histogram_equi_depth(
         "min_val",
         "max_val",
     )
+
+
+def psi_drift_categorical(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+    top_n: int = 20,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index for a CATEGORICAL column between a
+    baseline and a current slice — the drift monitor for statuses,
+    segments, language labels, model-predicted classes.
+
+    Same math as :func:`psi_drift` with values instead of bins: per
+    kept value, ``psi_term = (p - q) * ln(p / q)`` over eps-clamped
+    shares, plus the exact-DECIMAL ``psi_total``. NULL is tracked as
+    its own category ``'__null'`` (nullness drift is drift); values
+    outside the ``top_n`` by COMBINED count (ties broken by value, so
+    the cut is deterministic) collapse into ``'__other'`` — the device
+    that bounds the report even when the column is dirtier than
+    expected. ``'__null'``/``'__other'`` are reserved labels; data that
+    legitimately contains them would merge silently, so keep them out
+    of monitored columns.
+
+    Scale shape: ONE data-sized pass (tag + union + hash aggregate on
+    the value, map-side partials bounded by the vocabulary); the
+    ranking, collapse, and share windows run over the AGGREGATED
+    vocabulary-sized frame — a single-partition sort of distinct
+    values, which is exactly as bounded as the column is categorical.
+    """
+    if top_n < 1:
+        raise ValueError("need top_n >= 1")
+    if not eps > 0:
+        raise ValueError("need eps > 0")
+    label = F.coalesce(F.col("__x").cast("string"), F.lit("__null"))
+    tagged = base.select(
+        F.col(col).alias("__x"), F.lit(0).alias("__side")
+    ).unionAll(cur.select(F.col(col).alias("__x"), F.lit(1).alias("__side")))
+    counts = tagged.groupBy(label.alias("value")).agg(
+        F.count(F.when(F.col("__side") == 0, F.lit(1))).alias("n_base"),
+        F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("n_cur"),
+    )
+    wrank = Window.orderBy(
+        F.desc(F.col("n_base") + F.col("n_cur")), F.asc("value")
+    )
+    kept = F.when(
+        F.row_number().over(wrank) <= top_n, F.col("value")
+    ).otherwise(F.lit("__other"))
+    regrouped = (
+        counts.withColumn("value", kept)
+        .groupBy("value")
+        .agg(
+            F.sum("n_base").cast("long").alias("n_base"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    ta = F.sum("n_base").over(wall).cast("double")
+    tb = F.sum("n_cur").over(wall).cast("double")
+    p = F.greatest(F.col("n_base").cast("double") / ta, F.lit(eps))
+    q = F.greatest(F.col("n_cur").cast("double") / tb, F.lit(eps))
+    terms = regrouped.select(
+        "value",
+        "n_base",
+        "n_cur",
+        F.round(p, round_digits).alias("p"),
+        F.round(q, round_digits).alias("q"),
+        F.round((p - q) * F.log(p / q), round_digits).alias("psi_term"),
+    )
+    return terms.withColumn(
+        "psi_total",
+        F.sum(F.col("psi_term").cast(f"decimal(28,{round_digits})"))
+        .over(wall)
+        .cast("double"),
+    )

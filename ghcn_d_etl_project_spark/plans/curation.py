@@ -440,3 +440,68 @@ def expectations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             E.foreign_key("o_custkey", c, "c_custkey"),
         ],
     )
+
+# ---------------------------------------------------------------------------
+# Categorical drift: PSI over values with a top-N + __other collapse
+# ---------------------------------------------------------------------------
+
+_PSI_CAT_ORACLE = """
+WITH u AS (
+  SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null') AS value,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS side
+  FROM orders
+), c AS (
+  SELECT value,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM u GROUP BY 1
+), k AS (
+  SELECT CASE WHEN ROW_NUMBER() OVER (ORDER BY n_base + n_cur DESC, value) <= 3
+              THEN value ELSE '__other' END AS value,
+         n_base, n_cur
+  FROM c
+), g AS (
+  SELECT value, SUM(n_base) AS n_base, SUM(n_cur) AS n_cur FROM k GROUP BY 1
+), s AS (
+  SELECT value, n_base, n_cur,
+         GREATEST(CAST(n_base AS DOUBLE) / CAST(SUM(n_base) OVER () AS DOUBLE), 1e-6) AS p,
+         GREATEST(CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE), 1e-6) AS q
+  FROM g
+), terms AS (
+  SELECT value, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+         ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+         ROUND((p - q) * LN(p / q), 6) AS psi_term
+  FROM s
+)
+SELECT terms.*, t.psi_total FROM terms, (
+  SELECT CAST(SUM(CAST(psi_term AS DECIMAL(28,6))) AS DOUBLE) AS psi_total FROM terms
+) t
+"""
+
+
+@register(
+    "psi_drift_priority",
+    oracle=_PSI_CAT_ORACLE,
+    tags=("quality", "drift"),
+    late=True,
+)
+def psi_drift_cat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI of the order-priority mix, pre-1998 vs 1998+
+    (``operators/quality.py:psi_drift_categorical``), with ``top_n=3``
+    so the five priorities exercise the deterministic top-N cut AND the
+    ``'__other'`` collapse in the driver-checked row set. One
+    data-sized pass (tag + union + value hash aggregate, map-side
+    partials bounded by the vocabulary); ranking/collapse/share windows
+    run over the aggregated vocabulary-sized frame only. NULL would
+    surface as its own ``'__null'`` category — nullness drift is
+    drift."""
+    from ghcn_d_etl_project_spark.operators.quality import psi_drift_categorical
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return psi_drift_categorical(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(~(F.col("o_orderdate") < cut)),
+        "o_orderpriority",
+        top_n=3,
+    )

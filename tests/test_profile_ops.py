@@ -435,3 +435,97 @@ def test_equidepth_validation_and_plan(spark):
     # edge array broadcasts; binning is a higher-order filter, no UDF
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# psi_drift_categorical
+# ---------------------------------------------------------------------------
+
+
+def _cat(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x string")
+
+
+def test_psi_cat_hand_computed_with_other_collapse(spark):
+    """base: a x3, b x1; cur: a x1, b x3 (top_n=1 keeps only 'a' —
+    'b' collapses to __other). p=(0.75,0.25), q=(0.25,0.75) ->
+    each |term| = 0.5*ln(3)."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.quality import (
+        psi_drift_categorical,
+    )
+
+    base = _cat(spark, ["a", "a", "a", "b"])
+    cur = _cat(spark, ["a", "b", "b", "b"])
+    out = {
+        r["value"]: r
+        for r in psi_drift_categorical(base, cur, "x", top_n=1).collect()
+    }
+    term = round(0.5 * math.log(3), 6)
+    assert set(out) == {"a", "__other"}
+    assert out["a"]["n_base"] == 3 and out["a"]["n_cur"] == 1
+    assert out["a"]["psi_term"] == term
+    assert out["__other"]["psi_term"] == term
+    assert out["a"]["psi_total"] == round(2 * term, 6)
+
+
+def test_psi_cat_null_is_its_own_category(spark):
+    from ghcn_d_etl_project_spark.operators.quality import (
+        psi_drift_categorical,
+    )
+
+    base = _cat(spark, ["a", "a", None, None])
+    cur = _cat(spark, ["a", "a", "a", None])
+    out = {
+        r["value"]: r
+        for r in psi_drift_categorical(base, cur, "x", top_n=5).collect()
+    }
+    assert out["__null"]["n_base"] == 2 and out["__null"]["n_cur"] == 1
+    assert out["__null"]["p"] == 0.5 and out["__null"]["q"] == 0.25
+
+
+def test_psi_cat_top_n_cut_is_deterministic_on_ties(spark):
+    """Equal combined counts break ties by value ascending: with
+    top_n=1 over tied 'x' and 'y', 'x' is kept every run."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        psi_drift_categorical,
+    )
+
+    base = _cat(spark, ["x", "y"])
+    cur = _cat(spark, ["y", "x"])
+    for _ in range(3):
+        vals = {
+            r["value"]
+            for r in psi_drift_categorical(base, cur, "x", top_n=1).collect()
+        }
+        assert vals == {"x", "__other"}
+
+
+def test_psi_cat_validation(spark):
+    from ghcn_d_etl_project_spark.operators.quality import (
+        psi_drift_categorical,
+    )
+
+    d = _cat(spark, ["a"])
+    with pytest.raises(ValueError, match="top_n"):
+        psi_drift_categorical(d, d, "x", top_n=0)
+    with pytest.raises(ValueError, match="eps"):
+        psi_drift_categorical(d, d, "x", eps=0.0)
+
+
+def test_psi_cat_plan_one_data_pass(spark):
+    """Each input side is scanned exactly once; the only data-sized
+    exchange is the value aggregate — ranking/collapse/share windows
+    ride the aggregated vocabulary frame. No joins anywhere."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        psi_drift_categorical,
+    )
+
+    plan = (
+        psi_drift_categorical(_cat(spark, ["a"]), _cat(spark, ["b"]), "x")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("Exchange hashpartitioning") <= 2  # value agg + regroup
+    assert "Join" not in plan
