@@ -323,3 +323,72 @@ def bitmap_prune_join(
     bm = bitmap_filter(dim.select(key), key, n_bits=n_bits, k=k)
     pruned = bitmap_prune(fact, bm, key, n_bits=n_bits, k=k)
     return pruned.join(dim, on=key, how="inner")
+
+
+def point_in_time_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup — the feature-store join: attach
+    to each fact row the dim VERSION whose validity interval contains
+    the fact timestamp (``valid_from <= ts < valid_to``, NULL
+    ``valid_to`` = still current). The correctness property this
+    encodes is no-future-leakage: a model-training fact can only see
+    attribute values that were current WHEN IT HAPPENED — an as-of join
+    against the dim's change EVENTS gives the same answer, but SCD2
+    histories (``operators/cdc.py:scd2_apply`` output, warehouse dim
+    tables) already carry the intervals, and joining them directly
+    keeps the one-row-per-version shape auditable.
+
+    Physical shape: an equi-join on the key(s) with the interval
+    predicate as a JOIN condition (not a post-filter — preserved left
+    rows must survive with NULLs under ``how="left"``). One shuffle on
+    the key for each side (zero if both are bucketed on it); per-key
+    fan-out is bounded by versions-per-key, which is what an SCD2
+    history bounds by construction. With NON-OVERLAPPING intervals per
+    key (the SCD2 contract) each fact matches at most one version;
+    overlapping intervals duplicate fact rows — that is surfaced, not
+    hidden, because silently picking one would mask a corrupt history.
+
+    ``payload`` (default: all dim columns except key/validity) lists
+    the dim columns carried onto the fact; collisions with fact columns
+    raise.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how {how!r} (left|inner)")
+    if payload is None:
+        payload = [
+            c for c in dim.columns
+            if c not in keys and c not in (valid_from, valid_to)
+        ]
+    for c in payload:
+        if c in fact.columns:
+            raise ValueError(f"payload column {c!r} collides with fact")
+    d = dim.select(*keys, valid_from, valid_to, *payload).alias("__d")
+    f = fact.alias("__f")
+    ts = F.col(f"__f.{ts_col}")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
+    cond = (
+        cond
+        & (F.col(f"__d.{valid_from}") <= ts)
+        & (
+            F.col(f"__d.{valid_to}").isNull()
+            | (ts < F.col(f"__d.{valid_to}"))
+        )
+    )
+    joined = f.join(d, cond, how=how)
+    return joined.select(
+        *[F.col(f"__f.{c}") for c in fact.columns],
+        F.col(f"__d.{valid_from}").alias(valid_from),
+        F.col(f"__d.{valid_to}").alias(valid_to),
+        *[F.col(f"__d.{c}") for c in payload],
+    )

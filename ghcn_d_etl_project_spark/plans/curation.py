@@ -505,3 +505,82 @@ def psi_drift_cat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         top_n=3,
     )
+
+# ---------------------------------------------------------------------------
+# Point-in-time dimension lookup (the feature-store join)
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH versions AS (
+  SELECT user_id, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         event_id AS version_id, value AS version_value
+  FROM events WHERE event_type = 'purchase'
+), facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(v.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(v.valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       v.version_id, v.version_value
+FROM facts f
+LEFT JOIN versions v
+  ON f.user_id = v.user_id
+ AND v.valid_from <= f.ts
+ AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+"""
+
+
+@register(
+    "point_in_time_features",
+    oracle=_PIT_ORACLE,
+    tags=("join", "temporal", "feature-store"),
+    late=True,
+)
+def point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup
+    (``operators/joins.py:point_in_time_join``): each error event
+    attaches the purchase-derived version VALID AT ITS TIMESTAMP —
+    ``valid_from <= ts < valid_to``, open current rows, facts before a
+    user's first version kept with NULLs (no-future-leakage, the
+    feature-store correctness property; SCD2 histories from
+    ``scd2_apply`` join the same way). The version table is built
+    in-query with one lead() window (each purchase opens an interval
+    closed by the next); the lookup is an equi-join on the key with the
+    interval predicate as a JOIN condition — one shuffle per side, zero
+    when bucketed, fan-out bounded by versions-per-key. Differs from
+    ``asof_join_events`` (same no-leakage idea) in joining an INTERVAL
+    table directly rather than reconstructing it from change events."""
+    from ghcn_d_etl_project_spark.operators.joins import point_in_time_join
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("event_id").alias("version_id"),
+            F.col("value").alias("version_value"),
+        )
+    )
+    facts = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = point_in_time_join(
+        facts, versions, on="user_id", ts_col="ts",
+        payload=["version_id", "version_value"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version_id",
+        "version_value",
+    )
