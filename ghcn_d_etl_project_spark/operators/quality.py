@@ -845,3 +845,49 @@ def psi_drift_categorical(
         .over(wall)
         .cast("double"),
     )
+
+
+def null_patterns(
+    df: DataFrame, cols: list[str], round_digits: int = 6
+) -> DataFrame:
+    """Missingness-pattern profile: which NULL COMBINATIONS occur, and
+    how often — the co-occurrence view that per-column completeness
+    (``completeness``) cannot show (are ``valid_to`` and
+    ``version_id`` missing together, or independently? the answer
+    decides whether imputation is per-column or structural).
+
+    One hash aggregate on the derived pattern key (map-side partials —
+    each partition collapses to at most 2^len(cols) rows, bounded by
+    the declared columns, never the data); ``share`` attaches via a
+    window over that tiny frame. Output per observed pattern:
+    ``pattern`` ('1' present / '0' NULL, in declared column order),
+    ``missing`` (comma-joined NULL column names, '' when complete),
+    ``n``, ``share``.
+    """
+    if not cols:
+        raise ValueError("null_patterns: empty column list")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"null_patterns: column {c!r} not in input")
+    pattern = F.concat(
+        *[
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1"))
+            for c in cols
+        ]
+    )
+    missing = F.concat_ws(
+        ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in cols]
+    )
+    agged = df.groupBy(
+        pattern.alias("pattern"), missing.alias("missing")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return agged.select(
+        "pattern",
+        "missing",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double"),
+            round_digits,
+        ).alias("share"),
+    )

@@ -584,3 +584,72 @@ def point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version_id",
         "version_value",
     )
+
+# ---------------------------------------------------------------------------
+# Missingness-pattern profile over the point-in-time output
+# ---------------------------------------------------------------------------
+
+_NULL_PATTERNS_ORACLE = """
+WITH versions AS (
+  SELECT user_id, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         event_id AS version_id
+  FROM events WHERE event_type = 'purchase'
+), facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), pit AS (
+  SELECT v.valid_from, v.valid_to, v.version_id
+  FROM facts f
+  LEFT JOIN versions v
+    ON f.user_id = v.user_id
+   AND v.valid_from <= f.ts
+   AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+), pat AS (
+  SELECT CONCAT(CASE WHEN valid_from IS NULL THEN '0' ELSE '1' END,
+                CASE WHEN valid_to IS NULL THEN '0' ELSE '1' END,
+                CASE WHEN version_id IS NULL THEN '0' ELSE '1' END) AS pattern,
+         CONCAT_WS(',', CASE WHEN valid_from IS NULL THEN 'valid_from' END,
+                        CASE WHEN valid_to IS NULL THEN 'valid_to' END,
+                        CASE WHEN version_id IS NULL THEN 'version_id' END) AS missing
+  FROM pit
+)
+SELECT pattern, missing, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+FROM pat GROUP BY pattern, missing
+"""
+
+
+@register(
+    "null_patterns_pit",
+    oracle=_NULL_PATTERNS_ORACLE,
+    tags=("quality", "profile"),
+    late=True,
+)
+def null_patterns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern profile
+    (``operators/quality.py:null_patterns``) COMPOSED over the
+    point-in-time lookup's validity columns — the output separates
+    structurally-distinct NULL combinations a per-column completeness
+    number conflates: closed versions (all present), open current
+    versions (only ``valid_to`` NULL), and no-version-yet facts (all
+    NULL, the no-future-leakage rows). One hash aggregate on the
+    pattern key, partials bounded by 2^3 patterns per partition."""
+    from ghcn_d_etl_project_spark.operators.joins import point_in_time_join
+    from ghcn_d_etl_project_spark.operators.quality import null_patterns
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_id").alias("version_id"),
+    )
+    facts = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pit = point_in_time_join(
+        facts, versions, on="user_id", ts_col="ts", payload=["version_id"]
+    )
+    return null_patterns(pit, ["valid_from", "valid_to", "version_id"])

@@ -529,3 +529,46 @@ def test_psi_cat_plan_one_data_pass(spark):
     assert plan.count("Scan ExistingRDD") == 2
     assert plan.count("Exchange hashpartitioning") <= 2  # value agg + regroup
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# null_patterns
+# ---------------------------------------------------------------------------
+
+
+def test_null_patterns_counts_combinations(spark):
+    from ghcn_d_etl_project_spark.operators.quality import null_patterns
+
+    df = spark.createDataFrame(
+        [
+            (1.0, "a", 5),
+            (2.0, None, None),
+            (None, None, None),
+            (3.0, "b", None),
+            (4.0, None, None),
+        ],
+        "x double, y string, z int",
+    )
+    out = {r["pattern"]: r for r in null_patterns(df, ["x", "y", "z"]).collect()}
+    assert out["111"]["n"] == 1 and out["111"]["missing"] == ""
+    assert out["100"]["n"] == 2 and out["100"]["missing"] == "y,z"
+    assert out["000"]["missing"] == "x,y,z"
+    assert out["110"]["missing"] == "z"
+    assert sum(r["n"] for r in out.values()) == 5
+    assert out["100"]["share"] == 0.4
+
+
+def test_null_patterns_validation_and_plan(spark):
+    from ghcn_d_etl_project_spark.operators.quality import null_patterns
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="empty"):
+        null_patterns(df, [])
+    with pytest.raises(ValueError, match="not in input"):
+        null_patterns(df, ["nope"])
+    plan = (
+        null_patterns(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
