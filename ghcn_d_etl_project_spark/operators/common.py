@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -228,3 +228,39 @@ def weighted_top_k(
     (id, salt, weight)."""
     keyed = df.withColumn(key_out, weighted_sample_key(id_col, weight_col, salt))
     return keyed.orderBy(F.col(key_out).desc(), F.col(id_col)).limit(k)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_cols: list[str] | str,
+    id_col: str,
+    n: int,
+    salt: str = "stratan",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample (or the whole stratum when smaller)
+    — the equal-allocation draw behind balanced eval sets and per-class
+    spot-check queues, where the FRACTION samplers (``stratified_keep``)
+    can't promise a count.
+
+    Selection order inside each stratum is the md5 of the salted id —
+    deterministic and engine-portable like every sampler here (same
+    rows win on any engine/partitioning/run; ``salt`` decorrelates this
+    draw from the split/sample buckets on the same id), with the raw id
+    as the final tiebreak so duplicate hashes can't make the cut
+    ambiguous. One shuffle on the strata + a per-stratum sort
+    (row_number window); n is a constant, so the per-partition state of
+    the rank scan is O(1) — at 100 TB this is the same shape as any
+    rank-and-filter top-k per group.
+    """
+    if n < 1:
+        raise ValueError("need n >= 1")
+    strata = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    draw = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    )
+    w = Window.partitionBy(*strata).orderBy(draw, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -653,3 +653,43 @@ def null_patterns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts, versions, on="user_id", ts_col="ts", payload=["version_id"]
     )
     return null_patterns(pit, ["valid_from", "valid_to", "version_id"])
+
+# ---------------------------------------------------------------------------
+# Equal-allocation sampling: exactly n per stratum, engine-portable
+# ---------------------------------------------------------------------------
+
+_STRAT_N_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CONCAT(CAST(doc_id AS VARCHAR), ':stratan')), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+FROM ranked WHERE rn <= 10
+"""
+
+
+@register(
+    "stratified_n_docs",
+    oracle=_STRAT_N_ORACLE,
+    tags=("sampling", "stratified"),
+    late=True,
+)
+def stratified_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 10 documents per language
+    (``operators/common.py:stratified_fixed_n``): the equal-allocation
+    draw behind balanced eval sets — the fraction samplers
+    (``stratified_keep``) can't promise a count. Selection order is the
+    md5 of the salted doc id (deterministic on any engine /
+    partitioning / run, decorrelated from the split buckets), raw id as
+    final tiebreak; one shuffle on the stratum + per-stratum rank —
+    the same rank-and-filter shape as top-k per group."""
+    from ghcn_d_etl_project_spark.operators.common import stratified_fixed_n
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    return stratified_fixed_n(d, "lang", "doc_id", n=10)

@@ -189,3 +189,54 @@ def test_leakage_safe_split_query_contract(spark):
         assert fp_split.setdefault(r.fp, r.split) == r.split
         fp_n[r.fp] = fp_n.get(r.fp, 0) + 1
     assert all(r.n_dups == fp_n[r.fp] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# stratified_fixed_n
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_n_exact_counts_and_small_strata(spark):
+    from ghcn_d_etl_project_spark.operators.common import stratified_fixed_n
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = stratified_fixed_n(df, "grp", "id", n=5).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert len(by_grp["big"]) == 5
+    assert sorted(by_grp["tiny"]) == [100, 101, 102]  # whole stratum kept
+
+
+def test_stratified_n_deterministic_across_partitionings(spark):
+    from ghcn_d_etl_project_spark.operators.common import stratified_fixed_n
+
+    rows = [(i, f"g{i % 3}") for i in range(90)]
+    df1 = spark.createDataFrame(rows, "id long, grp string").repartition(2)
+    df2 = spark.createDataFrame(rows, "id long, grp string").repartition(13, "grp")
+    pick = lambda df: sorted(
+        (r["grp"], r["id"])
+        for r in stratified_fixed_n(df, "grp", "id", n=4).collect()
+    )
+    assert pick(df1) == pick(df2)
+
+
+def test_stratified_n_salt_decorrelates(spark):
+    from ghcn_d_etl_project_spark.operators.common import stratified_fixed_n
+
+    rows = [(i, "g") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    a = {r["id"] for r in stratified_fixed_n(df, "grp", "id", 20, salt="s1").collect()}
+    b = {r["id"] for r in stratified_fixed_n(df, "grp", "id", 20, salt="s2").collect()}
+    assert a != b and len(a) == len(b) == 20
+
+
+def test_stratified_n_validation(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.common import stratified_fixed_n
+
+    df = spark.createDataFrame([(1, "g")], "id long, grp string")
+    with pytest.raises(ValueError, match="n >= 1"):
+        stratified_fixed_n(df, "grp", "id", 0)
