@@ -83,3 +83,64 @@ def session_bounds(
         F.count(F.lit(1)).alias("n_events"),
         *(aggs or []),
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+    order_cols: tuple[str, ...] = (),
+    keep: str = "first",
+) -> DataFrame:
+    """Collapse retry/duplicate BURSTS: within each key, consecutive
+    events closer than ``gap_seconds`` form one burst (the gap-session
+    construction of :func:`sessionize`), and only the burst's first (or
+    last) event survives — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark``-style storm suppression, with the
+    well-defined chained semantics a per-row lag filter cannot give
+    (lag-based "drop if previous raw event is near" also drops the
+    survivor's legitimate successor; burst-grouping keeps exactly one
+    row per storm however long the chain).
+
+    Output: the surviving input rows (all original columns) plus
+    ``burst_size``. Physical shape: the sessionize window (one shuffle
+    on the key + per-key sort) and a per-(key, burst) collapse via
+    ``min/max(struct(ts, order_cols, row))`` — the same
+    partial-combining survivorship aggregate as
+    ``operators/survivorship.py``, reusing the key partitioning, so
+    nothing re-shuffles. Pass a unique tiebreak in ``order_cols`` when
+    timestamps can collide.
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first|last, got {keep!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    if "burst_size" in df.columns:
+        raise ValueError("input already has a burst_size column")
+    numeric = {
+        "tinyint", "smallint", "int", "integer", "bigint", "long",
+        "float", "double", "boolean",
+    }
+    dtypes = dict(df.dtypes)
+    for c in order_cols:
+        if dtypes.get(c) not in numeric:
+            raise ValueError(
+                f"order_cols must be numeric for the struct-max collapse; "
+                f"{c!r} is {dtypes.get(c, 'missing')}"
+            )
+    s = sessionize(df, keys, ts_col, gap_seconds, order_cols, out_col="__burst")
+    ordered = [F.unix_micros(F.col(ts_col)).cast("double")] + [
+        F.col(c).cast("double") for c in order_cols
+    ]
+    if keep == "first":
+        ordered = [-c for c in ordered]
+    winner = F.max(
+        F.struct(*ordered, F.struct(*df.columns).alias("__row"))
+    ).alias("__w")
+    agged = s.groupBy(*keys, "__burst").agg(
+        winner, F.count(F.lit(1)).alias("burst_size")
+    )
+    return agged.select(
+        *[F.col(f"__w.__row.{c}").alias(c) for c in df.columns],
+        F.col("burst_size").cast("long").alias("burst_size"),
+    )

@@ -693,3 +693,79 @@ def stratified_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
     )
     return stratified_fixed_n(d, "lang", "doc_id", n=10)
+
+# ---------------------------------------------------------------------------
+# Burst collapse: keep one event per retry storm
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 300000000
+              THEN 1 ELSE 0 END AS new_burst
+  FROM errors
+), bursts AS (
+  SELECT *,
+         SUM(new_burst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM flagged
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, burst
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, burst) AS burst_size
+  FROM bursts
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       value,
+       CAST(burst_size AS BIGINT) AS burst_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "collapse_error_bursts",
+    oracle=_BURST_ORACLE,
+    tags=("sessions", "dedup"),
+    late=True,
+)
+def collapse_bursts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-storm suppression over error events
+    (``operators/sessions.py:collapse_bursts``): per user, error events
+    closer than 5 minutes chain into one burst and only the first
+    survives, with the burst size for audit — the batch twin of
+    streaming storm dedup, with chained semantics a lag filter cannot
+    give (a 3-event chain at 0/4/8 min is ONE burst even though the
+    ends are 8 min apart). Sessionize window (one shuffle + per-key
+    sort) then the partial-combining struct-min collapse reusing the
+    key partitioning; the oracle restates it as the textbook
+    row_number-per-burst ladder."""
+    from ghcn_d_etl_project_spark.operators.sessions import collapse_bursts
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    out = collapse_bursts(
+        e.select("event_id", "user_id", "ts", "value"),
+        key="user_id",
+        ts_col="ts",
+        gap_seconds=300,
+        order_cols=("event_id",),
+        keep="first",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", fmt).alias("ts"),
+        "value",
+        "burst_size",
+    )
