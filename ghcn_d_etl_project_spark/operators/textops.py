@@ -218,3 +218,74 @@ def chunk_spans(col: Column | str, stride: int) -> Column:
     return F.when(
         F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks), F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
+
+
+def bm25_scores(
+    df,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+):
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the ranked-retrieval primitive behind corpus search and
+    hard-negative mining (Lucene's idf variant:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, so scores are never
+    negative).
+
+    Scale shape — NO explode, NO join on the token stream: per-term
+    ``tf`` is a row-local higher-order ``filter`` over the whitespace
+    token array (k fixed terms = k counters per row, JVM-side), so the
+    only corpus-wide work is ONE single-row stats aggregate (N, Σdl,
+    per-term df) broadcast back for the scoring projection. Both passes
+    scan the text column; nothing shuffles by key. The per-document
+    score sums the k per-term contributions in DECLARED term order (a
+    fixed left-associative chain — deterministic and engine-portable,
+    unlike aggregating exploded term rows whose float sum order floats).
+
+    Output: the input columns plus ``dl`` (token count) and ``score``
+    (rounded). Duplicate or empty terms raise — a duplicate would
+    silently double-count its contribution.
+    """
+    if not terms:
+        raise ValueError("bm25_scores: empty term list")
+    if len(set(terms)) != len(terms):
+        raise ValueError("bm25_scores: duplicate terms double-count")
+    if any(not t for t in terms):
+        raise ValueError("bm25_scores: empty term")
+    toks = tokens(text_col)
+    feat = df.withColumn("__dl", F.size(toks).cast("long"))
+
+    # one-arg lambda factory: a 2-arg lambda with a default would be
+    # read by F.filter as its (element, index) form
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    for i, term in enumerate(terms):
+        feat = feat.withColumn(
+            f"__tf{i}", F.size(F.filter(toks, _eq(term))).cast("long")
+        )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = feat.crossJoin(F.broadcast(stats))
+    n = F.col("__N")
+    avgdl = F.col("__sumdl").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        dfc = F.col(f"__df{i}")
+        idf = F.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+        tfn = (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * F.col("__dl") / avgdl))
+        score = score + idf * tfn
+    return j.select(
+        *df.columns,
+        F.col("__dl").alias("dl"),
+        F.round(score, round_digits).alias("score"),
+    )

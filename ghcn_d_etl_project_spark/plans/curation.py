@@ -769,3 +769,72 @@ def collapse_bursts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "burst_size",
     )
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the document corpus
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'hash'))  AS tf1,
+         len(list_filter(toks, x -> x = 'merge')) AS tf2
+  FROM base
+), stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM feat
+), scored AS (
+  SELECT doc_id, lang, dl,
+         ROUND(0.0
+           + LN(1 + (n - df0 + 0.5) / (df0 + 0.5))
+             * ((tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))))
+           + LN(1 + (n - df1 + 0.5) / (df1 + 0.5))
+             * ((tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))))
+           + LN(1 + (n - df2 + 0.5) / (df2 + 0.5))
+             * ((tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(sumdl AS DOUBLE) / n))))
+         , 6) AS score
+  FROM feat, stats
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(dl AS BIGINT) AS dl, score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
+@register(
+    "bm25_search_docs",
+    oracle=_BM25_ORACLE,
+    tags=("text", "retrieval"),
+    late=True,
+)
+def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by Okapi BM25 for the query {spark, hash,
+    merge} (``operators/textops.py:bm25_scores``, Lucene idf). Per-term
+    tf is a ROW-LOCAL higher-order filter over the token array — no
+    explode, no join on the token stream; corpus-wide work is one
+    single-row stats aggregate (N, Σdl, per-term df) broadcast back
+    into the scoring projection, then TakeOrderedAndProject on the
+    ROUNDED score (rounding before ordering keeps the top-50 cut
+    engine-portable; doc_id breaks rounded ties). Per-doc score sums
+    the k term contributions in declared order — a fixed
+    left-associative chain both engines evaluate identically."""
+    from ghcn_d_etl_project_spark.operators.textops import bm25_scores
+
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+    )
+    scored = bm25_scores(d, "text", ["spark", "hash", "merge"])
+    return (
+        scored.select("doc_id", "lang", "dl", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )

@@ -419,3 +419,82 @@ def test_lang_id_argmax_matches_when_ladder(spark):
             lang_id("text").alias("a"), ladder(F.col("text")).alias("b")
         ).filter(~F.col("a").eqNullSafe(F.col("b")))
         assert mism.count() == 0, mism.limit(5).collect()
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bm25_hand_computed(spark):
+    """Two docs, one term: tf/df/dl/avgdl plug straight into the Lucene
+    formula — pinned against an independent python evaluation."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import bm25_scores
+
+    df = _corpus(spark, ["cat dog cat", "dog mouse"])
+    out = {r["doc_id"]: r for r in bm25_scores(df, "text", ["cat"]).collect()}
+    n, dfc, avgdl, k1, b = 2, 1, 2.5, 1.2, 0.75
+    idf = math.log(1 + (n - dfc + 0.5) / (dfc + 0.5))
+
+    def want(tf, dl):
+        return round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out[0]["dl"] == 3 and out[0]["score"] == want(2, 3)
+    assert out[1]["dl"] == 2 and out[1]["score"] == want(0, 2)
+    assert out[1]["score"] == 0.0  # absent term contributes nothing
+
+
+def test_bm25_orderings(spark):
+    """tf monotonicity at equal dl; length normalization at equal tf;
+    rare terms outrank common ones (idf)."""
+    from ghcn_d_etl_project_spark.operators.textops import bm25_scores
+
+    df = _corpus(spark, [
+        "rare pad pad pad",        # 0: one rare hit, short
+        "rare rare pad pad",       # 1: two rare hits, same dl
+        "rare pad pad pad pad pad pad pad",  # 2: one rare hit, longer
+        "common pad pad pad",      # 3: one common hit
+        "common x", "common y", "common z",  # common appears in 4 docs
+    ])
+    out = {r["doc_id"]: r["score"] for r in bm25_scores(df, "text", ["rare", "common"]).collect()}
+    assert out[1] > out[0]        # more tf, same dl
+    assert out[0] > out[2]        # same tf, shorter doc
+    assert out[0] > out[3]        # rare (df=3) beats common (df=4) at same shape
+
+
+def test_bm25_validation(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.textops import bm25_scores
+
+    df = _corpus(spark, ["a"])
+    with pytest.raises(ValueError, match="empty term list"):
+        bm25_scores(df, "text", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_scores(df, "text", ["a", "a"])
+    with pytest.raises(ValueError, match="empty term"):
+        bm25_scores(df, "text", ["a", ""])
+
+
+def test_bm25_plan_no_explode_no_join_no_python(spark):
+    """tf is a row-local higher-order filter: the plan must contain no
+    Generate (explode), no key join, no Python eval — only the one-row
+    stats broadcast (BroadcastNestedLoopJoin)."""
+    from ghcn_d_etl_project_spark.operators.textops import bm25_scores
+
+    plan = (
+        bm25_scores(_corpus(spark, ["a b", "b c"]), "text", ["b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
