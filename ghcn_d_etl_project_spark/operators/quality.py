@@ -891,3 +891,70 @@ def null_patterns(
             round_digits,
         ).alias("share"),
     )
+
+
+def key_containment(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Relationship discovery between two key columns: containment in
+    both directions plus per-side uniqueness — the DEGREE behind a
+    pass/fail foreign-key expectation (``run_expectations``), and the
+    profile that tells you whether a join is FK-shaped (containment
+    ~1.0 one way), overlapping sets, or unrelated before you pay for
+    it at 100 TB.
+
+    One row out: ``n_left, n_right, n_left_distinct, n_right_distinct,
+    n_shared`` (exact BIGINTs) and the derived ratios
+    ``containment_l_in_r`` (= shared / left-distinct),
+    ``containment_r_in_l``, ``uniqueness_l``, ``uniqueness_r``
+    (rounded). NULL keys are excluded everywhere (they join to
+    nothing; a NULL-heavy key shows up as LOW uniqueness of the
+    non-null subset vs ``completeness``, not here).
+
+    Physical shape: one count+count_distinct aggregate per side (the
+    two-phase distinct rewrite — one scan each), and the shared count
+    as distinct-left LEFT SEMI distinct-right (broadcast when a side
+    is small, Catalyst's choice) — three jobs total, none data-squared.
+    """
+    lk = F.col(left_key)
+    rk = F.col(right_key)
+    la = left.where(lk.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.count_distinct(lk).alias("n_left_distinct"),
+    )
+    ra = right.where(rk.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_right"),
+        F.count_distinct(rk).alias("n_right_distinct"),
+    )
+    shared = (
+        left.where(lk.isNotNull())
+        .select(lk.alias("__k"))
+        .distinct()
+        .join(
+            right.where(rk.isNotNull()).select(rk.alias("__k")).distinct(),
+            on="__k",
+            how="left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = la.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(shared))
+    r = lambda c: F.round(c, round_digits)
+    nl, nr = F.col("n_left").cast("double"), F.col("n_right").cast("double")
+    ld = F.col("n_left_distinct").cast("double")
+    rd = F.col("n_right_distinct").cast("double")
+    sh = F.col("n_shared").cast("double")
+    return out.select(
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("n_left_distinct").cast("long").alias("n_left_distinct"),
+        F.col("n_right_distinct").cast("long").alias("n_right_distinct"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.when(ld > 0, r(sh / ld)).alias("containment_l_in_r"),
+        F.when(rd > 0, r(sh / rd)).alias("containment_r_in_l"),
+        F.when(nl > 0, r(ld / nl)).alias("uniqueness_l"),
+        F.when(nr > 0, r(rd / nr)).alias("uniqueness_r"),
+    )

@@ -838,3 +838,65 @@ def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
+
+# ---------------------------------------------------------------------------
+# Relationship discovery: key containment + uniqueness profile
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH la AS (
+  SELECT COUNT(*) AS n_left, COUNT(DISTINCT o_custkey) AS n_left_distinct
+  FROM orders WHERE o_custkey IS NOT NULL
+), ra AS (
+  SELECT COUNT(*) AS n_right, COUNT(DISTINCT c_custkey) AS n_right_distinct
+  FROM customer WHERE c_custkey IS NOT NULL
+), sh AS (
+  SELECT COUNT(*) AS n_shared FROM (
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+    INTERSECT
+    SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+  )
+)
+SELECT CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       CAST(n_left_distinct AS BIGINT) AS n_left_distinct,
+       CAST(n_right_distinct AS BIGINT) AS n_right_distinct,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CASE WHEN n_left_distinct > 0
+            THEN ROUND(CAST(n_shared AS DOUBLE) / CAST(n_left_distinct AS DOUBLE), 6)
+       END AS containment_l_in_r,
+       CASE WHEN n_right_distinct > 0
+            THEN ROUND(CAST(n_shared AS DOUBLE) / CAST(n_right_distinct AS DOUBLE), 6)
+       END AS containment_r_in_l,
+       CASE WHEN n_left > 0
+            THEN ROUND(CAST(n_left_distinct AS DOUBLE) / CAST(n_left AS DOUBLE), 6)
+       END AS uniqueness_l,
+       CASE WHEN n_right > 0
+            THEN ROUND(CAST(n_right_distinct AS DOUBLE) / CAST(n_right AS DOUBLE), 6)
+       END AS uniqueness_r
+FROM la, ra, sh
+"""
+
+
+@register(
+    "key_containment_orders",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("quality", "profile", "joins"),
+    late=True,
+)
+def key_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship profile of orders.o_custkey vs customer.c_custkey
+    (``operators/quality.py:key_containment``): containment both ways +
+    per-side uniqueness — the DEGREE behind the pass/fail FK
+    expectation, telling you a join is FK-shaped before paying for it.
+    One count+count_distinct aggregate per side (two-phase distinct
+    rewrite, one scan each) + distinct-semi-join shared count; three
+    jobs, none data-squared."""
+    from ghcn_d_etl_project_spark.operators.quality import key_containment
+
+    return key_containment(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

@@ -572,3 +572,52 @@ def test_null_patterns_validation_and_plan(spark):
     assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# key_containment
+# ---------------------------------------------------------------------------
+
+
+def test_key_containment_fk_shape(spark):
+    """Child keys all present in parent -> containment_l_in_r = 1.0;
+    parent has extra keys -> r_in_l < 1; duplicates drop uniqueness."""
+    from ghcn_d_etl_project_spark.operators.quality import key_containment
+
+    child = spark.createDataFrame([(1,), (1,), (2,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,), (4,)], "p long")
+    r = key_containment(child, parent, "k", "p").collect()[0]
+    assert (r["n_left"], r["n_left_distinct"]) == (3, 2)  # NULL excluded
+    assert (r["n_right"], r["n_right_distinct"]) == (4, 4)
+    assert r["n_shared"] == 2
+    assert r["containment_l_in_r"] == 1.0
+    assert r["containment_r_in_l"] == 0.5
+    assert r["uniqueness_l"] == round(2 / 3, 6) and r["uniqueness_r"] == 1.0
+
+
+def test_key_containment_disjoint_and_empty(spark):
+    from ghcn_d_etl_project_spark.operators.quality import key_containment
+
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(9,)], "p long")
+    r = key_containment(a, b, "k", "p").collect()[0]
+    assert r["n_shared"] == 0 and r["containment_l_in_r"] == 0.0
+    empty = spark.createDataFrame([], "k long")
+    r2 = key_containment(empty, b, "k", "p").collect()[0]
+    assert r2["n_left"] == 0 and r2["containment_l_in_r"] is None
+
+
+def test_key_containment_no_cartesian_on_keys(spark):
+    """The shared count must be a semi join of DISTINCT key sets — no
+    data-sized cross product, no Python eval."""
+    from ghcn_d_etl_project_spark.operators.quality import key_containment
+
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(100)], "p long")
+    plan = (
+        key_containment(a, b, "k", "p")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
