@@ -74,14 +74,18 @@ def _shuffle_partitions(spark, df: DataFrame) -> int:
 def global_cumsum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     bucket_width: float | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = running total of ``value_col`` in ``order_col``
     order, computed distributively (see module docstring for the two
     bucketing shapes). Output columns: input columns + ``out_col``.
+    Lists run SEVERAL running totals over the same order in the SAME
+    single pass (same buckets, same shuffle, same windows — the
+    per-column cost is one extra sum in each of the two aggregates);
+    ``value_col`` and ``out_col`` lists must zip.
 
     ``bucket_width``: fixed-width buckets, ``floor(key/width)`` — choose
     it so #buckets ≈ rows/width stays comfortably bounded (the exclusive
@@ -90,6 +94,10 @@ def global_cumsum(
     ``num_partitions``: quantile-bucket count for the default shape
     (default: ``spark.sql.shuffle.partitions``).
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must zip")
     df = df.filter(F.col(order_col).isNotNull())
     key = F.col(order_col).cast("double")
     if bucket_width is not None:
@@ -124,10 +132,15 @@ def global_cumsum(
     w_prefix = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         base.groupBy(_PID)
-        .agg(F.sum(value_col).alias("__bsum"))
+        .agg(*[F.sum(v).alias(f"__bsum{i}") for i, v in enumerate(value_cols)])
         .select(
             _PID,
-            F.coalesce(F.sum("__bsum").over(w_prefix), F.lit(0)).alias(_OFFSET),
+            *[
+                F.coalesce(F.sum(f"__bsum{i}").over(w_prefix), F.lit(0)).alias(
+                    f"{_OFFSET}{i}"
+                )
+                for i in range(len(value_cols))
+            ],
         )
     )
 
@@ -139,8 +152,9 @@ def global_cumsum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        base.join(F.broadcast(offsets), _PID)
-        .withColumn(out_col, F.sum(F.col(value_col)).over(w_local) + F.col(_OFFSET))
-        .drop(_PID, _OFFSET)
-    )
+    out = base.join(F.broadcast(offsets), _PID)
+    for i, (v, o) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            o, F.sum(F.col(v)).over(w_local) + F.col(f"{_OFFSET}{i}")
+        )
+    return out.drop(_PID, *[f"{_OFFSET}{i}" for i in range(len(value_cols))])

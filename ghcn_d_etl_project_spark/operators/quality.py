@@ -958,3 +958,81 @@ def key_containment(
         F.when(nl > 0, r(ld / nl)).alias("uniqueness_l"),
         F.when(nr > 0, r(rd / nr)).alias("uniqueness_r"),
     )
+
+
+def ks_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bucket_width: float | None = None,
+    num_partitions: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between a baseline
+    and a current slice: ``D = max over x of |F_base(x) - F_cur(x)|`` —
+    the binning-free companion to :func:`psi_drift` (PSI's value moves
+    with the bin grid; D is a property of the data alone).
+
+    The textbook formulation sorts BOTH samples globally — an
+    ``Exchange SinglePartition`` death-mode at scale. Here: one
+    data-sized pass collapses both tagged sides to per-DISTINCT-VALUE
+    counts (map-side partials), then BOTH running counts ride ONE
+    ``operators/prefix.py:global_cumsum`` pass (value-derived buckets,
+    bounded single-partition summary, one full shuffle — the
+    multi-column form exists for exactly this), and D is a plain max
+    aggregate over the CDF differences. Ties collapse before the
+    prefix, so the CDFs are evaluated right-continuously at each
+    distinct value.
+
+    One row out: ``n_base, n_cur, d_stat`` (rounded) and ``at_value``
+    (the smallest value attaining D — deterministic argmax). NULLs
+    excluded. ``bucket_width``/``num_partitions`` pass through to the
+    prefix machinery.
+    """
+    tagged = base.select(
+        F.col(col).alias("__x"), F.lit(0).alias("__side")
+    ).unionAll(cur.select(F.col(col).alias("__x"), F.lit(1).alias("__side")))
+    tagged = tagged.where(F.col("__x").isNotNull())
+    per_val = tagged.groupBy(F.col("__x").alias("value")).agg(
+        F.count(F.when(F.col("__side") == 0, F.lit(1))).alias("n_base"),
+        F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("n_cur"),
+    )
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    cums = global_cumsum(
+        per_val,
+        order_col="value",
+        value_col=["n_base", "n_cur"],
+        out_col=["__ca", "__cb"],
+        bucket_width=bucket_width,
+        num_partitions=num_partitions,
+    )
+    totals = tagged.agg(
+        F.count(F.when(F.col("__side") == 0, F.lit(1))).alias("__ta"),
+        F.count(F.when(F.col("__side") == 1, F.lit(1))).alias("__tb"),
+    )
+    d = cums.crossJoin(F.broadcast(totals)).select(
+        F.col("value").cast("double").alias("value"),
+        "__ta",
+        "__tb",
+        F.abs(
+            F.col("__ca").cast("double") / F.col("__ta").cast("double")
+            - F.col("__cb").cast("double") / F.col("__tb").cast("double")
+        ).alias("__ad"),
+    )
+    top = d.agg(
+        F.max(
+            F.struct(
+                F.col("__ad").alias("ad"),
+                (-F.col("value")).alias("negv"),
+                F.col("__ta").alias("ta"),
+                F.col("__tb").alias("tb"),
+            )
+        ).alias("__w")
+    )
+    return top.select(
+        F.col("__w.ta").cast("long").alias("n_base"),
+        F.col("__w.tb").cast("long").alias("n_cur"),
+        F.round(F.col("__w.ad"), round_digits).alias("d_stat"),
+        (-F.col("__w.negv")).alias("at_value"),
+    )

@@ -900,3 +900,67 @@ def key_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
     )
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS drift (binning-free companion to PSI)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH u AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS side
+  FROM orders WHERE o_totalprice IS NOT NULL
+), v AS (
+  SELECT x AS value,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM u GROUP BY 1
+), c AS (
+  SELECT value,
+         SUM(n_base) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(n_cur) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM v
+), tot AS (
+  SELECT SUM(n_base) AS ta, SUM(n_cur) AS tb FROM v
+), d AS (
+  SELECT value,
+         ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+             - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)) AS ad,
+         ta, tb
+  FROM c, tot
+)
+SELECT CAST(ta AS BIGINT) AS n_base, CAST(tb AS BIGINT) AS n_cur,
+       ROUND(ad, 6) AS d_stat, CAST(value AS DOUBLE) AS at_value
+FROM d ORDER BY ad DESC, value ASC LIMIT 1
+"""
+
+
+@register(
+    "ks_drift_orders",
+    oracle=_KS_ORACLE,
+    tags=("quality", "drift"),
+    late=True,
+)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D for order prices, pre-1998
+    vs 1998+ (``operators/quality.py:ks_drift``): the binning-free
+    drift statistic PSI approximates. The textbook global sort is
+    replaced by per-distinct-value counts (one data-sized pass,
+    map-side partials) + BOTH running CDF counts in ONE
+    ``global_cumsum`` pass (the multi-column prefix machinery — bounded
+    single-partition summary, one full shuffle) + a plain max
+    aggregate; ``at_value`` is the deterministic argmax (smallest value
+    attaining D). The oracle is the single-partition window
+    formulation this construction replaces."""
+    from ghcn_d_etl_project_spark.operators.quality import ks_drift
+
+    o = t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return ks_drift(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(~(F.col("o_orderdate") < cut)),
+        "o_totalprice",
+        bucket_width=10000.0,
+    )

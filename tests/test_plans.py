@@ -160,6 +160,7 @@ def test_coverage_md_names_resolve():
         common as common_ops,
         incremental,
         joins as join_ops,
+        prefix as prefix_ops,
         sessions,
         skew,
     )
@@ -168,7 +169,7 @@ def test_coverage_md_names_resolve():
 
     resolvable = (
         ghcn_mod, readers, writers, cdc, sessions, incremental, common_ops,
-        skew, join_ops,
+        skew, join_ops, prefix_ops,
     )
     helpers = {"late"}
     for tok in sorted(cited - names):

@@ -621,3 +621,79 @@ def test_key_containment_no_cartesian_on_keys(spark):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ks_drift
+# ---------------------------------------------------------------------------
+
+
+def _ks_reference(a, b):
+    """Brute-force two-sample KS via numpy (right-continuous CDFs at
+    every distinct pooled value)."""
+    import numpy as np
+
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    xs = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    d = np.abs(fa - fb)
+    i = int(np.argmax(d))  # first occurrence = smallest value at max
+    return float(d[i]), float(xs[i])
+
+
+def test_ks_hand_computed(spark):
+    from ghcn_d_etl_project_spark.operators.quality import ks_drift
+
+    base = _one_col(spark, [1, 2, 3, 4])
+    cur = _one_col(spark, [3, 4, 5, 6])
+    r = ks_drift(base, cur, "x").collect()[0]
+    d, at = _ks_reference([1, 2, 3, 4], [3, 4, 5, 6])
+    assert r["d_stat"] == round(d, 6) == 0.5
+    assert r["at_value"] == at == 2.0
+    assert r["n_base"] == 4 and r["n_cur"] == 4
+
+
+def test_ks_matches_numpy_on_random_data(spark):
+    import random
+
+    from ghcn_d_etl_project_spark.operators.quality import ks_drift
+
+    rng = random.Random(7)
+    a = [round(rng.gauss(0, 1), 3) for _ in range(300)]
+    b = [round(rng.gauss(0.4, 1.3), 3) for _ in range(200)]
+    r = ks_drift(_one_col(spark, a), _one_col(spark, b), "x").collect()[0]
+    d, at = _ks_reference(a, b)
+    assert r["d_stat"] == round(d, 6)
+    assert r["at_value"] == at
+
+
+def test_ks_identical_zero_disjoint_one(spark):
+    from ghcn_d_etl_project_spark.operators.quality import ks_drift
+
+    same = [1.0, 2.0, 5.0]
+    r0 = ks_drift(_one_col(spark, same), _one_col(spark, same), "x").collect()[0]
+    assert r0["d_stat"] == 0.0
+    r1 = ks_drift(
+        _one_col(spark, [1.0, 2.0]), _one_col(spark, [10.0, 11.0]), "x"
+    ).collect()[0]
+    assert r1["d_stat"] == 1.0
+
+
+def test_ks_no_data_sized_single_partition(spark):
+    """The whole point vs the textbook global sort: the only
+    SinglePartition exchanges are the BOUNDED bucket-summary prefix and
+    1-row aggregates — never a rangepartitioning or a data-sized
+    orderBy window."""
+    from ghcn_d_etl_project_spark.operators.quality import ks_drift
+
+    plan = (
+        ks_drift(
+            _one_col(spark, [1.0, 2.0]), _one_col(spark, [3.0]), "x",
+            bucket_width=1.0,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert "BatchEvalPython" not in plan
