@@ -154,3 +154,22 @@ def test_shard_packed_training_export(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == docs.count()
     assert {"doc_id", "text", "shard_id"} <= set(back.columns)
+
+
+def test_multi_column_cumsum_matches_two_single_calls(spark):
+    """The multi-column form (added for ks_drift) must equal running the
+    operator once per column — same buckets, same order, one pass."""
+    import pytest
+
+    df = _mk(spark).withColumn("w", (F.col("v") * 3 + F.col("k") % 5))
+    both = global_cumsum(
+        df, "k", ["v", "w"], ["cv", "cw"], bucket_width=10.0
+    )
+    v_only = global_cumsum(df, "k", "v", "cv", bucket_width=10.0)
+    w_only = global_cumsum(df, "k", "w", "cw", bucket_width=10.0)
+    got = {r["k"]: (r["cv"], r["cw"]) for r in both.collect()}
+    want_v = {r["k"]: r["cv"] for r in v_only.collect()}
+    want_w = {r["k"]: r["cw"] for r in w_only.collect()}
+    assert got == {k: (want_v[k], want_w[k]) for k in want_v}
+    with pytest.raises(ValueError, match="zip"):
+        global_cumsum(df, "k", ["v", "w"], "cv", bucket_width=10.0)
