@@ -74,15 +74,49 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
     round_digits: int = 6,
+    strategy: str = "auto",
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
-    """Exact all-pairs cosine top-k neighbors per vector (self-join,
-    excluding self). Ties broken by neighbor id for determinism.
+    """Exact all-pairs cosine top-k neighbors per vector (self excluded).
+    Ties broken by neighbor id for determinism.
 
-    Norms are computed ONCE per vector before the N^2 pair expansion, so
-    each pair costs a single dot-product fold instead of three — the
-    final expression dot/(norm_q*norm_n) is arithmetically identical to
-    inline cosine(), keeping oracle parity bit-exact.
+    Two physical strategies, same logical result:
+
+    * ``"pairs"`` — crossJoin + JVM fold dot + window rank. UDF-free and
+      fully streaming, but it materializes N^2 score ROWS and shuffles
+      them through the per-qid window: the sort, not the arithmetic,
+      dominates. Kept as the no-driver-state fallback.
+    * ``"matmul"`` — the corpus (ids, vectors, norms) is collected ONCE
+      into a dense float64 matrix and broadcast; ``mapInPandas`` over the
+      query partitions computes one BLAS GEMM per Arrow batch and selects
+      the (tie-aware) top-k INSIDE the batch, so only N x k rows ever
+      exist as rows. Work per query partition is independent — on a
+      1000-executor cluster each executor scores its query slice against
+      the shared corpus block with zero shuffle. Bounded by
+      ``broadcast_rows`` (corpus must fit executor memory; beyond that
+      the honest scale path is IVF (``operators/ivf.py``) or sign-LSH —
+      the brute-force N^2 itself is what stopped scaling, not this
+      broadcast).
+    * ``"auto"`` — matmul when a bounded O(broadcast_rows) probe shows
+      the corpus fits, else pairs.
+
+    Parity note: GEMM sums partial products in SIMD/blocked order while
+    the fold sums left-to-right; both land within ~1 ulp of each other,
+    absorbed by ``round_digits`` rounding exactly as the DuckDB oracle's
+    own summation order already is (pinned by an exact matmul==pairs
+    equality test at two SFs).
     """
+    if strategy not in ("auto", "pairs", "matmul"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "pairs":
+        n_bounded = df.limit(broadcast_rows + 1).count()
+        if n_bounded <= broadcast_rows:
+            return _cosine_topk_matmul(df, id_col, vec_col, k, round_digits)
+        if strategy == "matmul":
+            raise ValueError(
+                f"corpus exceeds broadcast_rows={broadcast_rows}; use "
+                "strategy='pairs' or the IVF/LSH approximate paths"
+            )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("qid"),
         _as_double(vec_col).alias("qvec"),
@@ -106,6 +140,70 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _cosine_topk_matmul(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Block-matmul arm of :func:`cosine_topk` (see its docstring).
+
+    Per Arrow batch of B query vectors: ``S = round((Q @ X.T) /
+    outer(|q|, |x|), digits)``, self masked out, then per row every
+    neighbor with ``cos >= kth-largest cos`` is kept (ties INCLUDED so
+    the id tiebreak is decided on the full tie group, identical to the
+    window's (cos desc, nid asc) order), sorted, sliced to k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = df.select(F.col(id_col), _as_double(vec_col)).collect()
+    ids = [r[0] for r in corpus]
+    X = np.asarray([r[1] for r in corpus], dtype=np.float64)
+    xnorm = np.sqrt((X * X).sum(axis=1))
+    nid_arr = np.asarray(ids)
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((nid_arr, X, xnorm))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {id_type}, nid {id_type}, cos_sim double, rank long"
+
+    def score_block(batches):
+        nids, M, mnorm = b.value
+        n = len(nids)
+        kk = min(k, n - 1) if n > 1 else 0
+        for pdf in batches:
+            if not len(pdf) or kk == 0:
+                continue
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = np.round((Q @ M.T) / np.outer(qn, mnorm), round_digits)
+            qids = pdf["qid"].to_numpy()
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(pdf)):
+                row = S[i].copy()
+                row[nids == qids[i]] = -np.inf
+                kth = np.partition(row, -kk)[-kk]
+                cand = np.nonzero(row >= kth)[0]
+                # (cos desc, nid asc): lexsort's LAST key is primary
+                order = cand[np.lexsort((nids[cand], -row[cand]))][:kk]
+                out_q.extend([qids[i]] * len(order))
+                out_n.extend(nids[order])
+                out_c.extend(row[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"qid": out_q, "nid": out_n, "cos_sim": out_c, "rank": out_r}
+            )
+
+    queries = ensure_parallelism(df).select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec")
+    )
+    return queries.mapInPandas(score_block, schema=out_schema)
 
 
 def neardup_pairs(

@@ -172,9 +172,13 @@ QUALIFY rank <= 5
 
 @register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"), bench=True)
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 neighbors per embedding: JVM-side
-    zip_with/aggregate dot products (no UDF), ranked per query vector.
-    The exact baseline the ANN path is measured against."""
+    """Brute-force exact cosine top-5 neighbors per embedding. The auto
+    strategy picks the block-matmul arm (corpus broadcast as a dense
+    matrix, one BLAS GEMM + tie-aware top-k select per Arrow batch of
+    queries — N x k output rows, zero N^2 row materialization); the
+    crossJoin + JVM-fold + window form remains as strategy='pairs',
+    pinned exactly equal in tests. The exact baseline the ANN paths are
+    measured against."""
     return cosine_topk(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
 
 

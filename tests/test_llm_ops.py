@@ -498,3 +498,43 @@ def test_bm25_plan_no_explode_no_join_no_python(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_topk_matmul_equals_pairs(spark):
+    """The block-matmul arm must reproduce the crossJoin+window arm
+    EXACTLY (same rows, same rounded scores, same tie-broken ranks) —
+    this is the pin that lets the benched query switch physical
+    strategy without touching the oracle."""
+    emb = t(spark, SF_DIR, "embeddings")
+    p = sorted(
+        map(tuple, cosine_topk(emb, "vec_id", "embedding", k=5,
+                               strategy="pairs").collect())
+    )
+    m = sorted(
+        map(tuple, cosine_topk(emb, "vec_id", "embedding", k=5,
+                               strategy="matmul").collect())
+    )
+    assert p == m
+    assert len(p) > 0
+
+
+def test_cosine_topk_matmul_tie_break_by_id(spark):
+    """Colinear neighbors (identical cosine) must rank by ascending id —
+    the matmul arm's candidate set keeps the WHOLE tie group before the
+    (cos desc, id asc) sort, so a tie can never be dropped by the kth
+    cutoff."""
+    rows = [
+        (10, [1.0, 0.0]),
+        (3, [2.0, 0.0]),   # cos(q)=1.0 with every colinear vector
+        (7, [3.0, 0.0]),
+        (5, [0.0, 1.0]),   # orthogonal: cos 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = cosine_topk(df, "vec_id", "embedding", k=2, strategy="matmul")
+    got = {(r.qid, r.rank): r.nid for r in out.collect()}
+    # query 10: both colinear neighbors tie at cos 1.0 -> id 3 then id 7
+    assert got[(10, 1)] == 3 and got[(10, 2)] == 7
+    # strategy must raise on oversized corpus rather than silently collect
+    with pytest.raises(ValueError):
+        cosine_topk(df, "vec_id", "embedding", k=2,
+                    strategy="matmul", broadcast_rows=2).count()

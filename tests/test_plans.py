@@ -98,11 +98,18 @@ def test_lsh_joins_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a NL join"
 
 
-def test_exact_similarity_is_the_only_cartesian(spark):
-    """cosine_topk is the exact N^2 baseline BY DESIGN — pin that it is
-    the only registered query family allowed to plan a cross join."""
+def test_exact_similarity_plans_matmul_not_cartesian(spark):
+    """cosine_topk's auto strategy must pick the block-matmul arm at
+    bench/test corpus sizes: the N^2 never materializes as rows, so the
+    plan carries the Arrow map (MapInPandas / mapInArrow lowering), NOT
+    a cross join + window sort. The pairs fallback (strategy='pairs')
+    remains the one construction allowed to plan a cross product."""
     plan = _plan(spark, "cosine_topk")
-    assert ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("MapInPandas" in plan) or ("PythonMapInArrow" in plan) or (
+        "FlatMapGroupsInPandas" in plan
+    ), plan
 
 
 def test_ivf_candidate_join_not_cartesian(spark):
