@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cusum",
     "date_spine",
     "ewma",
     "gap_fill_ffill",
@@ -289,6 +290,82 @@ def merge_intervals(
             F.count("*").alias("n_source"),
         )
         .drop("__island")
+    )
+
+
+def cusum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    target: Column | float | None = None,
+    slack: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sided CUSUM change detection over an ordered series.
+
+    The textbook statistic is recursive — ``S+_i = max(0, S+_{i-1} +
+    (x_i - target - slack))`` — which looks sequential, but has the
+    closed form ``S+_i = P_i - min(0, min_{j<=i} P_j)`` with ``P`` the
+    prefix sum of deviations (and symmetrically ``S-_i = max(0,
+    max_{j<=i} P'_j) - P'_i`` on the ``+slack`` prefix). That turns an
+    "inherently serial" detector into two running-window reductions —
+    the same prefix-trick family as ``operators/prefix.global_cumsum``.
+
+    INTENDED INPUT IS AN AGGREGATED SERIES (one row per grain point):
+    callers reduce the raw data first (e.g. daily totals — bounded by
+    the calendar, not the data volume), so the single-partition ordered
+    window here runs over a BOUNDED summary exactly like
+    ``global_cumsum``'s bucket-offset window. Feeding raw event-grain
+    data through this is a scale bug in the caller, not here.
+
+    ``target`` defaults to the series mean, computed as exact-order
+    ``sum/count`` over the full frame (NOT ``avg`` — engines disagree
+    on compensated summation for avg, sum/count is reproducible
+    cross-engine for series whose values are exact in double).
+
+    Output: input columns + ``dev``/``cusum_pos``/``cusum_neg`` (rounded
+    to ``round_digits``).
+    """
+    w_all = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pre = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col)
+    if target is None:
+        tgt = F.sum(v).over(w_all) / F.count(F.lit(1)).over(w_all)
+    elif isinstance(target, (int, float)):
+        # int targets stay integral literals (see the slack note below —
+        # float literals would demote exact LONG series to double)
+        tgt = F.lit(target if isinstance(target, int) else float(target))
+    else:
+        tgt = target
+    # windows can't nest: target first, then deviation prefix sums, then
+    # running min/max OVER those — all on the same ordering, so Catalyst
+    # plans ONE sort with stacked Window nodes, no second shuffle.
+    # Slack/zero literals are INT literals (or skipped when slack == 0)
+    # so integer-typed series stay in exact LONG arithmetic end-to-end —
+    # a float literal would silently promote the prefix sums to double
+    # and lose exactness past 2^53.
+    dev = v - F.col("__tgt")
+    d_pos = dev if slack == 0 else dev - F.lit(slack)
+    d_neg = dev if slack == 0 else dev + F.lit(slack)
+    staged = df.select("*", tgt.alias("__tgt")).select(
+        "*",
+        dev.alias("__dev"),
+        F.sum(d_pos).over(w_pre).alias("__ppos"),
+        F.sum(d_neg).over(w_pre).alias("__pneg"),
+    )
+    s_pos = F.col("__ppos") - F.least(F.lit(0), F.min("__ppos").over(w_pre))
+    s_neg = (
+        F.greatest(F.lit(0), F.max("__pneg").over(w_pre)) - F.col("__pneg")
+    )
+    return staged.select(
+        *df.columns,
+        F.round(F.col("__dev"), round_digits).alias("dev"),
+        F.round(s_pos, round_digits).alias("cusum_pos"),
+        F.round(s_neg, round_digits).alias("cusum_neg"),
     )
 
 

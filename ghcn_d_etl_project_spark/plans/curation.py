@@ -964,3 +964,98 @@ def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         bucket_width=10000.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH d AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS day_total,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(24,2)) * 100 AS BIGINT))
+              AS BIGINT) AS day_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), sc AS (
+  SELECT *, day_cents * (COUNT(*) OVER ()) AS scaled,
+         SUM(day_cents) OVER () AS grand
+  FROM d
+), p AS (
+  SELECT *, scaled - grand AS dv,
+         SUM(scaled - grand) OVER (ORDER BY order_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM sc
+), s AS (
+  SELECT *,
+         pp - LEAST(0, MIN(pp) OVER (ORDER BY order_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS spos,
+         GREATEST(0, MAX(pp) OVER (ORDER BY order_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - pp AS sneg
+  FROM p
+)
+SELECT order_day, day_total, n_orders,
+       CAST(dv AS BIGINT) AS dev,
+       CAST(spos AS BIGINT) AS cusum_pos,
+       CAST(sneg AS BIGINT) AS cusum_neg
+FROM s
+"""
+
+
+@register(
+    "cusum_drift_orders",
+    oracle=_CUSUM_ORACLE,
+    tags=("quality", "drift", "timeseries"),
+    late=True,
+)
+def cusum_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection on daily revenue
+    (``operators/timeseries.py:cusum``): the sequential-looking
+    recursive statistic via its prefix-sum closed form — running sum +
+    running min/max, stacked Window nodes over ONE sort. The raw table
+    reduces to a CALENDAR-bounded daily summary first (map-side partial
+    agg, ~2.4k rows at any SF), so the ordered window runs over a
+    bounded series exactly like ``global_cumsum``'s offset window.
+
+    Parity recipe: the statistic runs in n-SCALED INTEGER CENTS
+    (``dev_i = n*cents_i - total_cents``, all LONG): mean-centering
+    without division, and every intermediate exact — so the prefix
+    sums are identical across engines REGARDLESS of their window-sum
+    association order. A plain double mean-centered CUSUM at revenue
+    magnitudes sits above one double ulp, where no rounding recipe can
+    absorb cross-engine summation-order differences; division by
+    ``100*n`` (a shared constant) is left to the consumer."""
+    from ghcn_d_etl_project_spark.operators.timeseries import cusum
+    from ghcn_d_etl_project_spark.plans._util import dsum
+    from pyspark.sql import Window
+
+    price_dec = F.col("o_totalprice").cast("decimal(24,2)")
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("order_day")
+        )
+        .agg(
+            dsum("o_totalprice", scale=2).alias("day_total"),
+            F.sum((price_dec * F.lit(100)).cast("long")).alias("day_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = daily.select(
+        "*",
+        (F.col("day_cents") * F.count(F.lit(1)).over(w_all)).alias("__scaled"),
+        F.sum("day_cents").over(w_all).alias("__grand"),
+    )
+    return cusum(
+        scaled, "order_day", "__scaled", target=F.col("__grand")
+    ).select(
+        "order_day", "day_total", "n_orders",
+        F.col("dev").cast("long").alias("dev"),
+        F.col("cusum_pos").cast("long").alias("cusum_pos"),
+        F.col("cusum_neg").cast("long").alias("cusum_neg"),
+    )

@@ -197,3 +197,66 @@ def test_gap_fill_validate_unique_raises_on_duplicates(spark):
         interpolate_linear(df, ["k"], "day", "v", validate_unique=True)
     # default path stays cheap: no validation aggregate, no raise
     assert gap_fill_ffill(df, ["k"], "day", ["v"]).count() >= 2
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def _cusum_reference(xs, target, slack=0.0):
+    """Textbook recursive two-sided CUSUM (the definition the closed
+    form in operators/timeseries.cusum must reproduce)."""
+    sp = sn = 0.0
+    out = []
+    for x in xs:
+        sp = max(0.0, sp + (x - target - slack))
+        sn = max(0.0, sn + (target - x - slack))
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_matches_recursive_definition(spark):
+    from ghcn_d_etl_project_spark.operators.timeseries import cusum
+
+    xs = [10.0, 12.0, 9.0, 30.0, 31.0, 29.5, 8.0, 10.5, 11.0, 50.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i int, v double"
+    )
+    got = {
+        r.i: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(df, "i", "v", target=15.0, slack=2.0).collect()
+    }
+    want = _cusum_reference(xs, 15.0, 2.0)
+    for i, (sp, sn) in enumerate(want):
+        assert abs(got[i][0] - sp) < 1e-9, (i, got[i], sp)
+        assert abs(got[i][1] - sn) < 1e-9, (i, got[i], sn)
+
+
+def test_cusum_default_target_is_mean(spark):
+    from ghcn_d_etl_project_spark.operators.timeseries import cusum
+
+    xs = [1.0, 2.0, 3.0, 10.0]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i int, v double"
+    )
+    got = {r.i: (r.cusum_pos, r.cusum_neg, r.dev) for r in cusum(df, "i", "v").collect()}
+    want = _cusum_reference(xs, sum(xs) / len(xs))
+    for i, (sp, sn) in enumerate(want):
+        assert abs(got[i][0] - sp) < 1e-9
+        assert abs(got[i][1] - sn) < 1e-9
+    assert abs(got[0][2] - (1.0 - 4.0)) < 1e-9
+
+
+def test_cusum_long_series_stays_integer(spark):
+    """Integer-typed input with integer target must come back as exact
+    longs — the float-promotion guard the oracle recipe relies on."""
+    from ghcn_d_etl_project_spark.operators.timeseries import cusum
+
+    rows = [(i, (2 ** 54) + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "i int, v long")
+    out = cusum(df, "i", "v", target=2 ** 54)
+    assert dict(out.dtypes)["cusum_pos"] == "bigint", out.dtypes
+    got = {r.i: r.cusum_pos for r in out.collect()}
+    # dev_i = i exactly (would be lossy in double at 2^54 granularity 2)
+    assert got == {0: 0, 1: 1, 2: 3, 3: 6}
