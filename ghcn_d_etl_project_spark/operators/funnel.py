@@ -45,7 +45,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_summary", "cohort_retention"]
+__all__ = [
+    "funnel_steps",
+    "funnel_summary",
+    "cohort_retention",
+    "touch_attribution",
+]
 
 _PERIODS = {"day": "day", "week": "week", "month": "month"}
 
@@ -233,4 +238,83 @@ def cohort_retention(
                 F.col("active_users") / F.col("cohort_size"), 6
             ).alias("retention_pct"),
         )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    event's value to a touch event by the same user, under the two
+    classic single-touch models, and return the per-model x per-touch-
+    type revenue summary.
+
+    * ``last_touch`` — the LATEST touch at or before the conversion: a
+      backward as-of join (``operators/joins.py:asof_join`` — the
+      union-and-fill construction, ONE shuffle + per-key sort, linear,
+      no range pair explosion).
+    * ``first_touch`` — the user's earliest touch ever (ties broken by
+      ``(ts, id)`` struct-min, deterministic): a partial-aggregating
+      groupBy to one row per user, then an equi-join back to the
+      conversions; credit only when the first touch is not AFTER the
+      conversion (no future leakage).
+
+    Conversions with no creditable touch keep their revenue under
+    ``none_label`` so each model's rows sum to total conversion revenue
+    — attribution must be conservative (pinned in tests).
+
+    Scale: two pushdown filters over one events scan; the as-of join
+    shuffles |conv|+|touch| once; the first-touch aggregate map-side
+    collapses to one row per user before its shuffle; the final
+    aggregates are O(|touch_types|) rows. Output: ``model, touch_type,
+    n_conversions, attributed_revenue`` (exact DECIMAL(24,6) sum cast
+    to double — engine-order-independent).
+    """
+    from ghcn_d_etl_project_spark.operators.joins import asof_join
+    from ghcn_d_etl_project_spark.plans._util import dsum
+
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        user_col, ts_col, value_col, id_col
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        user_col, ts_col, type_col, id_col
+    )
+
+    def _summary(tagged: DataFrame, model: str) -> DataFrame:
+        return tagged.groupBy(
+            F.coalesce(F.col("__touch"), F.lit(none_label)).alias("touch_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            dsum(value_col, scale=6).alias("attributed_revenue"),
+        ).select(F.lit(model).alias("model"), "*")
+
+    last = asof_join(
+        conv, touch, on=user_col, left_ts=ts_col, right_ts=ts_col,
+        right_payload=[type_col],
+    ).withColumn("__touch", F.col(f"asof_{type_col}"))
+
+    first_per_user = touch.groupBy(user_col).agg(
+        F.min(F.struct(ts_col, id_col, type_col)).alias("__ft")
+    )
+    first = (
+        conv.join(first_per_user, user_col, "left")
+        .withColumn(
+            "__touch",
+            F.when(
+                F.col("__ft").isNotNull()
+                & (F.col("__ft")[ts_col] <= F.col(ts_col)),
+                F.col("__ft")[type_col],
+            ),
+        )
+    )
+    return _summary(last, "last_touch").unionByName(
+        _summary(first, "first_touch")
     )

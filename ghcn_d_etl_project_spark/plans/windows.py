@@ -733,3 +733,68 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (first-touch / last-touch)
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id, ts, value, event_id FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts, event_type, event_id FROM events
+  WHERE event_type IN ('click', 'view')
+), lt AS (
+  SELECT c.value, t.event_type AS tt
+  FROM conv c ASOF LEFT JOIN touch t
+    ON c.user_id = t.user_id AND c.ts >= t.ts
+), ft AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM touch) WHERE rn = 1
+), fj AS (
+  SELECT c.value,
+         CASE WHEN f.user_id IS NOT NULL AND f.ts <= c.ts
+              THEN f.event_type END AS tt
+  FROM conv c LEFT JOIN ft f ON c.user_id = f.user_id
+)
+SELECT 'last_touch' AS model, COALESCE(tt, '(none)') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+         AS attributed_revenue
+FROM lt GROUP BY 2
+UNION ALL
+SELECT 'first_touch', COALESCE(tt, '(none)'),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+FROM fj GROUP BY 2
+"""
+
+
+@register(
+    "attribution_revenue",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("window", "events", "funnel"),
+    late=True,
+)
+def attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution over the events
+    table (``operators/funnel.py:touch_attribution``): purchase revenue
+    credited to click/view touches. Last-touch rides the linear as-of
+    join (union-and-fill, one shuffle); first-touch is a struct-min
+    per-user aggregate + equi-join with a no-future-leakage guard;
+    unattributable conversions stay under '(none)' so each model sums
+    to total purchase revenue. The oracle cross-checks with DuckDB's
+    NATIVE ASOF JOIN for the last-touch arm and the window formulation
+    for first-touch."""
+    from ghcn_d_etl_project_spark.operators.funnel import touch_attribution
+
+    return touch_attribution(
+        t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+    )

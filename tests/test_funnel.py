@@ -453,3 +453,66 @@ def test_null_ts_handling_across_event_ops(spark):
     )
     with pytest.raises(ValueError, match="NULL 'ts'"):
         ewma(vdf, ["k"], "ts", ["v"], alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Touch attribution
+# ---------------------------------------------------------------------------
+
+
+def _attr_events(spark):
+    rows = [
+        # user 1: view@1, click@2, purchase@3 (10.0) -> first=view, last=click
+        (1, 1, TS(2024, 1, 1, 0, 0, 1), "view", None),
+        (2, 1, TS(2024, 1, 1, 0, 0, 2), "click", None),
+        (3, 1, TS(2024, 1, 1, 0, 0, 3), "purchase", 10.0),
+        # user 2: touch AFTER the purchase -> (none) under both models
+        (4, 2, TS(2024, 1, 1, 0, 0, 5), "purchase", 7.0),
+        (5, 2, TS(2024, 1, 1, 0, 0, 9), "click", None),
+        # user 3: no touches at all -> (none)
+        (6, 3, TS(2024, 1, 1, 0, 0, 4), "purchase", 3.0),
+        # user 4: two purchases share the same single view touch
+        (7, 4, TS(2024, 1, 1, 0, 1, 0), "view", None),
+        (8, 4, TS(2024, 1, 1, 0, 2, 0), "purchase", 1.0),
+        (9, 4, TS(2024, 1, 1, 0, 3, 0), "purchase", 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+
+def test_touch_attribution_models(spark):
+    from ghcn_d_etl_project_spark.operators.funnel import touch_attribution
+
+    out = touch_attribution(
+        _attr_events(spark), "purchase", ["click", "view"]
+    ).collect()
+    got = {(r.model, r.touch_type): (r.n_conversions, r.attributed_revenue)
+           for r in out}
+    assert got[("last_touch", "click")] == (1, 10.0)   # user 1
+    assert got[("last_touch", "view")] == (2, 3.0)     # user 4 x2
+    assert got[("last_touch", "(none)")] == (2, 10.0)  # users 2, 3
+    assert got[("first_touch", "view")] == (3, 13.0)   # user 1 + user 4 x2
+    assert got[("first_touch", "(none)")] == (2, 10.0)
+    assert ("first_touch", "click") not in got
+
+
+def test_touch_attribution_is_conservative(spark):
+    """Every model's rows must sum to exactly the total conversion count
+    and revenue — attribution reassigns credit, never creates or drops
+    it (the '(none)' bucket is what makes this hold)."""
+    from ghcn_d_etl_project_spark.operators.funnel import touch_attribution
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    out = touch_attribution(ev, "purchase", ["click", "view"]).collect()
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    n_total = purchases.count()
+    rev_total = purchases.agg(
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+    ).collect()[0][0]
+    for model in ("first_touch", "last_touch"):
+        rows = [r for r in out if r.model == model]
+        assert sum(r.n_conversions for r in rows) == n_total
+        assert abs(sum(r.attributed_revenue for r in rows) - rev_total) < 1e-6
