@@ -1,0 +1,76 @@
+"""Categorical feature encoding for training-data pipelines.
+
+The reference stops at raw feature extraction (its gold ML-features
+mart, ``src/transform/gold_processor.py``); the next step every tabular
+training pipeline takes is turning high-cardinality categoricals into
+model-consumable numerics. Target (mean) encoding is the workhorse —
+and its naive form leaks the label: a row's own target contributes to
+its own encoding. The standard fix is LEAVE-ONE-OUT: encode row *i* of
+category *c* as ``(sum_c - y_i) / (n_c - 1)``.
+
+Scale design: one hash aggregate to category grain (map-side partials
+collapse each partition to <= |categories| rows before the shuffle),
+then the tiny stats frame joins BACK to the fact — broadcast under a
+bounded O(threshold) probe, so the fact table itself never shuffles.
+That is the whole plan: the naive per-row window formulation
+(``SUM OVER (PARTITION BY cat)``) would instead shuffle and sort the
+ENTIRE fact table on a low-cardinality, typically skewed key — the
+exact shape that falls over at 100 TB. The join form is also where the
+LOO arithmetic stays exact: the category sum is an order-independent
+DECIMAL accumulation (``plans/_util.dsum`` convention), so the
+subtraction of one exact double from another is engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["target_encode_loo"]
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str = "te_loo",
+    scale: int = 2,
+    round_digits: int = 6,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """Leave-one-out target encoding: append ``out_col`` = mean of
+    ``target_col`` over the row's ``cat_col`` group EXCLUDING the row
+    itself.
+
+    Semantics at the edges (all deliberate, all tested):
+      * singleton category (n_c == 1): NULL — there is no leakage-free
+        estimate from zero other rows; downstream imputes (e.g. global
+        prior), it is not this operator's call.
+      * NULL target: the row contributes nothing to the sum/count, so
+        its encoding is the PLAIN category mean over the non-NULL rows.
+      * NULL category: NULL encoding (a NULL key matches nothing; kept
+        via left join, never dropped).
+
+    ``scale``: DECIMAL quantization scale for the exact category sum
+    (2 for money-like targets).
+    """
+    tgt = F.col(target_col)
+    stats = df.groupBy(cat_col).agg(
+        F.sum(tgt.cast(f"decimal(24,{scale})")).cast("double").alias("__sum"),
+        F.count(tgt).alias("__cnt"),
+    )
+    n_cats = stats.limit(broadcast_threshold_rows + 1).count()
+    if n_cats <= broadcast_threshold_rows:
+        stats = F.broadcast(stats)
+    enc = (
+        F.when(tgt.isNull(), F.col("__sum") / F.col("__cnt"))
+        .when(
+            F.col("__cnt") > 1,
+            (F.col("__sum") - tgt) / (F.col("__cnt") - 1),
+        )
+    )
+    return (
+        df.join(stats, on=cat_col, how="left")
+        .withColumn(out_col, F.round(enc, round_digits))
+        .drop("__sum", "__cnt")
+    )

@@ -201,3 +201,51 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dups", F.count(F.lit(1)).over(Window.partitionBy("fp"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+_TE_LOO_ORACLE = """
+WITH s AS (
+  SELECT o_orderpriority AS cat,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS st,
+         COUNT(o_totalprice) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       o.o_orderpriority,
+       o.o_totalprice,
+       ROUND(CASE WHEN o.o_totalprice IS NULL THEN st / cnt
+                  WHEN cnt > 1 THEN (st - o.o_totalprice) / (cnt - 1)
+             END, 6) AS te_loo
+FROM orders o JOIN s ON o.o_orderpriority = s.cat
+"""
+
+
+@register(
+    "target_encode_orders",
+    oracle=_TE_LOO_ORACLE,
+    tags=("sampling", "encoding", "ml"),
+    late=True,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (``operators/encoding.py:target_encode_loo``): the leakage-
+    safe mean encoding every tabular trainer wants. One category-grain
+    hash aggregate (map-side partials) + a broadcast join back — the
+    fact never shuffles, vs the window formulation's full sort on a
+    skewed low-cardinality key. Exact DECIMAL category sums make the
+    per-row subtraction engine-reproducible."""
+    from ghcn_d_etl_project_spark.operators.encoding import target_encode_loo
+
+    return target_encode_loo(
+        t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ),
+        cat_col="o_orderpriority",
+        target_col="o_totalprice",
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "te_loo")

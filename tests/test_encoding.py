@@ -1,0 +1,44 @@
+"""Leave-one-out target encoding: edge semantics + the no-fact-shuffle
+plan shape (operators/encoding.py)."""
+
+from __future__ import annotations
+
+from ghcn_d_etl_project_spark.operators.encoding import target_encode_loo
+
+
+def test_loo_basic_and_edges(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "a", 30.0),
+        (4, "b", 5.0),        # singleton -> NULL
+        (5, "c", 7.0),
+        (6, "c", None),       # NULL target -> plain mean of others
+        (7, None, 9.0),       # NULL category -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id int, cat string, y double")
+    got = {r.id: r.te_loo for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None
+    assert got[5] is None    # c has one non-NULL y -> no leakage-free est
+    assert got[6] == 7.0     # NULL target: plain mean over others
+    assert got[7] is None
+    assert len(got) == 7     # left join preserves every row
+
+
+def test_loo_plan_one_shuffle_broadcast_back(spark):
+    """ONE hash Exchange (the category aggregate); the join back to the
+    fact must be a BroadcastHashJoin — the fact table never shuffles.
+    This is the operator's reason to exist vs the window formulation."""
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    out = target_encode_loo(
+        t(spark, "/root/testdata/sf0.001", "orders"),
+        "o_orderpriority", "o_totalprice",
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 1, f"fact side shuffled: {n} hash exchanges\n{plan[:1500]}"
