@@ -86,7 +86,16 @@ run BETWEEN headline queries (one 0.1s sample each): end-only probes
 miss contention that starts and stops inside the loop — observed as a
 hypervisor CPU-steal window that inflated core13 35% while both end
 probes stayed above threshold; the minimum mid-run sample is reported
-as ``spin`` third element and feeds the flag. Two signals because they fail
+as ``spin`` third element and feeds the flag. Mid samples are judged
+against the MEDIAN OF THE MID POPULATION (and the static baseline as
+an absolute floor), NOT the max-of-probes reference the end probes
+use: mid-loop samples run on a thermally-saturated CPU (all 32 cores
+just finished a query) while the post-loop probe catches turbo boost
+on a draining package, so holding a hot 6.1 M it/s sample to a
+boosted 11.2 reference flags every clean run (observed r8: three
+otherwise-idle runs all "contended" via that one comparison). A real
+steal window craters its sample against its neighbors (3.4 vs ~7
+median — observed) and still trips the within-population test. Two signals because they fail
 differently: the Spark calibration under-reads moderate
 oversubscription (short tasks still get scheduled; 40 spinners on 32
 CPUs read only 1.4-1.6x) while the spin probe halves (6.5-7 -> 2.4-3.5
@@ -499,6 +508,10 @@ def main() -> None:
     # while a clean run (7.36, 10.82) stays below the flag either way.
     spin_ref = max([spin_start, spin_end, spin_base, *spin_mid])
     spin_mid_min = min(spin_mid) if spin_mid else None
+    # mid samples run on a hot package (no turbo): judge them against
+    # their own median + the static baseline floor, never the boosted
+    # end-probe reference — see the module docstring
+    spin_mid_med = _stats(spin_mid)[0] if spin_mid else None
     cpus = os.cpu_count() or 1
     contended = (
         any(
@@ -506,7 +519,13 @@ def main() -> None:
             for c in (calib_start, calib_end)
         )
         or any(sp < spin_ref / 1.8 for sp in (spin_start, spin_end))
-        or (spin_mid_min is not None and spin_mid_min < spin_ref / 1.8)
+        or (
+            spin_mid_min is not None
+            and (
+                spin_mid_min < spin_base / 1.8
+                or spin_mid_min < spin_mid_med / 1.8
+            )
+        )
     )
     load = {
         "avg1m_start": round(load_start[0], 2),
