@@ -289,3 +289,99 @@ def bm25_scores(
         F.col("__dl").alias("dl"),
         F.round(score, round_digits).alias("score"),
     )
+
+
+def charlm_surprisal(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train=None,
+    round_digits: int = 6,
+    oov_pseudo: float = 0.5,
+):
+    """Corpus-trained character-bigram language-model quality score: the
+    mean log-probability of a document's character bigrams under the
+    empirical bigram distribution of ``train`` (default: the scored
+    corpus itself). The classic cheap perplexity proxy for corpus
+    filtering — gibberish, encoding damage, and boilerplate-free random
+    strings land far below the corpus's own typical range, with NO
+    hand-tuned heuristics: the corpus itself defines "normal".
+
+    Scale design (100 TB posture):
+      * the MODEL is bounded by the alphabet, not the data: bigram
+        counts aggregate with map-side partials into a vocabulary of at
+        most |alphabet|^2 rows, which then broadcasts;
+      * scoring is explode -> broadcast-join -> per-doc aggregate: two
+        data-sized passes (train, score), two shuffles total, both
+        carrying only map-side-collapsed partials;
+      * no UDFs anywhere — bigram extraction is
+        ``transform(sequence(...), i -> substring(...))`` inside
+        whole-stage codegen.
+
+    Engine-parity recipe (the corr_matrix convention, adapted to logs):
+    irrational per-bigram log-probs are QUANTIZED ONCE at the tiny
+    vocabulary table — ``round(ln(c/t), round_digits)`` cast to
+    ``DECIMAL(18, round_digits)`` — so each document's sum is exact
+    DECIMAL arithmetic, independent of accumulation order; only the
+    final mean divides back into double. Out-of-vocabulary bigrams
+    (scoring under a model trained elsewhere) get the floor
+    ``ln(oov_pseudo / t)``, quantized the same way.
+
+    Output: ``id_col, n_bigrams, avg_logp`` — one row per scored
+    document with at least one bigram (length >= 2 after lowercasing).
+    """
+    train = df if train is None else train
+    dec = f"decimal(18,{round_digits})"
+
+    def _bigrams(frame):
+        return (
+            frame.filter(
+                F.col(text_col).isNotNull() & (F.length(text_col) >= 2)
+            )
+            .select(F.col(id_col), F.lower(F.col(text_col)).alias("__txt"))
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(__txt)-1),"
+                        " i -> substring(__txt, i, 2))"
+                    )
+                ).alias("__bg"),
+            )
+        )
+
+    vocab = _bigrams(train).groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    tot = vocab.agg(F.sum("__c").alias("__t"))
+    vl = vocab.crossJoin(F.broadcast(tot)).select(
+        "__bg",
+        F.round(F.log(F.col("__c") / F.col("__t")), round_digits)
+        .cast(dec)
+        .alias("__logq"),
+    )
+    floor = tot.select(
+        F.round(F.log(F.lit(float(oov_pseudo)) / F.col("__t")), round_digits)
+        .cast(dec)
+        .alias("__floor")
+    )
+    scored = (
+        _bigrams(df)
+        .join(F.broadcast(vl), "__bg", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(id_col, F.coalesce("__logq", "__floor").alias("__lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lp").alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("__s").cast("double") / F.col("n_bigrams"), round_digits
+            ).alias("avg_logp"),
+        )
+    )

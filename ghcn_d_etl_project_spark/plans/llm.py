@@ -800,3 +800,50 @@ def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: F.round(x * 1_000_000).cast("long").cast("string"),
     )
     return proj.select("id", F.concat_ws(",", micro).alias("vec_micro"))
+
+
+_CHARLM_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS txt FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 2
+), bg AS (
+  SELECT doc_id, substr(txt, CAST(i AS INT), 2) AS b
+  FROM docs, UNNEST(generate_series(1, length(txt) - 1)) AS g(i)
+), vocab AS (
+  SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+), tot AS (
+  SELECT SUM(c) AS t FROM vocab
+), vl AS (
+  SELECT b,
+         CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logq
+  FROM vocab, tot
+), per AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams, SUM(v.logq) AS s
+  FROM bg g JOIN vl v ON g.b = v.b
+  GROUP BY g.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp
+FROM per
+"""
+
+
+@register(
+    "charlm_quality_docs",
+    oracle=_CHARLM_ORACLE,
+    tags=("llm", "text", "quality"),
+    late=True,
+)
+def charlm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM quality score for every document, trained on
+    the corpus itself (``operators/textops.py:charlm_surprisal``): the
+    cheap perplexity proxy corpus filters rank by. Model bounded by the
+    alphabet (broadcasts), scoring is explode -> broadcast-join ->
+    per-doc aggregate, no UDF. Parity via log-prob quantization to
+    DECIMAL at the vocabulary table, so per-doc sums are exact in both
+    engines regardless of accumulation order."""
+    from ghcn_d_etl_project_spark.operators.textops import charlm_surprisal
+
+    return charlm_surprisal(t(spark, sf_dir, "documents"))

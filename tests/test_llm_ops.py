@@ -538,3 +538,55 @@ def test_cosine_topk_matmul_tie_break_by_id(spark):
     with pytest.raises(ValueError):
         cosine_topk(df, "vec_id", "embedding", k=2,
                     strategy="matmul", broadcast_rows=2).count()
+
+
+def test_charlm_gibberish_scores_below_corpus_text(spark):
+    """The whole point of the perplexity proxy: text drawn from the
+    corpus's own distribution must out-score uniform-random gibberish
+    under the corpus-trained model, with no hand-tuned heuristics."""
+    from ghcn_d_etl_project_spark.operators.textops import charlm_surprisal
+
+    docs = t(spark, SF_DIR, "documents")
+    probe = spark.createDataFrame(
+        [
+            (900001, "the quick brown fox jumps over the lazy dog and "
+                     "keeps on running through the field"),
+            (900002, "xq zvkj qxw jzv kqx wzj vqk xjz wqv kzx jqw zvx "
+                     "qkj wxz vjq kxw zqv jxk"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.avg_logp
+        for r in charlm_surprisal(probe, train=docs).collect()
+    }
+    assert out[900001] > out[900002] + 1.0, out
+
+
+def test_charlm_oov_floor(spark):
+    """Bigrams unseen in training must get the quantized oov floor, not
+    NULL — a doc of pure OOV bigrams scores exactly the floor value."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import charlm_surprisal
+
+    train = spark.createDataFrame(
+        [(1, "aaaa")], "doc_id long, text string"
+    )  # vocab: {'aa': 3}, t = 3
+    probe = spark.createDataFrame([(2, "zz")], "doc_id long, text string")
+    out = charlm_surprisal(probe, train=train).collect()
+    assert len(out) == 1
+    floor = round(math.log(0.5 / 3), 6)
+    assert abs(out[0].avg_logp - floor) < 1e-9
+    assert out[0].n_bigrams == 1
+
+
+def test_charlm_short_and_null_docs_dropped(spark):
+    from ghcn_d_etl_project_spark.operators.textops import charlm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "x"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = charlm_surprisal(df).collect()
+    assert {r.doc_id for r in out} == {1}
