@@ -48,6 +48,7 @@ __all__ = [
     "gap_fill_ffill",
     "interpolate_linear",
     "merge_intervals",
+    "peak_concurrency",
 ]
 
 
@@ -436,4 +437,50 @@ def ewma(
 
     return df.groupBy(*[F.col(k) for k in key_cols]).applyInPandas(
         smooth, schema=schema
+    )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    s_col: str,
+    e_col: str,
+    order_micros: bool = True,
+) -> DataFrame:
+    """Distributed sweep-line: the maximum number of simultaneously
+    open half-open intervals ``[s, e)``, with the earliest timestamp
+    attaining it.
+
+    Endpoints become +1/-1 deltas; a per-timestamp aggregate collapses
+    them MAP-SIDE to |distinct ts| net rows — an end cancels a start at
+    the same instant, which IS the half-open convention and makes the
+    running value order-independent within a timestamp. The running
+    count is one :func:`ghcn_d_etl_project_spark.operators.prefix.
+    global_cumsum` pass (bucketed two-phase prefix, no single-partition
+    data-sized sort) and the answer is a TakeOrderedAndProject top-1.
+    Integer arithmetic throughout.
+
+    ``order_micros``: order the prefix on ``unix_micros(ts)`` — a raw
+    TIMESTAMP order key trips an analyzer bind error inside the
+    bucketed-prefix construction on Spark 4.1
+    ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]); the long key is also what
+    the bucket math wants.
+
+    Output: one row ``(ts timestamp, peak_concurrency long)``.
+    """
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    iv = df.filter(F.col(s_col).isNotNull() & F.col(e_col).isNotNull())
+    deltas = iv.select(F.col(s_col).alias("ts"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col(e_col).alias("ts"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("ts").agg(F.sum("d").cast("long").alias("net"))
+    if order_micros:
+        net = net.withColumn("__tsu", F.unix_micros("ts"))
+        conc = global_cumsum(net, "__tsu", "net", out_col="conc")
+    else:
+        conc = global_cumsum(net, "ts", "net", out_col="conc")
+    return (
+        conc.orderBy(F.col("conc").desc(), F.col("ts").asc())
+        .limit(1)
+        .select("ts", F.col("conc").cast("long").alias("peak_concurrency"))
     )

@@ -798,3 +798,58 @@ def attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         conversion_type="purchase",
         touch_types=["click", "view"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency: distributed sweep-line over interval endpoints
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 2 HOUR AS e FROM events
+  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL
+), ev AS (
+  SELECT s AS ts, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS ts, -1 AS d FROM iv
+), net AS (
+  SELECT ts, CAST(SUM(d) AS BIGINT) AS net FROM ev GROUP BY ts
+), c AS (
+  SELECT ts, SUM(net) OVER (ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM net
+)
+SELECT strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS at_ts,
+       CAST(conc AS BIGINT) AS peak_concurrency
+FROM c ORDER BY conc DESC, ts LIMIT 1
+"""
+
+
+@register(
+    "peak_concurrency_events",
+    oracle=_PEAK_ORACLE,
+    tags=("window", "events", "interval"),
+    late=True,
+)
+def peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum number of simultaneously open 2-hour activity windows —
+    the classic sweep-line, distributed: interval endpoints become
+    +1/-1 deltas, a per-timestamp aggregate collapses them map-side to
+    |distinct ts| NET rows (ends cancel starts at equal ts, which is
+    exactly half-open [s, e) semantics and keeps the running value
+    order-independent within a timestamp), the running count is ONE
+    ``operators/prefix.global_cumsum`` pass (bucketed two-phase prefix —
+    no single-partition data-sized sort), and the answer is a
+    TakeOrderedAndProject top-1 (peak desc, earliest ts). Integer
+    arithmetic throughout — bit-exact on any engine."""
+    from ghcn_d_etl_project_spark.operators.timeseries import peak_concurrency
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("ts", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"))
+    )
+    return peak_concurrency(iv, "ts", "e").select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("at_ts"),
+        "peak_concurrency",
+    )

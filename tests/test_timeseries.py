@@ -260,3 +260,24 @@ def test_cusum_long_series_stays_integer(spark):
     got = {r.i: r.cusum_pos for r in out.collect()}
     # dev_i = i exactly (would be lossy in double at 2^54 granularity 2)
     assert got == {0: 0, 1: 1, 2: 3, 3: 6}
+
+
+def test_peak_concurrency_half_open(spark):
+    """An interval ending exactly when another starts is NOT concurrent
+    with it (half-open [s, e)): the end's -1 cancels the start's +1 in
+    the same per-timestamp net row. Earliest attaining ts wins ties."""
+    from ghcn_d_etl_project_spark.operators.timeseries import peak_concurrency
+
+    TS = dt.datetime
+    rows = [
+        (TS(2024, 1, 1, 0, 0), TS(2024, 1, 1, 1, 0)),   # a: [0:00, 1:00)
+        (TS(2024, 1, 1, 0, 30), TS(2024, 1, 1, 2, 0)),  # b: overlaps a
+        (TS(2024, 1, 1, 1, 0), TS(2024, 1, 1, 3, 0)),   # c: starts AT a's end
+        (TS(2024, 1, 1, 5, 0), TS(2024, 1, 1, 6, 0)),   # d: lone
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    out = peak_concurrency(df, "s", "e").collect()
+    assert len(out) == 1
+    # peak is 2 (a+b at 0:30; then b+c at 1:00 — never 3, half-open)
+    assert out[0].peak_concurrency == 2
+    assert out[0].ts == TS(2024, 1, 1, 0, 30)
