@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["target_encode_loo"]
+__all__ = ["percentile_features", "target_encode_loo"]
 
 
 def target_encode_loo(
@@ -74,3 +74,74 @@ def target_encode_loo(
         .withColumn(out_col, F.round(enc, round_digits))
         .drop("__sum", "__cnt")
     )
+
+
+def percentile_features(
+    df: DataFrame,
+    value_col: str,
+    rank_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+    bucket_width: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Append the GLOBAL ``percent_rank`` and ``cume_dist`` of
+    ``value_col`` to every row — the quantile-normalization feature —
+    without the global sort the window formulation implies.
+
+    ``PERCENT_RANK() OVER (ORDER BY v)`` plans an
+    ``Exchange SinglePartition`` + full-data sort: the one-machine
+    death-mode at 100 TB. This operator computes the identical numbers
+    as COUNTING, not ordering: collapse to per-DISTINCT-VALUE counts
+    (map-side partials), run ONE bucketed
+    ``operators/prefix.global_cumsum`` pass for the inclusive running
+    count, broadcast the total, and equi-join the tiny
+    ``(value, below, cum)`` table back onto the rows. Then
+
+        percent_rank = below / (N - 1)        (0.0 when N == 1)
+        cume_dist    = cum / N
+
+    — pure integer ratios, so the doubles are bit-identical to any
+    engine's window implementation. NULL values get NULL features and
+    don't count toward N (window semantics differ on NULL ordering;
+    refusing to rank NULLs is the portable contract).
+
+    Join-back note: the join key is the value itself — exact-equality
+    on the very doubles both sides carry, and heavy duplication of a
+    value is exactly what SHRINKS the distinct-value table.
+    """
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    nn = df.filter(F.col(value_col).isNotNull())
+    per_val = nn.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cums = global_cumsum(
+        per_val, "__v", "__n", out_col="__cum", bucket_width=bucket_width
+    )
+    # the total rides in under a FRESH alias: cums and totals share the
+    # scan lineage, and the crossJoin would otherwise surface the same
+    # __N exprId twice (AMBIGUOUS_REFERENCE on Spark 4.1)
+    totals = nn.agg(F.count(F.lit(1)).alias("__N")).select(
+        F.col("__N").alias("__N_total")
+    )
+    big_n = F.col("__N_total")
+    vals = (
+        cums.crossJoin(F.broadcast(totals))
+        .select(
+            "__v",
+            F.round(
+                F.when(big_n > 1,
+                       (F.col("__cum") - F.col("__n")).cast("double")
+                       / (big_n - 1).cast("double"))
+                .otherwise(F.lit(0.0)),
+                round_digits,
+            ).alias(rank_col),
+            F.round(
+                F.col("__cum").cast("double") / big_n.cast("double"),
+                round_digits,
+            ).alias(cume_col),
+        )
+    )
+    return df.join(
+        vals, on=df[value_col] == vals["__v"], how="left"
+    ).drop("__v")

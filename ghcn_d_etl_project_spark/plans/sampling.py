@@ -249,3 +249,42 @@ def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat_col="o_orderpriority",
         target_col="o_totalprice",
     ).select("o_orderkey", "o_orderpriority", "o_totalprice", "te_loo")
+
+
+# ---------------------------------------------------------------------------
+# Global percentile features without a global sort
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_totalprice,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY o_totalprice), 6) AS cume_dist
+FROM orders
+"""
+
+
+@register(
+    "percentile_feature_orders",
+    oracle=_PCTRANK_ORACLE,
+    tags=("sampling", "encoding", "ml"),
+    late=True,
+)
+def percentile_feature_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent_rank + cume_dist of order value for every order
+    (``operators/encoding.py:percentile_features``): quantile
+    normalization computed by COUNTING instead of ORDERING — distinct-
+    value counts, one bucketed global_cumsum prefix, broadcast total,
+    equi-join back. The oracle is deliberately the single-partition
+    window formulation this construction replaces; the numbers are
+    identical because both reduce to integer ratios below/(N-1) and
+    cum/N."""
+    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+
+    return percentile_features(
+        t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_totalprice",
+        ),
+        "o_totalprice",
+    ).select("o_orderkey", "o_totalprice", "pct_rank", "cume_dist")

@@ -42,3 +42,41 @@ def test_loo_plan_one_shuffle_broadcast_back(spark):
     assert "SortMergeJoin" not in plan
     n = plan.count("Exchange hashpartitioning")
     assert n <= 1, f"fact side shuffled: {n} hash exchanges\n{plan[:1500]}"
+
+
+def test_percentile_features_match_window_semantics(spark):
+    """Counting formulation == PERCENT_RANK/CUME_DIST window semantics,
+    including ties and NULLs (NULL -> NULL features, excluded from N)."""
+    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+
+    rows = [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {r.id: (r.pct_rank, r.cume_dist)
+           for r in percentile_features(df, "v").collect()}
+    assert got[1] == (0.0, 0.25)
+    # ties share below=1 -> pct (1/3), cume inclusive 3/4
+    assert got[2] == (round(1 / 3, 6), 0.75)
+    assert got[3] == got[2]
+    assert got[4] == (1.0, 1.0)
+    assert got[5] == (None, None)
+    assert len(got) == 5
+
+
+def test_percentile_features_no_single_partition_sort(spark):
+    """The operator's reason to exist: the executed plan must not
+    contain the window formulation's Exchange SinglePartition over the
+    data (the broadcast of the one-row total is fine)."""
+    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    out = percentile_features(
+        t(spark, "/root/testdata/sf0.001", "orders"), "o_totalprice"
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # two BOUNDED SinglePartition exchanges are allowed — global_cumsum's
+    # bucket-summary window (#buckets rows) and the one-row total — but
+    # never a third (which would be the data-sized sort), and never the
+    # window formulation's rangepartitioning
+    assert plan.count("Exchange SinglePartition") <= 2, plan[:1500]
+    assert "rangepartitioning" not in plan.lower(), plan[:1500]
