@@ -212,9 +212,28 @@ def neardup_pairs(
     vec_col: str,
     threshold: float = 0.9,
     round_digits: int = 6,
+    strategy: str = "auto",
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= t).
-    Norms precomputed per vector (see cosine_topk)."""
+    Norms precomputed per vector (see cosine_topk).
+
+    Same two physical strategies as :func:`cosine_topk` — ``"matmul"``
+    (broadcast corpus, one GEMM per Arrow batch of queries, each
+    unordered pair emitted by its SMALLER id so nothing duplicates;
+    only the >= t survivors ever exist as rows) and ``"pairs"`` (the
+    crossJoin fallback); ``"auto"`` probes the broadcast bound."""
+    if strategy not in ("auto", "pairs", "matmul"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "pairs":
+        n_bounded = df.limit(broadcast_rows + 1).count()
+        if n_bounded <= broadcast_rows:
+            return _neardup_matmul(df, id_col, vec_col, threshold, round_digits)
+        if strategy == "matmul":
+            raise ValueError(
+                f"corpus exceeds broadcast_rows={broadcast_rows}; use "
+                "strategy='pairs' or the LSH bucketed path"
+            )
     a = ensure_parallelism(df).select(
         F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1")
     ).withColumn("n1", norm(F.col("v1")))
@@ -233,6 +252,52 @@ def neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _neardup_matmul(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Block-matmul arm of :func:`neardup_pairs` (see its docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = df.select(F.col(id_col), _as_double(vec_col)).collect()
+    nid_arr = np.asarray([r[0] for r in corpus])
+    X = np.asarray([r[1] for r in corpus], dtype=np.float64)
+    xnorm = np.sqrt((X * X).sum(axis=1))
+    b = df.sparkSession.sparkContext.broadcast((nid_arr, X, xnorm))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id1 {id_type}, id2 {id_type}, cos_sim double"
+
+    def score_block(batches):
+        nids, M, mnorm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = np.round((Q @ M.T) / np.outer(qn, mnorm), round_digits)
+            qids = pdf["qid"].to_numpy()
+            out1, out2, outc = [], [], []
+            for i in range(len(pdf)):
+                keep = np.nonzero((S[i] >= threshold) & (nids > qids[i]))[0]
+                keep = keep[np.argsort(nids[keep])]
+                out1.extend([qids[i]] * len(keep))
+                out2.extend(nids[keep])
+                outc.extend(S[i][keep])
+            yield pd.DataFrame({"id1": out1, "id2": out2, "cos_sim": outc})
+
+    queries = ensure_parallelism(df).select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec")
+    )
+    return queries.mapInPandas(score_block, schema=out_schema)
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:

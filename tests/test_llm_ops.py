@@ -590,3 +590,17 @@ def test_charlm_short_and_null_docs_dropped(spark):
     )
     out = charlm_surprisal(df).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def test_neardup_matmul_equals_pairs(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import neardup_pairs
+
+    emb = t(spark, SF_DIR, "embeddings")
+    p = sorted(map(tuple, neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, strategy="pairs"
+    ).collect()))
+    m = sorted(map(tuple, neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, strategy="matmul"
+    ).collect()))
+    assert p == m
+    assert len(p) > 0
