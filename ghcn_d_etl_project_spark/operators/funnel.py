@@ -50,6 +50,7 @@ __all__ = [
     "funnel_summary",
     "cohort_retention",
     "touch_attribution",
+    "touch_attribution_decay",
 ]
 
 _PERIODS = {"day": "day", "week": "week", "month": "month"}
@@ -317,4 +318,116 @@ def touch_attribution(
     )
     return _summary(last, "last_touch").unionByName(
         _summary(first, "first_touch")
+    )
+
+
+def touch_attribution_decay(
+    df: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_seconds: float = 3600.0,
+    half_life_seconds: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    none_label: str = "(none)",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-decay MULTI-touch attribution: every touch in the lookback
+    window before a conversion gets a share of its value, weighted
+    ``exp(-ln2/half_life * age)`` and normalized per conversion — the
+    fractional-credit model next to :func:`touch_attribution`'s
+    single-touch arms.
+
+    Scale design: conversion x touch candidate pairs come from the
+    TWO-TABLE form of the gap-bucket range join
+    (``operators/joins.py:range_join_pairs``' scheme): bucket width =
+    the lookback, conversions probe (bucket-1, bucket), the join is an
+    equi-join on (user, bucket) with the exact window predicate as a
+    post-filter — fan-out bounded by touches-per-user-per-lookback,
+    never O(n^2). One more shuffle normalizes per conversion (window on
+    the conversion id), and the final aggregate is O(|touch types|).
+
+    Engine-parity recipe: the irrational decay weight is QUANTIZED per
+    pair (``round(exp(...), round_digits)`` as DECIMAL) so the
+    per-conversion normalizer is an exact sum; each credit is again
+    quantized before the final exact sum. Conservation therefore holds
+    to |pairs| * 10^-round_digits, not exactly (each credit rounds
+    once) — pinned with that tolerance in tests. Conversions with no
+    touch in the window keep their full value under ``none_label``.
+
+    Output: ``model, touch_type, n_credits, attributed_revenue``.
+    """
+    import math
+
+    dec = f"decimal(18,{round_digits})"
+    lam = math.log(2.0) / float(half_life_seconds)
+    l_us = int(lookback_seconds * 1_000_000)
+
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("cid"),
+        F.col(value_col).alias("val"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("cus"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("tt"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+    )
+    probe = conv.withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                F.floor(F.col("cus") / l_us) - 1, F.floor(F.col("cus") / l_us)
+            )
+        ),
+    )
+    build = touch.withColumn("__b", F.floor(F.col("tus") / l_us))
+    age = (F.col("cus") - F.col("tus")) / F.lit(1_000_000.0)
+    pairs = (
+        probe.join(build, ["u", "__b"])
+        .filter(
+            (F.col("tus") <= F.col("cus"))
+            & (F.col("cus") - F.col("tus") <= l_us)
+        )
+        .select(
+            "cid", "val", "tt",
+            F.round(F.exp(F.lit(-lam) * age), round_digits)
+            .cast(dec)
+            .alias("__w"),
+        )
+    )
+    w_cid = Window.partitionBy("cid")
+    credits = pairs.withColumn("__sw", F.sum("__w").over(w_cid)).select(
+        "tt",
+        "cid",
+        F.round(
+            F.col("val")
+            * (F.col("__w").cast("double") / F.col("__sw").cast("double")),
+            round_digits,
+        )
+        .cast(dec)
+        .alias("__q"),
+    )
+    attributed = credits.groupBy(F.col("tt").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("__q").cast("double").alias("attributed_revenue"),
+    )
+    unmatched = (
+        conv.join(pairs.select("cid").distinct(), "cid", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.col("val").cast(f"decimal(24,{round_digits})"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .select(F.lit(none_label).alias("touch_type"), "n_credits",
+                "attributed_revenue")
+        .filter(F.col("n_credits") > 0)
+    )
+    return attributed.unionByName(unmatched).select(
+        F.lit("time_decay").alias("model"), "*"
     )

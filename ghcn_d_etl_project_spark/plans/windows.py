@@ -853,3 +853,72 @@ def peak_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("at_ts"),
         "peak_concurrency",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_DECAY_LAM = _math.log(2.0) / 1800.0  # half-life 30 min
+
+_DECAY_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id, event_id, value, ts FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('click', 'view')
+), pairs AS (
+  SELECT c.event_id AS cid, c.value, t.event_type AS tt,
+         CAST(ROUND(EXP(-{_DECAY_LAM!r} *
+                        (epoch_us(c.ts) - epoch_us(t.ts)) / 1000000.0), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.ts <= c.ts
+   AND epoch_us(c.ts) - epoch_us(t.ts) <= 3600000000
+), sw AS (
+  SELECT *, SUM(w) OVER (PARTITION BY cid) AS swt FROM pairs
+), cr AS (
+  SELECT tt, CAST(ROUND(value * (CAST(w AS DOUBLE) / CAST(swt AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS q
+  FROM sw
+)
+SELECT 'time_decay' AS model, tt AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(q) AS DOUBLE) AS attributed_revenue
+FROM cr GROUP BY 2
+UNION ALL
+SELECT 'time_decay', '(none)', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+FROM conv WHERE event_id NOT IN (SELECT cid FROM pairs)
+HAVING COUNT(*) > 0
+"""
+
+
+@register(
+    "attribution_decay",
+    oracle=_DECAY_ORACLE,
+    tags=("window", "events", "funnel"),
+    late=True,
+)
+def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life 30 min, lookback
+    1 h) over the events table
+    (``operators/funnel.py:touch_attribution_decay``): candidate pairs
+    via the two-table gap-bucket range join (equi-join on (user,
+    bucket), fan-out bounded by touches-per-lookback), per-conversion
+    normalization via one window, decimal-quantized weights and credits
+    for engine-exact sums. The oracle is the plain inequality join the
+    bucketing replaces."""
+    from ghcn_d_etl_project_spark.operators.funnel import touch_attribution_decay
+
+    return touch_attribution_decay(
+        t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_seconds=3600.0,
+        half_life_seconds=1800.0,
+    )

@@ -516,3 +516,52 @@ def test_touch_attribution_is_conservative(spark):
         rows = [r for r in out if r.model == model]
         assert sum(r.n_conversions for r in rows) == n_total
         assert abs(sum(r.attributed_revenue for r in rows) - rev_total) < 1e-6
+
+
+def test_touch_attribution_decay_hand_case(spark):
+    """Two touches at known ages: weights exp(0) = 1 and
+    exp(-ln2) = 0.5 (age exactly one half-life), so the 12.0 conversion
+    splits 8.0 / 4.0."""
+    from ghcn_d_etl_project_spark.operators.funnel import (
+        touch_attribution_decay,
+    )
+
+    rows = [
+        (1, 1, TS(2024, 1, 1, 0, 0, 0), "view", None),    # age 1800s -> w .5
+        (2, 1, TS(2024, 1, 1, 0, 30, 0), "click", None),  # age 0 -> w 1.0
+        (3, 1, TS(2024, 1, 1, 0, 30, 0), "purchase", 12.0),
+        # user 2: no touch in window -> (none)
+        (4, 2, TS(2024, 1, 1, 9, 0, 0), "purchase", 5.0),
+        (5, 2, TS(2024, 1, 1, 5, 0, 0), "click", None),   # 4h old, outside 1h
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {r.touch_type: (r.n_credits, r.attributed_revenue)
+           for r in touch_attribution_decay(
+               df, "purchase", ["click", "view"],
+               lookback_seconds=3600.0, half_life_seconds=1800.0,
+           ).collect()}
+    assert out["click"] == (1, 8.0)
+    assert out["view"] == (1, 4.0)
+    assert out["(none)"] == (1, 5.0)
+
+
+def test_touch_attribution_decay_near_conservation(spark):
+    """Credits sum to total conversion revenue within
+    |pairs| * 10^-6 (each credit rounds once — documented tolerance)."""
+    from ghcn_d_etl_project_spark.operators.funnel import (
+        touch_attribution_decay,
+    )
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    out = touch_attribution_decay(ev, "purchase", ["click", "view"]).collect()
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    rev_total = purchases.agg(
+        F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+    ).collect()[0][0]
+    got = sum(r.attributed_revenue for r in out)
+    n_credits = sum(r.n_credits for r in out)
+    assert abs(got - rev_total) <= n_credits * 1e-6 + 1e-9
