@@ -1036,3 +1036,64 @@ def ks_drift(
         F.round(F.col("__w.ad"), round_digits).alias("d_stat"),
         (-F.col("__w.negv")).alias("at_value"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+    exact: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Median/MAD robust outlier flagging — the breakdown-resistant twin
+    of the mean/stddev and IQR families (A13/A14): a single wild value
+    moves a mean and widens a stddev, but moves neither the median nor
+    the MAD (50% breakdown point), so the flags don't drift as the
+    contamination they're hunting grows.
+
+    Two-phase by necessity (MAD is the median OF deviations FROM the
+    median): per-group exact ``percentile(v, 0.5)``, broadcast back,
+    per-group ``percentile(|v - med|, 0.5)``, broadcast back. Appends
+
+      * ``med``, ``mad`` (rounded)
+      * ``robust_z`` = 0.6745 * |v - med| / mad (the normal-consistency
+        constant, NULL when MAD == 0)
+      * ``is_outlier`` = 1 when |v - med| > k * MAD (0 when MAD == 0 —
+        a majority-constant group flags nothing rather than everything)
+
+    ``exact=True`` is the oracle anchor: exact percentile buffers each
+    group's values, the A14-family tradeoff. ``exact=False`` swaps in
+    the mergeable ``percentile_approx`` sketch — the same construction,
+    the 100 TB path (anchor/twin convention).
+    """
+    groups = list(group_cols or [])
+    pct = "percentile" if exact else "percentile_approx"
+    v = F.col(value_col)
+
+    def _agg(frame: DataFrame, col: str, out: str) -> DataFrame:
+        a = frame.groupBy(*groups).agg(
+            F.expr(f"{pct}({col}, 0.5)").alias(out)
+        )
+        return F.broadcast(a) if groups else a
+
+    med = _agg(df, value_col, "__med")
+    j = (
+        df.join(med, on=groups) if groups else df.crossJoin(F.broadcast(med))
+    ).withColumn("__dev", F.abs(v - F.col("__med")))
+    mad = _agg(j, "__dev", "__mad")
+    jj = j.join(mad, on=groups) if groups else j.crossJoin(F.broadcast(mad))
+    z = F.lit(0.6745) * F.col("__dev") / F.col("__mad")
+    return jj.select(
+        *df.columns,
+        F.round(F.col("__med"), round_digits).alias("med"),
+        F.round(F.col("__mad"), round_digits).alias("mad"),
+        F.when(F.col("__mad") > 0, F.round(z, round_digits)).alias("robust_z"),
+        F.when(
+            (F.col("__mad") > 0) & (F.col("__dev") > F.lit(float(k)) * F.col("__mad")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_outlier"),
+    )

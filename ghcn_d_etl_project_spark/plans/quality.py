@@ -466,3 +466,57 @@ def categorical_association_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_association(
         t(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outliers — the breakdown-resistant A13/A14 twin
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT o_orderpriority AS g, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med,
+         ABS(o.o_totalprice - m.med) AS dev
+  FROM orders o JOIN med m ON o.o_orderpriority = m.g
+), mad AS (
+  SELECT o_orderpriority AS g, quantile_cont(dev, 0.5) AS mad
+  FROM j GROUP BY 1
+)
+SELECT CAST(j.o_orderkey AS BIGINT) AS o_orderkey,
+       j.o_orderpriority, j.o_totalprice,
+       ROUND(j.med, 6) AS med,
+       ROUND(m2.mad, 6) AS mad,
+       CASE WHEN m2.mad > 0
+            THEN ROUND(0.6745 * j.dev / m2.mad, 6) END AS robust_z,
+       CAST(CASE WHEN m2.mad > 0 AND j.dev > 3.0 * m2.mad
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM j JOIN mad m2 ON j.o_orderpriority = m2.g
+"""
+
+
+@register(
+    "robust_outliers_orders",
+    oracle=_ROBUST_ORACLE,
+    tags=("quality", "stats"),
+    late=True,
+)
+def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags per order priority
+    (``operators/quality.py:robust_outliers``): the 50%-breakdown twin
+    of the mean/stddev and IQR families — contamination can't move the
+    fence it's measured against. Two percentile aggregates + two
+    broadcast joins back; the exact form is the oracle anchor, the
+    percentile_approx twin is the 100 TB path."""
+    from ghcn_d_etl_project_spark.operators.quality import robust_outliers
+
+    return robust_outliers(
+        t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        ),
+        "o_totalprice",
+        group_cols=["o_orderpriority"],
+    )

@@ -697,3 +697,54 @@ def test_ks_no_data_sized_single_partition(spark):
     assert "rangepartitioning" not in plan
     assert plan.count("Exchange SinglePartition") <= 3
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outliers
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outliers_hand_case(spark):
+    """median 10, deviations [5,1,0,1,5,90] -> MAD 3; only the wild
+    value exceeds 3*MAD. A mean/stddev fence would move toward the
+    contamination; the median/MAD fence must not."""
+    from ghcn_d_etl_project_spark.operators.quality import robust_outliers
+
+    rows = [(1, 5.0), (2, 9.0), (3, 10.0), (4, 11.0), (5, 15.0), (6, 100.0)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {r.id: (r.med, r.mad, r.is_outlier)
+           for r in robust_outliers(df, "v").collect()}
+    assert got[3] == (10.5, 3.0, 0)
+    assert got[6][2] == 1
+    assert sum(o for _, _, o in got.values()) == 1
+
+
+def test_robust_outliers_constant_group_flags_nothing(spark):
+    """MAD == 0 (majority-constant group): robust_z NULL, no flags —
+    NOT everything-flagged, which is what naive dev > 0 would give."""
+    from ghcn_d_etl_project_spark.operators.quality import robust_outliers
+
+    rows = [("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", group_cols=["g"]).collect()
+    assert all(r.is_outlier == 0 for r in out)
+    assert all(r.robust_z is None for r in out)
+
+
+def test_robust_outliers_exact_vs_approx_same_shape(spark):
+    """The percentile_approx twin keeps schema and flag monotonicity
+    (the sketch may move the fence slightly; it must not invert it for
+    an extreme point)."""
+    from ghcn_d_etl_project_spark.operators.quality import robust_outliers
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    o = t(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    exact = robust_outliers(o, "o_totalprice")
+    approx = robust_outliers(o, "o_totalprice", exact=False)
+    assert exact.columns == approx.columns
+    ex = {r.o_orderkey: r.is_outlier for r in exact.collect()}
+    ap = {r.o_orderkey: r.is_outlier for r in approx.collect()}
+    agree = sum(1 for kk in ex if ex[kk] == ap[kk]) / len(ex)
+    assert agree > 0.95, agree
