@@ -587,3 +587,36 @@ def test_funnel_laws(spark, events):
         for v, typ in zip(ts_chain, steps):
             if v is not None:
                 assert (v, typ) in per_user_events[r.user_id], r
+
+
+# ---------------------------------------------------------------------------
+# CUSUM closed form == textbook recursion (the identity the operator
+# rests on: S+_i = P_i - min(0, min_{j<=i} P_j), and symmetrically S-)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40
+    ),
+    st.integers(min_value=-100, max_value=100),
+    st.integers(min_value=0, max_value=50),
+)
+def test_cusum_closed_form_law(spark, xs, target, slack):
+    """On arbitrary integer series the window closed form must equal the
+    sequential recursion exactly (integer arithmetic — no tolerance)."""
+    from ghcn_d_etl_project_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i int, v long"
+    )
+    got = {
+        r.i: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(df, "i", "v", target=target, slack=slack).collect()
+    }
+    sp = sn = 0
+    for i, x in enumerate(xs):
+        sp = max(0, sp + (x - target - slack))
+        sn = max(0, sn + (target - x - slack))
+        assert got[i] == (sp, sn), (i, got[i], (sp, sn))
