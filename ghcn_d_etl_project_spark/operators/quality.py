@@ -1097,3 +1097,74 @@ def robust_outliers(
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+def entropy_profile(
+    df: DataFrame,
+    cols: list[str],
+    round_digits: int = 6,
+    term_digits: int = 9,
+) -> DataFrame:
+    """Shannon entropy per column — the information-theoretic profiling
+    row the count/distinct/frequency family (A9-A11) doesn't give:
+    near-zero entropy exposes effectively-constant columns, entropy ≈
+    log2(distinct) exposes effectively-unique ones, and the normalized
+    ratio is comparable across columns of different cardinality.
+
+    ONE data-sized pass for ALL columns: each row stacks to
+    (column, value-as-string) pairs, one hash aggregate counts them
+    (map-side partials — the shuffle carries Σ per-column vocabulary,
+    not rows x columns), and everything after runs on the
+    vocabulary-sized frame. NULL is counted as its own category (a
+    90%-NULL column IS low-entropy — that is signal, not noise).
+
+    Parity recipe: each value's term ``(c/n) * log2(c/n)`` is computed
+    from identical doubles on any engine, then QUANTIZED to
+    ``DECIMAL(18, term_digits)`` before the per-column sum — exact
+    accumulation in any order (the charlm/corr convention). Output per
+    column: ``n_rows, n_distinct, entropy_bits, max_entropy_bits
+    (= log2 distinct), norm_entropy`` (NULL for single-valued columns).
+    """
+    tdec = f"decimal(18,{term_digits})"
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("__null"))
+                        .alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.val")
+    counts = stacked.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("col")
+    p = F.col("c").cast("double") / F.col("__n").cast("double")
+    terms = counts.withColumn("__n", F.sum("c").over(w)).select(
+        "col",
+        "__n",
+        F.round(-(p * F.log2(p)), term_digits).cast(tdec).alias("__t"),
+    )
+    ent = F.col("__ent_dec").cast("double")
+    maxent = F.log2(F.col("n_distinct").cast("double"))
+    return (
+        terms.groupBy("col")
+        .agg(
+            F.max("__n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("__t").alias("__ent_dec"),
+        )
+        .select(
+            "col",
+            "n_rows",
+            "n_distinct",
+            F.round(ent, round_digits).alias("entropy_bits"),
+            F.round(maxent, round_digits).alias("max_entropy_bits"),
+            F.when(
+                F.col("n_distinct") > 1, F.round(ent / maxent, round_digits)
+            ).alias("norm_entropy"),
+        )
+    )

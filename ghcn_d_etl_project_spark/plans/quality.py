@@ -520,3 +520,70 @@ def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         group_cols=["o_orderpriority"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy profiling — information-theoretic column profile
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH stacked AS (
+  SELECT 'o_orderstatus' AS col,
+         COALESCE(CAST(o_orderstatus AS VARCHAR), '__null') AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         COALESCE(CAST(o_orderpriority AS VARCHAR), '__null') FROM orders
+  UNION ALL
+  SELECT 'order_year',
+         COALESCE(CAST(year(o_orderdate) AS VARCHAR), '__null') FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         COALESCE(CAST(o_custkey AS VARCHAR), '__null') FROM orders
+), counts AS (
+  SELECT col, val, COUNT(*) AS c FROM stacked GROUP BY 1, 2
+), terms AS (
+  SELECT col,
+         SUM(c) OVER (PARTITION BY col) AS n,
+         CAST(ROUND(-((CAST(c AS DOUBLE) / (SUM(c) OVER (PARTITION BY col)))
+                      * log2(CAST(c AS DOUBLE)
+                             / (SUM(c) OVER (PARTITION BY col)))), 9)
+              AS DECIMAL(18,9)) AS t
+  FROM counts
+)
+SELECT col,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS entropy_bits,
+       ROUND(log2(CAST(COUNT(*) AS DOUBLE)), 6) AS max_entropy_bits,
+       CASE WHEN COUNT(*) > 1
+            THEN ROUND(CAST(SUM(t) AS DOUBLE)
+                       / log2(CAST(COUNT(*) AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM terms GROUP BY col
+"""
+
+
+@register(
+    "entropy_profile_orders",
+    oracle=_ENTROPY_ORACLE,
+    tags=("quality", "profile"),
+    late=True,
+)
+def entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per column over four orders columns spanning the
+    cardinality spectrum (``operators/quality.py:entropy_profile``):
+    status (3 values), priority (5), year (7), custkey (~n/10).
+    One stacked pass + one hash aggregate for all columns; p*log2(p)
+    terms quantized to DECIMAL before the per-column sum (the
+    charlm/corr parity convention)."""
+    from ghcn_d_etl_project_spark.operators.quality import entropy_profile
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("order_year"),
+        "o_custkey",
+    )
+    return entropy_profile(
+        o, ["o_orderstatus", "o_orderpriority", "order_year", "o_custkey"]
+    )

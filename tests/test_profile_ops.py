@@ -748,3 +748,39 @@ def test_robust_outliers_exact_vs_approx_same_shape(spark):
     ap = {r.o_orderkey: r.is_outlier for r in approx.collect()}
     agree = sum(1 for kk in ex if ex[kk] == ap[kk]) / len(ex)
     assert agree > 0.95, agree
+
+
+# ---------------------------------------------------------------------------
+# Entropy profile
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_profile_known_distributions(spark):
+    import math
+
+    from ghcn_d_etl_project_spark.operators.quality import entropy_profile
+
+    rows = [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("b", "y", 4)]
+    df = spark.createDataFrame(rows, "u string, v string, k int")
+    got = {r.col: r for r in entropy_profile(df, ["u", "v", "k"]).collect()}
+    # uniform over 2 -> exactly 1 bit, norm 1.0
+    assert got["u"].entropy_bits == 1.0 and got["u"].norm_entropy == 1.0
+    assert got["v"].entropy_bits == 1.0
+    # uniform over 4 -> 2 bits
+    assert abs(got["k"].entropy_bits - 2.0) < 1e-6
+    assert abs(got["k"].max_entropy_bits - math.log2(4)) < 1e-9
+
+
+def test_entropy_profile_constant_and_null(spark):
+    from ghcn_d_etl_project_spark.operators.quality import entropy_profile
+
+    rows = [("c", None), ("c", None), ("c", "z")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {r.col: r for r in entropy_profile(df, ["a", "b"]).collect()}
+    # constant column: 0 bits, norm NULL (log2(1) == 0 denominator)
+    assert got["a"].entropy_bits == 0.0
+    assert got["a"].norm_entropy is None
+    assert got["a"].n_distinct == 1
+    # NULL is a category: b has {__null: 2, z: 1}, entropy in (0, 1)
+    assert got["b"].n_distinct == 2
+    assert 0.9 < got["b"].entropy_bits < 0.92  # H(1/3) = 0.918...
