@@ -1168,3 +1168,90 @@ def entropy_profile(
             ).alias("norm_entropy"),
         )
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+    term_digits: int = 9,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-numbers audit for financial/measurement columns
+    (naturally-occurring multi-scale magnitudes follow
+    ``P(d) = log10(1 + 1/d)``; invented or constrained numbers don't).
+
+    One hash aggregate to NINE rows (map-side partials collapse each
+    partition to <= 9 counts), then the chi-square statistic and
+    per-digit deviations compute on that constant-size frame. The
+    first digit comes from string formatting of ``abs(value)`` —
+    scale-free, no log/pow fp hazards; zeros and NULLs are excluded
+    (they have no significant digit) and reported via ``n_used``.
+
+    Output: one row per digit 1-9 — ``digit, n, share, benford_p,
+    deviation, chi2_term`` (quantized DECIMAL terms, the engine-parity
+    convention) — plus every row carrying the total ``chi2`` and
+    ``n_used`` so a single-row consumer can filter ``digit = 1``.
+    """
+    tdec = f"decimal(18,{term_digits})"
+    v = F.col(value_col)
+    # first significant digit via the PLAIN string form of abs(value):
+    # the leading 1-9 of any faithful decimal rendering (fixed or
+    # scientific) IS the first significant digit — determined by the
+    # value's magnitude, not the engine's formatting choices — so a
+    # regexp over CAST(abs(v) AS STRING) is scale-free and
+    # cross-engine-stable where log/pow fp tricks are not
+    digit = F.regexp_extract(
+        F.abs(v.cast("double")).cast("string"), "([1-9])", 1
+    )
+    base = df.filter(v.isNotNull() & (v != 0)).select(
+        digit.cast("int").alias("digit")
+    ).filter(F.col("digit").isNotNull())
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # densify to all 9 digits (a digit can be absent in skewed data)
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    dense = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    w = Window.partitionBy()
+    n_used = F.sum("n").over(w)
+    share = F.col("n").cast("double") / F.col("__n_used").cast("double")
+    import math
+
+    bp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    benford_p = F.round(
+        F.element_at(
+            F.array(*[F.lit(bp[d]) for d in range(1, 10)]), F.col("digit")
+        ),
+        round_digits,
+    )
+    chi2_term = (
+        (F.col("__share") - F.col("__bp"))
+        * (F.col("__share") - F.col("__bp"))
+        / F.col("__bp")
+        * F.col("__n_used").cast("double")
+    )
+    staged = (
+        dense.withColumn("__n_used", n_used)
+        .withColumn("__share", share)
+        .withColumn("__bp", benford_p)
+        .withColumn(
+            "__chi2_t", F.round(chi2_term, term_digits).cast(tdec)
+        )
+    )
+    return staged.select(
+        "digit",
+        "n",
+        F.round(F.col("__share"), round_digits).alias("share"),
+        F.col("__bp").alias("benford_p"),
+        F.round(F.col("__share") - F.col("__bp"), round_digits).alias(
+            "deviation"
+        ),
+        F.col("__chi2_t").cast("double").alias("chi2_term"),
+        F.round(
+            F.sum("__chi2_t").over(w).cast("double"), round_digits
+        ).alias("chi2"),
+        F.col("__n_used").cast("long").alias("n_used"),
+    )

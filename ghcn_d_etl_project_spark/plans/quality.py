@@ -587,3 +587,67 @@ def entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entropy_profile(
         o, ["o_orderstatus", "o_orderpriority", "order_year", "o_custkey"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_PS = ", ".join(
+    f"({d}, CAST({_math.log10(1 + 1 / d)!r} AS DOUBLE))" for d in range(1, 10)
+)
+
+_BENFORD_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(regexp_extract(CAST(abs(o_totalprice) AS VARCHAR),
+                             '([1-9])', 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM base WHERE digit IS NOT NULL GROUP BY 1
+), bp(digit, p) AS (VALUES {_BENFORD_PS}),
+dense AS (
+  SELECT bp.digit, COALESCE(counts.n, 0) AS n, bp.p
+  FROM bp LEFT JOIN counts ON bp.digit = counts.digit
+), staged AS (
+  SELECT digit, n, p,
+         SUM(n) OVER () AS n_used,
+         CAST(n AS DOUBLE) / (SUM(n) OVER ()) AS share,
+         ROUND(p, 6) AS bp6,
+         CAST(ROUND((CAST(n AS DOUBLE) / (SUM(n) OVER ()) - ROUND(p, 6))
+                    * (CAST(n AS DOUBLE) / (SUM(n) OVER ()) - ROUND(p, 6))
+                    / ROUND(p, 6) * (SUM(n) OVER ()), 9)
+              AS DECIMAL(18,9)) AS chi2_t
+  FROM dense
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(share, 6) AS share,
+       bp6 AS benford_p,
+       ROUND(share - bp6, 6) AS deviation,
+       CAST(chi2_t AS DOUBLE) AS chi2_term,
+       ROUND(CAST(SUM(chi2_t) OVER () AS DOUBLE), 6) AS chi2,
+       CAST(n_used AS BIGINT) AS n_used
+FROM staged
+"""
+
+
+@register(
+    "benford_audit_orders",
+    oracle=_BENFORD_ORACLE,
+    tags=("quality", "audit"),
+    late=True,
+)
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order values
+    (``operators/quality.py:benford_audit``): the fabricated-numbers
+    screen — one hash aggregate to nine rows, chi-square and
+    deviations on the constant-size frame, digit extracted from the
+    plain string form (magnitude-determined, cross-engine-stable).
+    Note the TPC-H-ish price generator is roughly uniform in a band,
+    NOT Benford — the audit correctly reports a large chi2 on it,
+    which is exactly the point of having the audit."""
+    from ghcn_d_etl_project_spark.operators.quality import benford_audit
+
+    return benford_audit(t(spark, sf_dir, "orders"), "o_totalprice")

@@ -784,3 +784,43 @@ def test_entropy_profile_constant_and_null(spark):
     # NULL is a category: b has {__null: 2, z: 1}, entropy in (0, 1)
     assert got["b"].n_distinct == 2
     assert 0.9 < got["b"].entropy_bits < 0.92  # H(1/3) = 0.918...
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_spine(spark):
+    from ghcn_d_etl_project_spark.operators.quality import benford_audit
+
+    rows = [
+        (123.45,), (0.0042,), (-987.0,), (9.9e-10,), (1e20,),
+        (0.0,), (None,),                     # excluded: no significant digit
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(got) == set(range(1, 10))     # dense spine: all 9 rows
+    assert got[1].n == 2 and got[4].n == 1 and got[9].n == 2
+    assert got[2].n == 0                     # absent digit present w/ 0
+    assert got[1].n_used == 5                # zeros/NULLs excluded
+    assert abs(got[1].benford_p - 0.30103) < 1e-5
+
+
+def test_benford_conforming_sequence_low_chi2(spark):
+    """A doubling (multi-scale) sequence is near-Benford; a constant-
+    leading-digit sequence is maximally non-Benford. The chi2 must
+    separate them by a wide margin."""
+    from ghcn_d_etl_project_spark.operators.quality import benford_audit
+
+    doubling = [(1.0 * 2 ** i,) for i in range(200)]
+    constant = [(5.0 + i * 0.001,) for i in range(200)]   # all lead with 5
+    chi_good = benford_audit(
+        spark.createDataFrame(doubling, "v double"), "v"
+    ).collect()[0].chi2
+    chi_bad = benford_audit(
+        spark.createDataFrame(constant, "v double"), "v"
+    ).collect()[0].chi2
+    assert chi_good < 20.0, chi_good
+    assert chi_bad > 200.0, chi_bad
+    assert chi_bad > 10 * chi_good
