@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percentile_features", "target_encode_loo"]
+__all__ = ["percentile_features", "standardize", "target_encode_loo"]
 
 
 def target_encode_loo(
@@ -145,3 +145,72 @@ def percentile_features(
     return df.join(
         vals, on=df[value_col] == vals["__v"], how="left"
     ).drop("__v")
+
+
+def standardize(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    sample: bool = True,
+    scale: int = 4,
+    round_digits: int = 6,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """Append ``<col>_z`` = (x - mean) / stddev per group for every
+    value column — the standard-scaler feature, multi-column in ONE
+    aggregate pass.
+
+    Same physical shape as :func:`target_encode_loo`: one group-grain
+    hash aggregate collecting exact DECIMAL moments (sum, sum-of-
+    squares, count per column — all in one pass), broadcast back under
+    a bounded probe, per-row arithmetic on the fact side. The fact
+    never shuffles; the window formulation would sort it on the group
+    key. Exact moments make mean and stddev order-independent, so the
+    doubles reproduce on any engine (the corr_matrix convention).
+
+    ``sample=True`` uses the n-1 denominator (matches SQL ``STDDEV`` /
+    ``STDDEV_SAMP``). Degenerate cases: stddev == 0 or n < 2 yield
+    NULL z (a constant group has no scale); NULL x yields NULL z; NULL
+    group keys get NULL z via the left join.
+    """
+    groups = list(group_cols or [])
+    aggs = []
+    for c in value_cols:
+        v = F.col(c)
+        aggs.append(
+            F.sum(v.cast(f"decimal(24,{scale})")).cast("double").alias(f"__sx_{c}")
+        )
+        aggs.append(
+            F.sum((v * v).cast(f"decimal(30,{scale})")).cast("double")
+            .alias(f"__sxx_{c}")
+        )
+        aggs.append(F.count(v).alias(f"__n_{c}"))
+    stats = df.groupBy(*groups).agg(*aggs)
+    n_rows = stats.limit(broadcast_threshold_rows + 1).count()
+    if n_rows <= broadcast_threshold_rows:
+        stats = F.broadcast(stats)
+    out = (
+        df.join(stats, on=groups, how="left") if groups
+        else df.crossJoin(stats)
+    )
+    keep = list(df.columns)
+    drop = []
+    for c in value_cols:
+        sx, sxx, n = (
+            F.col(f"__sx_{c}"),
+            F.col(f"__sxx_{c}"),
+            F.col(f"__n_{c}").cast("double"),
+        )
+        denom = (n - 1) if sample else n
+        var = (sxx - sx * sx / n) / denom
+        mean = sx / n
+        z = (F.col(c) - mean) / F.sqrt(var)
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(
+                (F.col(f"__n_{c}") >= 2) & (var > 0), F.round(z, round_digits)
+            ),
+        )
+        keep.append(f"{c}_z")
+        drop.extend([f"__sx_{c}", f"__sxx_{c}", f"__n_{c}"])
+    return out.select(*keep)

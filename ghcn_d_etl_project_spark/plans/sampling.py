@@ -288,3 +288,67 @@ def percentile_feature_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_totalprice",
     ).select("o_orderkey", "o_totalprice", "pct_rank", "cume_dist")
+
+
+# ---------------------------------------------------------------------------
+# Group-wise standardization (z-score features)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag AS g,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sx_q,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+           AS sxx_q,
+         COUNT(l_quantity) AS n_q,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sx_p,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))
+              AS DOUBLE) AS sxx_p,
+         COUNT(l_extendedprice) AS n_p
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       l.l_returnflag, l.l_quantity, l.l_extendedprice,
+       CASE WHEN s.n_q >= 2
+             AND (s.sxx_q - s.sx_q * s.sx_q / s.n_q) / (s.n_q - 1) > 0
+            THEN ROUND((l.l_quantity - s.sx_q / s.n_q)
+                       / SQRT((s.sxx_q - s.sx_q * s.sx_q / s.n_q)
+                              / (s.n_q - 1)), 6)
+       END AS l_quantity_z,
+       CASE WHEN s.n_p >= 2
+             AND (s.sxx_p - s.sx_p * s.sx_p / s.n_p) / (s.n_p - 1) > 0
+            THEN ROUND((l.l_extendedprice - s.sx_p / s.n_p)
+                       / SQRT((s.sxx_p - s.sx_p * s.sx_p / s.n_p)
+                              / (s.n_p - 1)), 6)
+       END AS l_extendedprice_z
+FROM lineitem l JOIN s ON l.l_returnflag = s.g
+"""
+
+
+@register(
+    "zscore_lineitem",
+    oracle=_ZSCORE_ORACLE,
+    tags=("sampling", "encoding", "ml"),
+    late=True,
+)
+def zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise standardization of two lineitem measures per return
+    flag (``operators/encoding.py:standardize``): both columns' exact
+    DECIMAL moments in ONE group-grain aggregate, broadcast back, fact
+    never shuffles. Degenerate groups (n < 2 or zero variance) yield
+    NULL z rather than infinities."""
+    from ghcn_d_etl_project_spark.operators.encoding import standardize
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return standardize(
+        li,
+        ["l_quantity", "l_extendedprice"],
+        group_cols=["l_returnflag"],
+    )

@@ -80,3 +80,43 @@ def test_percentile_features_no_single_partition_sort(spark):
     # window formulation's rangepartitioning
     assert plan.count("Exchange SinglePartition") <= 2, plan[:1500]
     assert "rangepartitioning" not in plan.lower(), plan[:1500]
+
+
+def test_standardize_hand_case_and_edges(spark):
+    import math
+
+    from ghcn_d_etl_project_spark.operators.encoding import standardize
+
+    rows = [
+        (1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+        (4, "b", 7.0),                  # singleton -> NULL z
+        (5, "c", 4.0), (6, "c", 4.0),   # zero variance -> NULL z
+        (7, "a", None),                 # NULL x -> NULL z
+        (8, None, 9.0),                 # NULL group -> NULL z
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    got = {r.id: r.v_z for r in standardize(df, ["v"], ["g"]).collect()}
+    # group a: mean 20, sample std 10
+    assert got[1] == -1.0 and got[2] == 0.0 and got[3] == 1.0
+    assert got[4] is None and got[5] is None and got[6] is None
+    assert got[7] is None and got[8] is None
+    # population denominator: std = sqrt(200/3)
+    gp = {r.id: r.v_z
+          for r in standardize(df, ["v"], ["g"], sample=False).collect()}
+    assert abs(gp[1] - (-10.0 / math.sqrt(200.0 / 3.0))) < 1e-6
+
+
+def test_standardize_plan_no_fact_shuffle(spark):
+    from ghcn_d_etl_project_spark.operators.encoding import standardize
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    out = standardize(
+        t(spark, "/root/testdata/sf0.001", "lineitem"),
+        ["l_quantity", "l_extendedprice"],
+        group_cols=["l_returnflag"],
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
