@@ -175,3 +175,77 @@ def read_fixed_width(
     if keep_line:
         cols.append(F.col("value").alias(line_col))
     return df.select(*cols)
+
+
+def read_delimited(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: str,
+    delimiter: str = ",",
+    header: bool = True,
+    mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV/TSV scan with a MANDATORY schema — schema inference is a
+    hidden full extra pass over the data (Spark reads everything once
+    just to guess types), which at 100 TB doubles the scan cost and can
+    still guess wrong on sparse columns; this engine refuses it.
+
+    ``mode``: ``FAILFAST`` (default — malformed rows kill the job
+    loudly), ``PERMISSIVE`` (malformed rows null out; pass
+    ``corrupt_col`` to also capture the raw line for quarantine — the
+    standard bronze-layer pattern), or ``DROPMALFORMED`` (documented
+    data loss; prefer PERMISSIVE + an explicit quarantine filter so the
+    loss is observable). Multi-path/glob input scans natively — no
+    driver file loop.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    full_schema = schema
+    if corrupt_col is not None:
+        if mode != "PERMISSIVE":
+            raise ValueError("corrupt_col requires mode='PERMISSIVE'")
+        full_schema = f"{schema}, {corrupt_col} string"
+    reader = (
+        spark.read.option("delimiter", delimiter)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return normalize_temporal(reader.schema(full_schema).csv(paths))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with a MANDATORY schema (same no-inference rule
+    as :func:`read_delimited` — JSON inference is an even more
+    expensive full pass, and union-of-observed-shapes schemas drift
+    run to run).
+
+    Default posture is bronze-friendly: PERMISSIVE with the corrupt
+    line captured under ``corrupt_col`` so damaged records quarantine
+    instead of vanishing. Fields present in the data but absent from
+    the schema are ignored (forward-compatible); absent fields read as
+    NULL (backward-compatible) — the schema is the CONTRACT, the files
+    are just evidence.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    full_schema = schema
+    if corrupt_col is not None:
+        if mode != "PERMISSIVE":
+            raise ValueError("corrupt_col requires mode='PERMISSIVE'")
+        full_schema = f"{schema}, {corrupt_col} string"
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return normalize_temporal(reader.schema(full_schema).json(paths))

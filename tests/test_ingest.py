@@ -132,3 +132,52 @@ def test_download_sets_socket_timeout(fixtures, tmp_path, monkeypatch):
     stations, _ = fixtures
     download_file(stations.as_uri(), str(tmp_path / "raw2"), timeout=12.5)
     assert seen["timeout"] == 12.5
+
+
+# ---------------------------------------------------------------------------
+# Delimited / JSON-lines scans (schema-contract readers)
+# ---------------------------------------------------------------------------
+
+
+def test_read_delimited_contract_and_quarantine(spark, tmp_path):
+    from ghcn_d_etl_project_spark.sources.readers import read_delimited
+
+    p = tmp_path / "x.csv"
+    p.write_text("id,name,score\n1,alice,2.5\n2,bob,3.5\nbad,row\n")
+    # PERMISSIVE + corrupt capture: malformed row quarantines, not lost
+    df = read_delimited(
+        spark, str(p), "id long, name string, score double",
+        mode="PERMISSIVE", corrupt_col="_bad",
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score == 2.5 and rows[2].name == "bob"
+    bad = [r for r in rows.values() if r._bad is not None]
+    assert len(bad) == 1 and bad[0]._bad.startswith("bad,row")
+    # FAILFAST: the same file raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_delimited(
+            spark, str(p), "id long, name string, score double"
+        ).collect()
+    # corrupt_col without PERMISSIVE is a usage error
+    with _pytest.raises(ValueError):
+        read_delimited(spark, str(p), "id long", corrupt_col="_bad")
+
+
+def test_read_jsonl_contract(spark, tmp_path):
+    from ghcn_d_etl_project_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "extra": true}\n'
+        '{"id": 2}\n'
+        "{broken\n"
+    )
+    df = read_jsonl(spark, str(p), "id long, name string, missing double")
+    rows = df.collect()
+    ok = {r.id: r for r in rows if r._corrupt_record is None}
+    # extra field ignored; absent fields NULL; broken line quarantined
+    assert ok[1].name == "a" and ok[1].missing is None
+    assert ok[2].name is None
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
