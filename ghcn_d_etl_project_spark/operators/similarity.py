@@ -68,6 +68,20 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _scoreable(df, id_col: str, vec_col: str):
+    """Drop rows no cosine is defined for — NULL vectors and zero-norm
+    vectors (0/0 is NaN, and NaN ordering DISAGREES between numpy, the
+    JVM, and SQL engines: the one place the two strategies could
+    diverge). Filtering is the contract, not a fallback; documented on
+    both public operators."""
+    v = _as_double(vec_col)
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & (F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) > 0)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -100,6 +114,10 @@ def cosine_topk(
     * ``"auto"`` — matmul when a bounded O(broadcast_rows) probe shows
       the corpus fits, else pairs.
 
+    Contract: rows with NULL ids, NULL vectors, or zero-norm vectors
+    are EXCLUDED (no cosine is defined for them; 0/0-NaN ordering is
+    the one place the two strategies could diverge).
+
     Parity note: GEMM sums partial products in SIMD/blocked order while
     the fold sums left-to-right; both land within ~1 ulp of each other,
     absorbed by ``round_digits`` rounding exactly as the DuckDB oracle's
@@ -108,6 +126,7 @@ def cosine_topk(
     """
     if strategy not in ("auto", "pairs", "matmul"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    df = _scoreable(df, id_col, vec_col)
     if strategy != "pairs":
         n_bounded = df.limit(broadcast_rows + 1).count()
         if n_bounded <= broadcast_rows:
@@ -222,9 +241,11 @@ def neardup_pairs(
     (broadcast corpus, one GEMM per Arrow batch of queries, each
     unordered pair emitted by its SMALLER id so nothing duplicates;
     only the >= t survivors ever exist as rows) and ``"pairs"`` (the
-    crossJoin fallback); ``"auto"`` probes the broadcast bound."""
+    crossJoin fallback); ``"auto"`` probes the broadcast bound. Same
+    NULL/zero-norm exclusion contract as :func:`cosine_topk`."""
     if strategy not in ("auto", "pairs", "matmul"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    df = _scoreable(df, id_col, vec_col)
     if strategy != "pairs":
         n_bounded = df.limit(broadcast_rows + 1).count()
         if n_bounded <= broadcast_rows:

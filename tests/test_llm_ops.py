@@ -604,3 +604,32 @@ def test_neardup_matmul_equals_pairs(spark):
     ).collect()))
     assert p == m
     assert len(p) > 0
+
+
+def test_similarity_null_and_zero_norm_contract(spark):
+    """NULL and zero-norm vectors are excluded by contract under BOTH
+    strategies (0/0 is NaN, whose ordering numpy/JVM/SQL disagree on —
+    the one place the strategies could diverge)."""
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        cosine_topk,
+        neardup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.5, 0.5]),
+        (3, [0.0, 0.0]),   # zero norm: out
+        (4, None),         # NULL: out
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    for strat in ("pairs", "matmul"):
+        out = cosine_topk(df, "vec_id", "embedding", k=9, strategy=strat)
+        got = out.collect()
+        assert {r.qid for r in got} == {1, 2, 5}, (strat, got)
+        assert all(r.nid not in (3, 4) for r in got), strat
+        nd = neardup_pairs(
+            df, "vec_id", "embedding", threshold=-1.0, strategy=strat
+        ).collect()
+        ids = {r.id1 for r in nd} | {r.id2 for r in nd}
+        assert ids == {1, 2, 5}, (strat, nd)
