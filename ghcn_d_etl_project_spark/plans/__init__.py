@@ -22,6 +22,7 @@ from ghcn_d_etl_project_spark.plans import (  # noqa: F401
     llm,
     multimodal,
     curation,
+    mining,
 )
 from ghcn_d_etl_project_spark.plans.registry import Query, all_queries, register
 

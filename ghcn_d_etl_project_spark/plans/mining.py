@@ -1,0 +1,366 @@
+"""Graph & mining extensions (round 8, wave 4): exact set-similarity
+join, co-purchase graph analytics, RFM segmentation, negative sampling.
+
+The affinity/mining family a retail- or training-corpus pipeline runs
+after the curation queries: which baskets are near-identical (exact
+similarity join — the lossless counterpart of the MinHash ladder), how
+clustered the co-purchase graph is (triangles), which items are central
+(PageRank), which customers matter (RFM), and which corpus rows make
+good contrastive negatives. All register ``late=True`` (VERDICT r6
+discipline: graceful degradation under a fixed driver correctness
+budget).
+
+Oracle notes: every query here is engineered bit-exact cross-engine —
+integer counts/ratios for the joins and triangles, FIXED-POINT integer
+arithmetic for PageRank (see ``operators/graphalgo.py``), the
+house round-to-6 integer-ratio recipe for RFM quantile scores, and the
+md5 recipes shared with ``plans/sampling.py`` for negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.plans._util import dsum, t
+from ghcn_d_etl_project_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join with prefix + length filtering (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+# The oracle is deliberately the BRUTE-FORCE shared-token formulation:
+# prefix/length filtering is lossless, so a hash MATCH is a machine-
+# checked completeness proof for the pruning rules.
+_BASKET_JACCARD_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS tok FROM lineitem),
+sz AS (SELECT k, COUNT(*) AS n FROM b GROUP BY k),
+inter AS (
+  SELECT a.k AS k1, c.k AS k2, COUNT(*) AS n_common
+  FROM b a JOIN b c ON a.tok = c.tok AND a.k < c.k
+  GROUP BY 1, 2
+)
+SELECT CAST(i.k1 AS BIGINT) AS k1, CAST(i.k2 AS BIGINT) AS k2,
+       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       round(CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common), 6)
+         AS jaccard
+FROM inter i
+JOIN sz s1 ON i.k1 = s1.k
+JOIN sz s2 ON i.k2 = s2.k
+WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) >= 0.5
+"""
+
+
+@register(
+    "basket_jaccard_pairs",
+    oracle=_BASKET_JACCARD_ORACLE,
+    tags=("mining", "dedup", "similarity"),
+    late=True,
+)
+def basket_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order pairs whose part-baskets have Jaccard >= 0.5, via the
+    prefix-filtered exact set-similarity join
+    (``operators/setjoin.py`` — PPJoin-lite: rarest-first prefix
+    tokens bound the inverted-index self-join, the t-length band is
+    checked inside the join condition, exact verification runs only on
+    survivors). The oracle is the brute-force all-shared-token join the
+    filters replace — at this SF that is 894k candidate pairs vs ~3k
+    after pruning — so the MATCH doubles as the losslessness proof."""
+    from ghcn_d_etl_project_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return prefix_filtered_jaccard_join(
+        li, "l_orderkey", "l_partkey", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph: per-node triangle counts (degree orientation)
+# ---------------------------------------------------------------------------
+
+# Edge set shared by the two graph queries: parts co-purchased in >= 2
+# distinct orders (weight filter keeps the graph sparse + meaningful).
+_COPURCHASE_EDGES = """
+  WITH bb AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem)
+  SELECT a.p AS u, c.p AS v
+  FROM bb a JOIN bb c ON a.k = c.k AND a.p < c.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+_TRIANGLES_ORACLE = f"""
+WITH e AS ({_COPURCHASE_EDGES}),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
+@register(
+    "copurchase_triangles",
+    oracle=_TRIANGLES_ORACLE,
+    tags=("mining", "graph"),
+    late=True,
+)
+def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    sharing >= 2 orders), by degree-oriented wedge counting
+    (``operators/graphalgo.py:triangle_counts``): edges oriented
+    low-degree -> high-degree bound the wedge intermediate to
+    sum(outdeg^2) with outdeg <= O(sqrt(m)) — hub-proof at 100 TB. The
+    oracle counts ordered triples on the raw undirected edge list, so
+    the MATCH also validates the orientation trick end-to-end."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    out = triangle_counts(edges, "u", "v")
+    return out.select(F.col("node").cast("long").alias("node"), "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph: deterministic fixed-point PageRank, 3 iterations
+# ---------------------------------------------------------------------------
+
+# Unrolled integer recursion — BIGINT micro-units, floor division — so
+# the hash matches the Spark loop bit-for-bit (float PageRank could
+# never be order-insensitively hashed; see operators/graphalgo.py).
+_PAGERANK_ORACLE = f"""
+WITH e AS ({_COPURCHASE_EDGES}),
+d AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, COUNT(*) AS deg FROM d GROUP BY u),
+n AS (SELECT COUNT(*) AS nn FROM deg),
+r0 AS (
+  SELECT deg.u AS node, CAST(1000000000000 // nn AS BIGINT) AS rank_fp
+  FROM deg, n
+),
+c1 AS (
+  SELECT d.v AS node, SUM(r.rank_fp // deg.deg) AS m
+  FROM d JOIN r0 r ON d.u = r.node JOIN deg ON d.u = deg.u GROUP BY 1
+),
+r1 AS (
+  SELECT node,
+         (1000000000000 * 15) // (100 * nn) + (85 * m) // 100 AS rank_fp
+  FROM c1, n
+),
+c2 AS (
+  SELECT d.v AS node, SUM(r.rank_fp // deg.deg) AS m
+  FROM d JOIN r1 r ON d.u = r.node JOIN deg ON d.u = deg.u GROUP BY 1
+),
+r2 AS (
+  SELECT node,
+         (1000000000000 * 15) // (100 * nn) + (85 * m) // 100 AS rank_fp
+  FROM c2, n
+),
+c3 AS (
+  SELECT d.v AS node, SUM(r.rank_fp // deg.deg) AS m
+  FROM d JOIN r2 r ON d.u = r.node JOIN deg ON d.u = deg.u GROUP BY 1
+),
+r3 AS (
+  SELECT node,
+         (1000000000000 * 15) // (100 * nn) + (85 * m) // 100 AS rank_fp
+  FROM c3, n
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(rank_fp AS BIGINT) AS rank_fp,
+       CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+FROM r3
+"""
+
+
+@register(
+    "pagerank_parts",
+    oracle=_PAGERANK_ORACLE,
+    tags=("mining", "graph", "persists"),
+    late=True,
+)
+def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (d=0.85) over the co-purchase part graph via
+    deterministic FIXED-POINT integer arithmetic
+    (``operators/graphalgo.py:pagerank_fixed_point``): ranks are BIGINT
+    units of 1e-12 mass, contributions are exact floor divisions, sums
+    are associative — bit-identical on any engine/partitioning, which
+    is what lets an iterative algorithm carry a full value-hash oracle
+    (the unrolled SQL recursion above) instead of a rows-only check."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import pagerank_fixed_point
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    out = pagerank_fixed_point(edges, "u", "v", iters=3)
+    return out.select(F.col("node").cast("long").alias("node"), "rank_fp", "rank")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — quantile scores by counting, not ordering
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH r AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM orders))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         round(CUME_DIST() OVER (ORDER BY recency_days), 6) AS cr,
+         round(CUME_DIST() OVER (ORDER BY frequency), 6) AS cf,
+         round(CUME_DIST() OVER (ORDER BY monetary), 6) AS cm
+  FROM r
+)
+SELECT CAST(custkey AS BIGINT) AS custkey,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary,
+       CAST(6 - CEIL(cr * 5) AS BIGINT) AS r_score,
+       CAST(CEIL(cf * 5) AS BIGINT) AS f_score,
+       CAST(CEIL(cm * 5) AS BIGINT) AS m_score,
+       CAST(6 - CEIL(cr * 5) AS BIGINT) || CAST(CEIL(cf * 5) AS BIGINT)
+         || CAST(CEIL(cm * 5) AS BIGINT) AS segment
+FROM s
+"""
+
+
+@register(
+    "rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("mining", "analytics"),
+    late=True,
+)
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (exact decimal
+    revenue sum), each scored into quintiles by CUME_DIST — equal
+    metric values share a score (tie-stable, unlike NTILE's arbitrary
+    tie splitting) and the quantile is computed by the COUNTING recipe
+    (``operators/encoding.py:percentile_features`` — distinct-value
+    counts + bucketed global cumsum + broadcast total), never the
+    ``Exchange SinglePartition`` global-sort window the oracle states.
+    Score = ceil(5 * cume) (recency inverted: recent = 5)."""
+    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("__maxd"))
+    rollup = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("__maxd"), F.col("__last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rollup
+    for col, cume in (
+        ("recency_days", "cr"),
+        ("frequency", "cf"),
+        ("monetary", "cm"),
+    ):
+        scored = percentile_features(
+            scored, col, rank_col=f"__pr_{col}", cume_col=cume
+        ).drop(f"__pr_{col}")
+    r_score = (F.lit(6) - F.ceil(F.col("cr") * 5)).cast("long")
+    f_score = F.ceil(F.col("cf") * 5).cast("long")
+    m_score = F.ceil(F.col("cm") * 5).cast("long")
+    return scored.select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        F.concat(
+            r_score.cast("string"), f_score.cast("string"), m_score.cast("string")
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+_NEGATIVES_ORACLE = """
+WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id IS NOT NULL),
+h AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), ':neg:b')), 1, 4))
+              AS INTEGER) % 32 AS bucket,
+         md5(concat(CAST(id AS VARCHAR), ':neg:d')) AS draw
+  FROM ids
+),
+ranked AS (
+  SELECT id, bucket, draw,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY draw, id) AS rn,
+         COUNT(*) OVER (PARTITION BY bucket) AS bn
+  FROM h
+),
+want AS (
+  SELECT bucket, id AS anchor_id, j AS neg_rank,
+         ((rn - 1 + j) % bn) + 1 AS neg_rn
+  FROM ranked, UNNEST(generate_series(1, LEAST(3, bn - 1))) AS u(j)
+)
+SELECT CAST(w.anchor_id AS BIGINT) AS anchor_id,
+       CAST(r.id AS BIGINT) AS neg_id,
+       CAST(w.neg_rank AS BIGINT) AS neg_rank
+FROM want w JOIN ranked r ON w.bucket = r.bucket AND w.neg_rn = r.rn
+"""
+
+
+@register(
+    "negative_sample_docs",
+    oracle=_NEGATIVES_ORACLE,
+    tags=("mining", "sampling", "ml"),
+    late=True,
+)
+def negative_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic contrastive negatives per document
+    (``operators/negatives.py:cyclic_negative_sample``): md5 buckets +
+    within-bucket hash order + cyclic rank offsets — replayable on any
+    engine, parallel windows only (the bucket bounds every partition;
+    the global-row_number formulation this replaces is an
+    ``Exchange SinglePartition`` at scale), and no candidate cross
+    join ever exists."""
+    from ghcn_d_etl_project_spark.operators.negatives import cyclic_negative_sample
+
+    return cyclic_negative_sample(
+        t(spark, sf_dir, "documents"), "doc_id", k=3, n_buckets=32
+    )

@@ -1,0 +1,263 @@
+"""Tests for the round-8 wave-4 mining operators: prefix-filtered set
+similarity join, triangle counting, fixed-point PageRank, deterministic
+negative sampling, and the RFM plan query's invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ghcn_d_etl_project_spark.operators.graphalgo import (
+    pagerank_fixed_point,
+    triangle_counts,
+)
+from ghcn_d_etl_project_spark.operators.negatives import cyclic_negative_sample
+from ghcn_d_etl_project_spark.operators.setjoin import (
+    candidate_reduction_report,
+    prefix_filtered_jaccard_join,
+)
+
+# ---------------------------------------------------------------------------
+# Set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard(rows, threshold):
+    """Reference implementation: dict-of-sets, all pairs."""
+    sets: dict[int, set] = {}
+    for k, tok in rows:
+        sets.setdefault(k, set()).add(tok)
+    out = set()
+    keys = sorted(sets)
+    for i, k1 in enumerate(keys):
+        for k2 in keys[i + 1 :]:
+            inter = len(sets[k1] & sets[k2])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[k1]) + len(sets[k2]) - inter)
+            if j >= threshold:
+                out.add((k1, k2, len(sets[k1]), len(sets[k2]), inter))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_prefix_join_matches_bruteforce(spark, threshold):
+    """Losslessness: the prefix+length-filtered join returns EXACTLY the
+    brute-force pair set at several thresholds, on data engineered with
+    hot tokens (the case the prefix filter prunes hardest)."""
+    rows = []
+    # 30 sets over a 12-token vocabulary, sizes 1..6, with token 0 hot
+    # (in almost every set) — deterministic construction, no RNG.
+    for k in range(30):
+        size = (k % 6) + 1
+        toks = {(k * 7 + 3 * i) % 12 for i in range(size)}
+        if k % 3:
+            toks.add(0)
+        rows += [(k, t) for t in toks]
+    df = spark.createDataFrame(rows, "k int, tok int")
+    got = {
+        (r.k1, r.k2, r.n1, r.n2, r.n_common)
+        for r in prefix_filtered_jaccard_join(df, "k", "tok", threshold).collect()
+    }
+    assert got == _brute_jaccard(rows, threshold)
+
+
+def test_prefix_join_epsilon_guard(spark):
+    """0.6 * 5 = 3.0000000000000004 in IEEE — a naive ceil() would
+    shorten the prefix of a 5-token set and silently drop pairs. Two
+    5-token sets sharing 4 (jaccard 4/6 = 0.667 >= 0.6) must survive."""
+    rows = [(1, t) for t in [10, 11, 12, 13, 14]] + [
+        (2, t) for t in [10, 11, 12, 13, 15]
+    ]
+    df = spark.createDataFrame(rows, "k int, tok int")
+    out = prefix_filtered_jaccard_join(df, "k", "tok", 0.6).collect()
+    assert [(r.k1, r.k2, r.n_common) for r in out] == [(1, 2, 4)]
+
+
+def test_prefix_join_validates_threshold(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, tok int")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            prefix_filtered_jaccard_join(df, "k", "tok", bad)
+
+
+def test_candidate_reduction_is_real(spark):
+    """The pruning the module docstring promises must be measurable:
+    filtered candidates strictly fewer than brute-force candidates on
+    hot-token data (and never more — filters only remove)."""
+    rows = []
+    for k in range(40):
+        toks = {0, 1} | {(k * 5 + i) % 17 for i in range((k % 4) + 2)}
+        rows += [(k, t) for t in toks]
+    df = spark.createDataFrame(rows, "k int, tok int")
+    rep = candidate_reduction_report(df, "k", "tok", 0.6).collect()[0]
+    assert rep.filtered_pairs < rep.brute_pairs
+    assert 0.0 <= rep.ratio < 1.0
+
+
+def test_prefix_join_no_cartesian(spark):
+    """The join must stay an equi-join on the token — never a
+    cartesian/broadcast-nested-loop candidate explosion."""
+    df = spark.createDataFrame([(1, 1), (2, 1)], "k int, tok int")
+    plan = prefix_filtered_jaccard_join(df, "k", "tok", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangles_hand_graph(spark):
+    """K4 plus a pendant edge: K4 has 4 triangles; every K4 vertex sits
+    in exactly 3 of them; the pendant vertex in none."""
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r.node: r.n_triangles for r in triangle_counts(df, "u", "v").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_input_normalization(spark):
+    """Duplicate edges, reversed duplicates, and self-loops must not
+    change the count (canonical undirected edge set)."""
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r.node: r.n_triangles for r in triangle_counts(df, "u", "v").collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_none_in_tree(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "u int, v int")
+    assert triangle_counts(df, "u", "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_star_center_dominates(spark):
+    """On a star graph the hub must out-rank every leaf, and all leaves
+    must tie exactly (fixed-point arithmetic: EXACT equality, not
+    approximate)."""
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    ranks = {r.node: r.rank_fp for r in pagerank_fixed_point(df, "u", "v").collect()}
+    leaf_ranks = {v for k, v in ranks.items() if k != 0}
+    assert len(leaf_ranks) == 1
+    assert ranks[0] > leaf_ranks.pop()
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Total fixed-point mass stays within |V| + iters*|V| ulps of the
+    scale (floor divisions only ever LOSE mass, never create it)."""
+    edges = [(i, (i + 1) % 7) for i in range(7)] + [(0, 3), (2, 5)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    out = pagerank_fixed_point(df, "u", "v", iters=3)
+    total = out.agg(F.sum("rank_fp")).collect()[0][0]
+    scale = 10**12
+    assert total <= scale
+    # 7 nodes, 4 division sites per node per iteration is a loose bound
+    assert total >= scale - 7 * (3 + 1) * 10 * 9  # well within a few k ulps
+    assert total > scale * 0.999999
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    """Same graph, different partition counts -> bit-identical ranks
+    (the entire point of fixed-point arithmetic)."""
+    edges = [(i % 11, (i * 3 + 1) % 11) for i in range(25)]
+    df1 = spark.createDataFrame(edges, "u int, v int").repartition(1)
+    df7 = spark.createDataFrame(edges, "u int, v int").repartition(7)
+    r1 = sorted(
+        (r.node, r.rank_fp) for r in pagerank_fixed_point(df1, "u", "v").collect()
+    )
+    r7 = sorted(
+        (r.node, r.rank_fp) for r in pagerank_fixed_point(df7, "u", "v").collect()
+    )
+    assert r1 == r7
+
+
+def test_pagerank_zero_iters_is_uniform(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u int, v int")
+    out = pagerank_fixed_point(df, "u", "v", iters=0).collect()
+    assert len({r.rank_fp for r in out}) == 1
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_fixed_point(df, "u", "v", iters=-1)
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_negatives_shape_and_laws(spark):
+    """Per anchor: <= k negatives, all distinct, never the anchor
+    itself; ranks are 1..k contiguous."""
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = cyclic_negative_sample(df, "doc_id", k=3, n_buckets=8).collect()
+    per: dict[int, list] = {}
+    for r in out:
+        per.setdefault(r.anchor_id, []).append(r)
+    assert set(per) == set(range(200))  # every anchor present (buckets of 25)
+    for a, rs in per.items():
+        negs = [r.neg_id for r in rs]
+        assert a not in negs
+        assert len(negs) == len(set(negs)) == 3
+        assert sorted(r.neg_rank for r in rs) == [1, 2, 3]
+
+
+def test_negatives_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = sorted(map(tuple, cyclic_negative_sample(df, "doc_id", k=2).collect()))
+    b = sorted(map(tuple, cyclic_negative_sample(df, "doc_id", k=2).collect()))
+    assert a == b
+    c = sorted(
+        map(tuple, cyclic_negative_sample(df, "doc_id", k=2, salt="other").collect())
+    )
+    assert a != c  # salt really re-draws
+
+
+def test_negatives_small_buckets(spark):
+    """Buckets smaller than k+1 yield min(k, bn-1) negatives, no
+    duplicates (the cyclic offset must never wrap a full cycle);
+    singleton corpus yields none."""
+    df = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    out = cyclic_negative_sample(df, "doc_id", k=5, n_buckets=1).collect()
+    per: dict[int, list] = {}
+    for r in out:
+        per.setdefault(r.anchor_id, []).append(r.neg_id)
+    for a, negs in per.items():
+        assert len(negs) == len(set(negs)) == 2
+        assert a not in negs
+    one = spark.createDataFrame([(42,)], "doc_id long")
+    assert cyclic_negative_sample(one, "doc_id", k=3).count() == 0
+
+
+def test_negatives_validation(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="k must"):
+        cyclic_negative_sample(df, "doc_id", k=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        cyclic_negative_sample(df, "doc_id", n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# RFM plan query invariants (oracle covers values; these cover laws)
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_in_range(spark):
+    from ghcn_d_etl_project_spark.plans.registry import all_queries
+
+    q = all_queries()["rfm_segments"]
+    out = q.fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    # the most recent customer(s) must hold r_score 5
+    best = [r for r in out if r.recency_days == min(x.recency_days for x in out)]
+    assert all(r.r_score == 5 for r in best)
