@@ -65,8 +65,15 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     found exactly once at its lowest-(degree, id) vertex, then credited
     to all three corners. Nodes in no triangle are absent (join the
     degree table if zeros are needed).
+
+    The canonical edge set and the oriented edge set are persist-marked
+    (same persist-once-substrate pattern as MinHash shingles): the
+    oriented table is scanned THREE times by the wedge-close self-join
+    and ``und`` twice more for degrees — without the marks the caller's
+    upstream edge derivation (often itself a join) re-executes five
+    times inside one action.
     """
-    und = _undirected(edges, src, dst)
+    und = _undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -86,6 +93,7 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
             F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     # Wedge a->b, a->c (b != c) closed by an oriented edge between b and
@@ -144,7 +152,10 @@ def pagerank_fixed_point(
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    und = _undirected(edges, src, dst)
+    # Persist the canonical edges: they feed the degree aggregation, the
+    # adj build, AND the bounded n_nodes count below — without the mark
+    # the caller's upstream edge derivation executes three times.
+    und = _undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     directed = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     # The loop-invariant big table: every directed edge with its source

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Guard for float prefix-length arithmetic: ceil(t*n) must be the true
 # mathematical ceiling even when t*n lands a few ulps above an integer
@@ -72,10 +73,15 @@ def prefix_filtered_jaccard_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
+    # Persist-once substrate (same pattern as MinHash shingles): the
+    # deduped (key, token) table is scanned by sizes, freq, the prefix
+    # build, and BOTH sides of the verification join — five scans that
+    # would each re-run the upstream scan + distinct shuffle otherwise.
     b = (
         df.select(F.col(key_col).alias("k"), F.col(token_col).alias("tok"))
         .filter(F.col("k").isNotNull() & F.col("tok").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = b.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     freq = b.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -95,6 +101,7 @@ def prefix_filtered_jaccard_join(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("k", "tok", "n")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     )
 
     a, c = pref.alias("a"), pref.alias("c")

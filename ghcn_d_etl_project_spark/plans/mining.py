@@ -55,7 +55,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) >= 0.5
 @register(
     "basket_jaccard_pairs",
     oracle=_BASKET_JACCARD_ORACLE,
-    tags=("mining", "dedup", "similarity"),
+    tags=("mining", "dedup", "similarity", "persists"),
     late=True,
 )
 def basket_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,8 +65,12 @@ def basket_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens bound the inverted-index self-join, the t-length band is
     checked inside the join condition, exact verification runs only on
     survivors). The oracle is the brute-force all-shared-token join the
-    filters replace — at this SF that is 894k candidate pairs vs ~3k
-    after pruning — so the MATCH doubles as the losslessness proof."""
+    filters replace, so the MATCH doubles as the losslessness proof.
+    Measured pruning at this SF (``candidate_reduction_report``): 894k
+    brute candidates -> 353k at t=0.5 (2.5x; baskets of 1-13 tokens at
+    a low threshold are near-worst-case — prefixes cover most of each
+    set) and -> 51k at t=0.8 (17x; the filters sharpen exactly where a
+    dedup pipeline runs them)."""
     from ghcn_d_etl_project_spark.operators.setjoin import (
         prefix_filtered_jaccard_join,
     )
@@ -111,7 +115,7 @@ FROM corners GROUP BY 1
 @register(
     "copurchase_triangles",
     oracle=_TRIANGLES_ORACLE,
-    tags=("mining", "graph"),
+    tags=("mining", "graph", "persists"),
     late=True,
 )
 def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +260,7 @@ FROM s
 @register(
     "rfm_segments",
     oracle=_RFM_ORACLE,
-    tags=("mining", "analytics"),
+    tags=("mining", "analytics", "persists"),
     late=True,
 )
 def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,6 +291,10 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # Each percentile pass scans its input three ways (distinct-value
+        # counts, total, join-back) and the passes chain — without the
+        # mark the orders aggregation re-executes ~9x in one action.
+        .persist()
     )
     scored = rollup
     for col, cume in (
