@@ -71,6 +71,40 @@ def _shuffle_partitions(spark, df: DataFrame) -> int:
             return 200
 
 
+def _monotone_bucket(
+    df: DataFrame,
+    order_col: str,
+    bucket_width: float | None,
+    num_partitions: int | None,
+):
+    """Value-derived, order-monotone bucket id Column (the module
+    docstring's two shapes) — shared by the running-sum and running-max
+    operators so both inherit the same branch-consistency guarantee."""
+    key = F.col(order_col).cast("double")
+    if bucket_width is not None:
+        # floor-div on DOUBLE (not a long pre-cast, which would collapse
+        # fractional keys onto integer buckets; not `div`, which
+        # truncates toward 0) so fractional and negative keys both
+        # bucket monotonically
+        return F.floor(key / F.lit(float(bucket_width))).cast("long")
+    spark = df.sparkSession
+    n = num_partitions or _shuffle_partitions(spark, df)
+    probs = [i / n for i in range(1, n)]
+    # one bounded sketch pass; n-1 doubles to the driver
+    cuts = (
+        df.select(key.alias("__k")).approxQuantile("__k", probs, 0.001)
+        if probs
+        else []
+    )
+    cuts = sorted(set(cuts))
+    if cuts:
+        return F.size(
+            F.filter(F.lit(cuts).cast("array<double>"), lambda b: b <= key)
+        ).cast("long")
+    # degenerate: one bucket (empty input or num_partitions=1)
+    return F.lit(0).cast("long")
+
+
 def global_cumsum(
     df: DataFrame,
     order_col: str,
@@ -99,31 +133,9 @@ def global_cumsum(
     if len(value_cols) != len(out_cols):
         raise ValueError("value_col and out_col lists must zip")
     df = df.filter(F.col(order_col).isNotNull())
-    key = F.col(order_col).cast("double")
-    if bucket_width is not None:
-        # floor-div on DOUBLE (not a long pre-cast, which would collapse
-        # fractional keys onto integer buckets; not `div`, which
-        # truncates toward 0) so fractional and negative keys both
-        # bucket monotonically
-        bucket = F.floor(key / F.lit(float(bucket_width))).cast("long")
-    else:
-        spark = df.sparkSession
-        n = num_partitions or _shuffle_partitions(spark, df)
-        probs = [i / n for i in range(1, n)]
-        # one bounded sketch pass; n-1 doubles to the driver
-        cuts = (
-            df.select(key.alias("__k")).approxQuantile("__k", probs, 0.001)
-            if probs
-            else []
-        )
-        cuts = sorted(set(cuts))
-        if cuts:
-            bucket = F.size(
-                F.filter(F.lit(cuts).cast("array<double>"), lambda b: b <= key)
-            ).cast("long")
-        else:  # degenerate: one bucket (empty input or num_partitions=1)
-            bucket = F.lit(0).cast("long")
-    base = df.withColumn(_PID, bucket)
+    base = df.withColumn(
+        _PID, _monotone_bucket(df, order_col, bucket_width, num_partitions)
+    )
 
     # Exclusive prefix over per-bucket totals: the groupBy partial-
     # aggregates map-side (tiny shuffle), and the orderBy window runs
@@ -158,3 +170,54 @@ def global_cumsum(
             o, F.sum(F.col(v)).over(w_local) + F.col(f"{_OFFSET}{i}")
         )
     return out.drop(_PID, *[f"{_OFFSET}{i}" for i in range(len(value_cols))])
+
+
+def global_cummax(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cummax",
+    inclusive: bool = True,
+    bucket_width: float | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = running MAX of ``value_col`` in ``order_col``
+    order — the max-monoid twin of :func:`global_cumsum`, same
+    value-derived monotone buckets, same one-full-shuffle shape, same
+    bounded single-partition summary window (see module docstring).
+
+    ``inclusive=False`` gives the EXCLUSIVE prefix max (strictly
+    preceding rows only): NULL when no predecessor exists — the shape a
+    sort-based Pareto frontier needs (``operators/skyline.py``). Ties in
+    ``order_col`` make per-row EXCLUSIVE prefixes ambiguous, exactly as
+    the module docstring warns for cumsum; use a unique order key.
+    """
+    df = df.filter(F.col(order_col).isNotNull())
+    base = df.withColumn(
+        _PID, _monotone_bucket(df, order_col, bucket_width, num_partitions)
+    )
+    # Exclusive prefix max over per-bucket maxes (NULL for the first
+    # bucket — max has no identity element the way sum has 0, so the
+    # no-predecessor state is an honest NULL, not a sentinel).
+    w_prefix = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy(_PID)
+        .agg(F.max(value_col).alias("__bmax"))
+        .select(_PID, F.max("__bmax").over(w_prefix).alias(_OFFSET))
+    )
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    # greatest() ignores NULL unless all args are NULL — exactly the
+    # semantics both the first-bucket and first-row-in-bucket edges need.
+    return (
+        base.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            out_col,
+            F.greatest(F.max(F.col(value_col)).over(w_local), F.col(_OFFSET)),
+        )
+        .drop(_PID, _OFFSET)
+    )

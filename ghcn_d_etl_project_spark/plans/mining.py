@@ -323,6 +323,55 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pareto frontier (skyline): cheapest-and-largest parts per brand
+# ---------------------------------------------------------------------------
+
+# The oracle is the quadratic NOT EXISTS dominance join the operator
+# replaces (BroadcastNestedLoopJoin death-mode in Spark) — the MATCH
+# proves the sort-based distributed construction exact, ties and all.
+_SKYLINE_ORACLE = """
+SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+       p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register(
+    "skyline_parts",
+    oracle=_SKYLINE_ORACLE,
+    tags=("mining", "analytics"),
+    late=True,
+)
+def skyline_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts — cheapest-AND-largest: no
+    other same-brand part is both <= on price and >= on size with one
+    strict (``operators/skyline.py:pareto_frontier_2d``). Computed as
+    the distributed sort-based construction — distinct-price collapse,
+    exclusive running max of best-size, strict-improvement filter,
+    broadcast join back — never the quadratic NOT EXISTS dominance join
+    the oracle states (a non-equi self-join plans
+    BroadcastNestedLoopJoin: the N^2 death-mode this operator exists to
+    avoid)."""
+    from ghcn_d_etl_project_spark.operators.skyline import pareto_frontier_2d
+
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_brand",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return pareto_frontier_2d(
+        p, "p_retailprice", "p_size", group_cols=["p_brand"]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic contrastive negative sampling
 # ---------------------------------------------------------------------------
 

@@ -261,3 +261,126 @@ def test_rfm_scores_in_range(spark):
     # the most recent customer(s) must hold r_score 5
     best = [r for r in out if r.recency_days == min(x.recency_days for x in out)]
     assert all(r.r_score == 5 for r in best)
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / global_cummax
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(points):
+    """Reference dominance check: q dominates p iff q.x <= p.x and
+    q.y >= p.y with one strict."""
+    out = []
+    for p in points:
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in points
+        ):
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce_global(spark):
+    from ghcn_d_etl_project_spark.operators.skyline import pareto_frontier_2d
+
+    pts = [((i * 17) % 23 + 0.5 * ((i * 7) % 3), (i * 11) % 19) for i in range(60)]
+    df = spark.createDataFrame(pts, "x double, y long")
+    got = sorted((r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_matches_bruteforce_grouped(spark):
+    from ghcn_d_etl_project_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [
+        ("g" + str(i % 3), float((i * 13) % 29), (i * 5) % 17) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    got = sorted(
+        (r.g, r.x, r.y)
+        for r in pareto_frontier_2d(df, "x", "y", group_cols=["g"]).collect()
+    )
+    want = []
+    for g in ("g0", "g1", "g2"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        want += [(g, x, y) for x, y in _brute_skyline(pts)]
+    assert got == sorted(want)
+
+
+def test_skyline_ties_and_nulls(spark):
+    """Exact coordinate duplicates all survive (neither dominates);
+    a same-x lower-y row is dominated; NULL objectives are excluded."""
+    from ghcn_d_etl_project_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [
+        (1, 5.0, 10),
+        (2, 5.0, 10),   # exact duplicate of 1 -> both survive
+        (3, 5.0, 9),    # same price, smaller -> dominated
+        (4, 4.0, 10),   # cheaper, same size -> dominates 1/2
+        (5, None, 99),
+        (6, 3.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    ids = sorted(r.id for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert ids == [4]
+    # without row 4, the duplicate pair survives together
+    df2 = df.filter("id != 4")
+    ids2 = sorted(r.id for r in pareto_frontier_2d(df2, "x", "y").collect())
+    assert ids2 == [1, 2]
+
+
+def test_skyline_no_nested_loop_join(spark):
+    """The whole point: no BroadcastNestedLoopJoin / CartesianProduct
+    in the physical plan (the NOT EXISTS formulation would plan one)."""
+    from ghcn_d_etl_project_spark.operators.skyline import pareto_frontier_2d
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 2.0, 2)], "g string, x double, y int"
+    )
+    for kwargs in ({}, {"group_cols": ["g"]}):
+        plan = (
+            pareto_frontier_2d(df, "x", "y", **kwargs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    # objective/group column overlap is refused, not silently ambiguous
+    with _pytest.raises(ValueError, match="distinct"):
+        pareto_frontier_2d(df, "x", "x")
+    with _pytest.raises(ValueError, match="distinct"):
+        pareto_frontier_2d(df, "x", "y", group_cols=["y"])
+
+
+def test_global_cummax_matches_window(spark):
+    """Bucketed running max == the single-partition window formulation,
+    inclusive and exclusive, on skewed keys (both bucketing shapes)."""
+    from pyspark.sql import Window
+
+    from ghcn_d_etl_project_spark.operators.prefix import global_cummax
+
+    rows = [(float(i * i % 97), (i * 31) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "k double, v long").withColumn(
+        "k", F.col("k") + F.col("v") / 1000.0  # unique order keys
+    )
+    for inclusive in (True, False):
+        end = 0 if inclusive else -1
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, end)
+        want = {
+            (r.k, r.m)
+            for r in df.withColumn("m", F.max("v").over(w)).collect()
+        }
+        for kwargs in ({"bucket_width": 7.0}, {"num_partitions": 8}):
+            got = {
+                (r.cm_k, r.cm_m)
+                for r in global_cummax(
+                    df, "k", "v", out_col="m", inclusive=inclusive, **kwargs
+                )
+                .select(F.col("k").alias("cm_k"), F.col("m").alias("cm_m"))
+                .collect()
+            }
+            assert got == want, (inclusive, kwargs)
