@@ -220,7 +220,7 @@ FROM (
 """
 
 
-@register("grain_cardinality", oracle=_GRAIN_ORACLE, tags=("agg", "quality"))
+@register("grain_cardinality", oracle=_GRAIN_ORACLE, tags=("agg", "quality"), late=True)
 def grain_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grain-cardinality lineage check (A15/Q6): groupBy(grain).count()
     then summarize — reference ``05_data_validation.py:179-180`` computed

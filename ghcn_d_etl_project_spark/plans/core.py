@@ -64,7 +64,7 @@ FROM lineitem
 """
 
 
-@register("conditional_rewrite", oracle=_REWRITE_ORACLE, tags=("filter", "scalar"))
+@register("conditional_rewrite", oracle=_REWRITE_ORACLE, tags=("filter", "scalar"), late=True)
 def conditional_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """when/otherwise unit conversion (P7, ``silver_processor.py:52-57``),
     out-of-range -> NULL (P8, :59-70), and a classification ladder (A6,
@@ -109,7 +109,7 @@ FROM customer
 """
 
 
-@register("string_funcs", oracle=_STRING_ORACLE, tags=("scalar",))
+@register("string_funcs", oracle=_STRING_ORACLE, tags=("scalar",), late=True)
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family (P1/P11): fixed and computed-position substring (the
     reference's day-slot extraction pattern, ``bronze_processor.py:99-119``),
@@ -152,7 +152,7 @@ FROM orders
 """
 
 
-@register("date_funcs", oracle=_DATE_ORACLE, tags=("scalar",))
+@register("date_funcs", oracle=_DATE_ORACLE, tags=("scalar",), late=True)
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date family: extraction (year/month/day/dayofyear/quarter — the
     reference's partition keys and ``dayofyear`` feature,
@@ -200,7 +200,7 @@ FROM orders
 """
 
 
-@register("math_funcs", oracle=_MATH_ORACLE, tags=("scalar",))
+@register("math_funcs", oracle=_MATH_ORACLE, tags=("scalar",), late=True)
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family: the reference's seasonal sin/cos encodings with its
     hard-coded pi=3.14159 quirk (``gold_processor.py:205-207`` — kept, not
@@ -241,7 +241,7 @@ LIMIT 100
 """
 
 
-@register("top_k_orders", oracle=_TOPK_ORACLE, tags=("sort",))
+@register("top_k_orders", oracle=_TOPK_ORACLE, tags=("sort",), late=True)
 def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort + limit (O1/O2): Spark plans TakeOrderedAndProject —
     a per-partition top-k then a driver-side merge, no full sort shuffle.

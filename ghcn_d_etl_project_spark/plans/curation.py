@@ -536,7 +536,6 @@ LEFT JOIN versions v
     "point_in_time_features",
     oracle=_PIT_ORACLE,
     tags=("join", "temporal", "feature-store"),
-    late=True,
 )
 def point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature lookup
@@ -814,7 +813,6 @@ LIMIT 50
     "bm25_search_docs",
     oracle=_BM25_ORACLE,
     tags=("text", "retrieval"),
-    late=True,
 )
 def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Okapi BM25 for the query {spark, hash,
@@ -941,7 +939,6 @@ FROM d ORDER BY ad DESC, value ASC LIMIT 1
     "ks_drift_orders",
     oracle=_KS_ORACLE,
     tags=("quality", "drift"),
-    late=True,
 )
 def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov D for order prices, pre-1998

@@ -121,7 +121,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
-@register("anti_join", oracle=_ANTI_ORACLE, tags=("join",))
+@register("anti_join", oracle=_ANTI_ORACLE, tags=("join",), late=True)
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_anti join = NOT EXISTS: customers with no orders — the
     distributed replacement for the reference's driver-side station-set
@@ -140,7 +140,7 @@ SELECT o_custkey FROM orders
 """
 
 
-@register("except_recon", oracle=_EXCEPT_ORACLE, tags=("join", "setop"))
+@register("except_recon", oracle=_EXCEPT_ORACLE, tags=("join", "setop"), late=True)
 def except_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct) set reconciliation: customer keys never seen in
     orders. Same answer as anti_join but via the set-operator plan."""
@@ -156,7 +156,7 @@ SELECT o_orderkey, o_totalprice, 'low' AS tier FROM orders WHERE o_totalprice < 
 """
 
 
-@register("union_append", oracle=_UNION_ORACLE, tags=("setop",))
+@register("union_append", oracle=_UNION_ORACLE, tags=("setop",), late=True)
 def union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-aligned union append (U1) — ``unionByName`` of tagged
     slices; the scale-safe form of the reference's 913-way union loop
@@ -661,7 +661,6 @@ JOIN customer b
     "fuzzy_name_pairs",
     oracle=_FUZZY_ORACLE,
     tags=("join", "linkage"),
-    late=True,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 record linkage over customer names

@@ -128,7 +128,7 @@ FROM events
 """
 
 
-@register("json_extract", oracle=_JSON_ORACLE, tags=("scalar", "json"))
+@register("json_extract", oracle=_JSON_ORACLE, tags=("scalar", "json"), late=True)
 def json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction from the semi-structured props column —
     get_json_object stays JVM-side (Jackson) and codegen-friendly; the

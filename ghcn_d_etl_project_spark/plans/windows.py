@@ -902,7 +902,6 @@ HAVING COUNT(*) > 0
     "attribution_decay",
     oracle=_DECAY_ORACLE,
     tags=("window", "events", "funnel"),
-    late=True,
 )
 def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution (half-life 30 min, lookback
