@@ -82,6 +82,34 @@ def _scoreable(df, id_col: str, vec_col: str):
     )
 
 
+def _matmul_corpus_fits(
+    df: DataFrame,
+    vec_col: str,
+    broadcast_rows: int,
+    broadcast_bytes: int,
+) -> tuple[bool, int]:
+    """Bounded probe: does the (already _scoreable-filtered) corpus fit
+    the matmul arm's driver collect?
+
+    The row cap alone is NOT a safety bound — 2M rows at 1024-dim
+    float64 is ~16 GB of driver heap. The real constraint is BYTES:
+    ``rows x dim x 8`` against ``broadcast_bytes``. One row is sampled
+    for the dimensionality (vectors are fixed-width by contract), the
+    byte budget converts to an effective row cap, and a
+    ``limit(cap + 1)`` count decides — never a full count, so the probe
+    cost is O(cap) regardless of corpus size. Returns
+    ``(fits, effective_row_cap)``; an empty corpus trivially fits."""
+    first = df.select(F.size(_as_double(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        return True, broadcast_rows  # empty corpus: nothing to collect
+    dim = max(int(first[0]["d"]), 1)
+    cap = min(broadcast_rows, broadcast_bytes // (dim * 8))
+    if cap < 1:
+        return False, cap
+    n_bounded = df.limit(cap + 1).count()
+    return n_bounded <= cap, cap
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -90,6 +118,7 @@ def cosine_topk(
     round_digits: int = 6,
     strategy: str = "auto",
     broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Exact all-pairs cosine top-k neighbors per vector (self excluded).
     Ties broken by neighbor id for determinism.
@@ -106,13 +135,16 @@ def cosine_topk(
       the (tie-aware) top-k INSIDE the batch, so only N x k rows ever
       exist as rows. Work per query partition is independent — on a
       1000-executor cluster each executor scores its query slice against
-      the shared corpus block with zero shuffle. Bounded by
-      ``broadcast_rows`` (corpus must fit executor memory; beyond that
-      the honest scale path is IVF (``operators/ivf.py``) or sign-LSH —
-      the brute-force N^2 itself is what stopped scaling, not this
-      broadcast).
-    * ``"auto"`` — matmul when a bounded O(broadcast_rows) probe shows
-      the corpus fits, else pairs.
+      the shared corpus block with zero shuffle. Bounded by BYTES
+      (``broadcast_bytes``, default 512 MB: ``rows x dim x 8`` must fit
+      driver + executor memory — a row cap alone reads safe at 2M rows
+      yet is ~16 GB at 1024-dim) with ``broadcast_rows`` kept as a
+      secondary cap; beyond either, the honest scale path is IVF
+      (``operators/ivf.py``) or sign-LSH — the brute-force N^2 itself
+      is what stopped scaling, not this broadcast.
+    * ``"auto"`` — matmul when a bounded probe (one sampled row for the
+      vector dim, then ``limit(cap+1).count()``) shows the corpus fits,
+      else pairs.
 
     Contract: rows with NULL ids, NULL vectors, or zero-norm vectors
     are EXCLUDED (no cosine is defined for them; 0/0-NaN ordering is
@@ -128,13 +160,17 @@ def cosine_topk(
         raise ValueError(f"unknown strategy {strategy!r}")
     df = _scoreable(df, id_col, vec_col)
     if strategy != "pairs":
-        n_bounded = df.limit(broadcast_rows + 1).count()
-        if n_bounded <= broadcast_rows:
+        fits, cap = _matmul_corpus_fits(
+            df, vec_col, broadcast_rows, broadcast_bytes
+        )
+        if fits:
             return _cosine_topk_matmul(df, id_col, vec_col, k, round_digits)
         if strategy == "matmul":
             raise ValueError(
-                f"corpus exceeds broadcast_rows={broadcast_rows}; use "
-                "strategy='pairs' or the IVF/LSH approximate paths"
+                f"corpus exceeds the matmul broadcast budget (effective "
+                f"row cap {cap} from broadcast_bytes={broadcast_bytes}, "
+                f"broadcast_rows={broadcast_rows}); use strategy='pairs' "
+                "or the IVF/LSH approximate paths"
             )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("qid"),
@@ -233,6 +269,7 @@ def neardup_pairs(
     round_digits: int = 6,
     strategy: str = "auto",
     broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cos >= t).
     Norms precomputed per vector (see cosine_topk).
@@ -241,19 +278,25 @@ def neardup_pairs(
     (broadcast corpus, one GEMM per Arrow batch of queries, each
     unordered pair emitted by its SMALLER id so nothing duplicates;
     only the >= t survivors ever exist as rows) and ``"pairs"`` (the
-    crossJoin fallback); ``"auto"`` probes the broadcast bound. Same
-    NULL/zero-norm exclusion contract as :func:`cosine_topk`."""
+    crossJoin fallback); ``"auto"`` probes the broadcast bound —
+    BYTES-first (``broadcast_bytes``, see :func:`cosine_topk`), rows
+    as a secondary cap. Same NULL/zero-norm exclusion contract as
+    :func:`cosine_topk`."""
     if strategy not in ("auto", "pairs", "matmul"):
         raise ValueError(f"unknown strategy {strategy!r}")
     df = _scoreable(df, id_col, vec_col)
     if strategy != "pairs":
-        n_bounded = df.limit(broadcast_rows + 1).count()
-        if n_bounded <= broadcast_rows:
+        fits, cap = _matmul_corpus_fits(
+            df, vec_col, broadcast_rows, broadcast_bytes
+        )
+        if fits:
             return _neardup_matmul(df, id_col, vec_col, threshold, round_digits)
         if strategy == "matmul":
             raise ValueError(
-                f"corpus exceeds broadcast_rows={broadcast_rows}; use "
-                "strategy='pairs' or the LSH bucketed path"
+                f"corpus exceeds the matmul broadcast budget (effective "
+                f"row cap {cap} from broadcast_bytes={broadcast_bytes}, "
+                f"broadcast_rows={broadcast_rows}); use strategy='pairs' "
+                "or the LSH bucketed path"
             )
     a = ensure_parallelism(df).select(
         F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1")

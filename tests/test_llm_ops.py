@@ -13,7 +13,11 @@ from ghcn_d_etl_project_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from ghcn_d_etl_project_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from ghcn_d_etl_project_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    neardup_pairs,
+)
 from ghcn_d_etl_project_spark.operators.textops import rolling_hash
 from ghcn_d_etl_project_spark.plans._util import t
 from tests.conftest import SF_DIR
@@ -538,6 +542,38 @@ def test_cosine_topk_matmul_tie_break_by_id(spark):
     with pytest.raises(ValueError):
         cosine_topk(df, "vec_id", "embedding", k=2,
                     strategy="matmul", broadcast_rows=2).count()
+
+
+def test_cosine_matmul_bounded_by_bytes_not_rows(spark):
+    """The r8 matmul gate was row-based (2M default) — at 1024-dim
+    float64 that is ~16 GB of driver heap, far past safety. The gate is
+    now BYTES-first: a tiny-row/high-dim corpus that passes the row cap
+    must still refuse the matmul collect when rows x dim x 8 exceeds
+    broadcast_bytes, and 'auto' must degrade to the pairs arm with the
+    identical result rather than collect."""
+    dim = 64
+    rows = [(i, [float((i * 7 + j) % 13) + 1.0 for j in range(dim)])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    budget = 3 * dim * 8  # fits only 3 of the 6 vectors
+    with pytest.raises(ValueError, match="broadcast budget"):
+        cosine_topk(df, "vec_id", "embedding", k=2, strategy="matmul",
+                    broadcast_bytes=budget).count()
+    with pytest.raises(ValueError, match="broadcast budget"):
+        neardup_pairs(df, "vec_id", "embedding", threshold=0.5,
+                      strategy="matmul", broadcast_bytes=budget).count()
+    # auto: byte-overflow falls back to the pairs arm, same logical result
+    via_auto = sorted(map(tuple, cosine_topk(
+        df, "vec_id", "embedding", k=2, strategy="auto",
+        broadcast_bytes=budget).collect()))
+    via_pairs = sorted(map(tuple, cosine_topk(
+        df, "vec_id", "embedding", k=2, strategy="pairs").collect()))
+    assert via_auto == via_pairs and len(via_auto) == 12
+    # within budget: matmul still engages and matches
+    via_mm = sorted(map(tuple, cosine_topk(
+        df, "vec_id", "embedding", k=2, strategy="matmul",
+        broadcast_bytes=6 * dim * 8).collect()))
+    assert via_mm == via_pairs
 
 
 def test_charlm_gibberish_scores_below_corpus_text(spark):
