@@ -3,12 +3,15 @@ pipelines.
 
 Media are opaque ``binary`` columns plus a typed metadata struct; all
 per-byte work happens in Arrow-batched Pandas UDFs via ``mapInPandas``
-(the one legitimate UDF surface — SURVEY.md §2.11 note). The actual
-codec step is STUBBED: the container has no image/audio libraries, so
-``decode`` is a clearly-marked deterministic fake (or raises
-``NotImplementedError`` in strict mode) while the Spark-side plumbing —
-schemas, batch iteration, one-to-many frame explosion, partitioning —
-is real and tested.
+(the one legitimate UDF surface — SURVEY.md §2.11 note). The codec step
+is REAL for one public uncompressed format — 24-bit BI_RGB Windows BMP,
+decoded/encoded with nothing but ``struct`` (the format is a 14-byte
+file header + 40-byte BITMAPINFOHEADER + bottom-up rows padded to 4
+bytes; public spec, no library needed). Payloads that are not BMP fall
+back to a clearly-marked deterministic fake (the container has no
+PIL/libav for compressed codecs), so the Spark-side plumbing — schemas,
+batch iteration, one-to-many frame explosion, partitioning — runs
+identically over real and synthetic media.
 
 Scale notes: mapInPandas streams Arrow record batches
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows each) through the
@@ -21,6 +24,7 @@ and project them away before wide operations.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -88,10 +92,11 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(content: bytes, width: int, height: int) -> dict:
-    """STUB DECODER — deterministic fake standing in for PIL/libav.
-
-    A real deployment swaps this for the actual codec; everything else in
-    the operator (batching, schema, explosion) is production-shaped.
+    """STUB DECODER — deterministic fake standing in for PIL/libav on
+    COMPRESSED formats (JPEG/PNG/video). BMP payloads never reach this:
+    they take the real :func:`decode_bmp` path. Everything else in the
+    operator (batching, schema, explosion) is production-shaped either
+    way.
     """
     return {
         "width": width,
@@ -100,24 +105,112 @@ def _fake_decode(content: bytes, width: int, height: int) -> dict:
     }
 
 
-def decode_strict(*_args, **_kwargs):  # pragma: no cover - marker only
-    """Real decode entry point: not available in this container."""
-    raise NotImplementedError(
-        "media codecs (PIL/av) are not installed; use the deterministic "
-        "fake decoder (_fake_decode) for plumbing tests"
-    )
+# --- real codec: 24-bit uncompressed BI_RGB Windows BMP (public spec;
+# 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + bottom-up
+# BGR rows, each padded to a 4-byte boundary) -------------------------
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res, res, px offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode rows of (R, G, B) tuples (row 0 = TOP) as a 24-bit BMP.
+    Pure stdlib; inverse of :func:`decode_bmp` (pinned pixel-exact in
+    tests). Rows are written bottom-up in BGR order with 4-byte padding,
+    exactly as the format requires."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    out = bytearray()
+    out += _BMP_HEADER.pack(b"BM", offset + img_size, 0, 0, offset)
+    out += _BMP_INFO.pack(40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = b"\0" * (row_size - width * 3)
+    for row in reversed(pixels):  # bottom-up storage
+        for r, g, b in row:
+            out += bytes((b, g, r))  # BGR on disk
+        out += pad
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a 24-bit uncompressed BMP to (width, height, rows of
+    (R, G, B), row 0 = TOP). Raises ``ValueError`` on anything that is
+    not plain 24-bit BI_RGB — compressed formats need a real codec
+    library, which this container does not ship."""
+    if len(data) < _BMP_HEADER.size + _BMP_INFO.size or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _, _, _, offset = _BMP_HEADER.unpack_from(data, 0)
+    (hsize, width, height, _planes, bpp, compression,
+     *_rest) = _BMP_INFO.unpack_from(data, _BMP_HEADER.size)
+    if hsize < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (header={hsize}, bpp={bpp}, "
+            f"compression={compression}); only uncompressed 24-bit BI_RGB "
+            "is decodable without a codec library"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if len(data) < offset + row_size * height:
+        raise ValueError("truncated BMP payload")
+    rows = []
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        base = offset + src_y * row_size
+        row = [
+            (data[base + 3 * x + 2], data[base + 3 * x + 1], data[base + 3 * x])
+            for x in range(width)
+        ]
+        rows.append(row)
+    return width, height, rows
+
+
+def is_bmp(content: bytes) -> bool:
+    return len(content) >= 2 and content[:2] == b"BM"
+
+
+def _decode_any(content: bytes, meta_width: int, meta_height: int) -> dict:
+    """Dispatch: real BMP decode when the payload IS a BMP (dimensions
+    and mean come from actual pixels, metadata is ignored as untrusted),
+    deterministic fake otherwise."""
+    if is_bmp(content):
+        w, h, rows = decode_bmp(content)
+        n = w * h * 3
+        total = sum(c for row in rows for px in row for c in px)
+        return {"width": w, "height": h,
+                "mean_byte": int(total / n) if n else 0}
+    return _fake_decode(content, meta_width, meta_height)
+
+
+def resize_nearest(
+    rows: list[list[tuple[int, int, int]]], out_w: int, out_h: int
+) -> list[list[tuple[int, int, int]]]:
+    """Nearest-neighbor resample: output pixel (x, y) samples input pixel
+    (floor(x*in_w/out_w), floor(y*in_h/out_h)) — the standard box-free
+    mapping, deterministic and library-free."""
+    in_h = len(rows)
+    in_w = len(rows[0]) if in_h else 0
+    return [
+        [rows[y * in_h // out_h][x * in_w // out_w] for x in range(out_w)]
+        for y in range(out_h)
+    ]
 
 
 def image_features(df: DataFrame) -> DataFrame:
     """Per-image features via mapInPandas: payload size, content hash,
     decoded dimensions, mean byte value. One output row per input row;
-    Arrow batches stream through the Python worker."""
+    Arrow batches stream through the Python worker. BMP payloads are
+    REALLY decoded (:func:`decode_bmp` — dimensions and pixel mean come
+    from the actual raster, not metadata); other formats use the
+    deterministic fake."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = pdf["meta"]
             decoded = [
-                _fake_decode(c, m["width"], m["height"])
+                _decode_any(c, m["width"], m["height"])
                 for c, m in zip(pdf["content"], metas)
             ]
             yield pd.DataFrame(
@@ -135,9 +228,11 @@ def image_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
-    """Resize plumbing: recompute metadata and (fake-)transform payload.
-    The fake 'resample' truncates/pads the payload to out_w*out_h bytes —
-    deterministic, size-correct, codec-free."""
+    """Resize: BMP payloads get a REAL nearest-neighbor resample
+    (:func:`resize_nearest`, decode → sample → re-encode, pinned
+    pixel-exact in tests); non-BMP payloads keep the fake 'resample'
+    (truncate/pad to out_w*out_h bytes — deterministic, size-correct,
+    codec-free)."""
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -146,21 +241,25 @@ def resize_images(df: DataFrame, out_width: int, out_height: int) -> DataFrame:
         ]
     )
 
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _resize_one(c: bytes) -> bytes:
+        if is_bmp(c):
+            _, _, rows = decode_bmp(c)
+            return encode_bmp(resize_nearest(rows, out_width, out_height))
         target = out_width * out_height
+        return bytes(c[:target]).ljust(target, b"\0")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_content = [
-                bytes(c[:target]).ljust(target, b"\0") for c in pdf["content"]
-            ]
+            out_content = [_resize_one(c) for c in pdf["content"]]
             out_meta = [
                 {
-                    "format": m["format"],
+                    "format": "image/bmp" if is_bmp(c) else m["format"],
                     "width": out_width,
                     "height": out_height,
                     "n_frames": m["n_frames"],
                     "sample_rate": m["sample_rate"],
                 }
-                for m in pdf["meta"]
+                for c, m in zip(pdf["content"], pdf["meta"])
             ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "content": out_content, "meta": out_meta}

@@ -89,3 +89,110 @@ def test_media_payloads_stay_out_of_shuffle_keys(spark):
         if "HashAggregate" in line or line.strip().startswith("+- Project"):
             assert "frame_bytes" not in line, line
     assert agg.count() == 40
+
+
+# --- real BMP codec path (round 9: the codec stub became a real
+# pure-stdlib 24-bit BI_RGB decoder/encoder) --------------------------
+
+def _gradient(w, h):
+    """Deterministic test raster: every pixel value derived from (x, y)."""
+    return [
+        [((x * 7) % 256, (y * 11) % 256, (x + y) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_bmp_roundtrip_pixel_exact():
+    """encode_bmp/decode_bmp are exact inverses, including the 4-byte row
+    padding cases (width % 4 in {0,1,2,3} via widths 4..7)."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for w in (4, 5, 6, 7):
+        px = _gradient(w, 3)
+        data = encode_bmp(px)
+        assert data[:2] == b"BM"
+        got_w, got_h, got = decode_bmp(data)
+        assert (got_w, got_h) == (w, 3)
+        assert got == px
+
+
+def test_bmp_decode_rejects_unsupported_variants():
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"JFIFnotabmp" * 10)
+    data = bytearray(encode_bmp(_gradient(4, 2)))
+    data[28] = 8  # bpp 24 -> 8 (palettized: needs a palette decoder)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(_gradient(4, 2))[:-5])
+
+
+def test_image_features_decodes_real_bmp(spark):
+    """A planted BMP payload must yield header-true dimensions and the
+    PIXEL mean (not the raw-file-byte mean) — proof the raster is really
+    decoded, since the file bytes include headers and padding."""
+    from ghcn_d_etl_project_spark.operators.multimodal import encode_bmp
+
+    px = _gradient(5, 4)  # width 5 -> padded rows, so raw-byte mean differs
+    payload = encode_bmp(px)
+    flat = [c for row in px for p in row for c in p]
+    expected_mean = int(sum(flat) / len(flat))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), ("image/bmp", 999, 999, 1, 0))],
+        "doc_id long, content binary, "
+        "meta struct<format:string,width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    row = image_features(df).collect()[0]
+    assert (row.width, row.height) == (5, 4)  # from the header, not meta
+    assert row.mean_byte == expected_mean
+    assert row.n_bytes == len(payload)
+
+
+def test_resize_real_bmp_nearest_neighbor_pixel_exact(spark):
+    """Resize of a BMP payload must equal the nearest-neighbor reference
+    mapping out(x,y) = in(x*in_w//out_w, y*in_h//out_h), re-encoded as a
+    valid BMP — checked pixel-by-pixel after a decode of the output."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = _gradient(8, 6)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_bmp(px)), ("image/bmp", 8, 6, 1, 0))],
+        "doc_id long, content binary, "
+        "meta struct<format:string,width:int,height:int,n_frames:int,sample_rate:int>",
+    )
+    out = resize_images(df, 4, 3).collect()[0]
+    assert out.meta.format == "image/bmp"
+    assert (out.meta.width, out.meta.height) == (4, 3)
+    w, h, got = decode_bmp(bytes(out.content))
+    assert (w, h) == (4, 3)
+    expected = [[px[y * 6 // 3][x * 8 // 4] for x in range(4)] for y in range(3)]
+    assert got == expected
+    # upscale too (indices repeat rather than skip)
+    up = resize_images(df, 16, 12).collect()[0]
+    w2, h2, got2 = decode_bmp(bytes(up.content))
+    assert (w2, h2) == (16, 12)
+    assert got2 == [[px[y * 6 // 12][x * 8 // 16] for x in range(16)]
+                    for y in range(12)]
+
+
+def test_non_bmp_payloads_keep_fake_path(spark):
+    """The registered rows-only queries run over synthesize_media's fake
+    payloads — those must be byte-identical to the r8 behavior (truncate/
+    pad resample, metadata dimensions)."""
+    out = resize_images(_media(spark, 10), 32, 32).collect()
+    for r in out:
+        assert len(r.content) == 32 * 32
+        assert r.meta.format == "fake/raw"
