@@ -589,10 +589,21 @@ def main() -> None:
     if ghcn_e2e is not None:
         detail["ghcn_e2e"] = ghcn_e2e
     detail_line = json.dumps(detail)
+    # r8 lesson: a later CONTENDED run (the driver re-running the bench on
+    # a loaded box) overwrote the banked clean detail artifact. A clean
+    # (contended: false) detail file is only ever replaced by another
+    # clean run; a contended run writes the suffixed sibling instead, so
+    # both records exist and the most-visible artifact stays trustworthy.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    if contended:
+        try:
+            prior = json.loads(detail_path.read_text())
+            if prior.get("contended") is False:
+                detail_path = detail_path.with_name("BENCH_DETAIL.contended.json")
+        except (OSError, ValueError):
+            pass  # no/unreadable prior detail: write in place
     try:
-        (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
-            detail_line + "\n"
-        )
+        detail_path.write_text(detail_line + "\n")
     except OSError:
         pass  # read-only checkout must not kill the bench
     # detail to STDERR: stdout must hold ONLY the compact line so the
