@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "autocorrelation",
     "cusum",
     "date_spine",
     "ewma",
@@ -49,6 +50,7 @@ __all__ = [
     "interpolate_linear",
     "merge_intervals",
     "peak_concurrency",
+    "seasonal_profile",
 ]
 
 
@@ -483,4 +485,142 @@ def peak_concurrency(
         conc.orderBy(F.col("conc").desc(), F.col("ts").asc())
         .limit(1)
         .select("ts", F.col("conc").cast("long").alias("peak_concurrency"))
+    )
+
+
+def autocorrelation(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key sample autocorrelation of an (already aggregated) series
+    at the given lags, deterministic enough to value-hash cross-engine.
+
+    ACF(k) here is the Pearson correlation between the series and its
+    k-step lag over the overlapping support (the "pairwise" estimator —
+    each lag uses its own means, the formulation a SQL oracle can state
+    directly), not the fixed-mean textbook estimator.
+
+    Scale design: the input is a SERIES (one row per key-step, i.e. the
+    output of a first partial-agg pass over the raw facts), so every
+    window partition is one key's series — small by construction; the
+    raw fact table never reaches this operator. All lags are computed in
+    ONE window pass (k ``lag`` expressions over the same WindowSpec share
+    one sort) and ONE moment aggregate: the (x, y) pairs for every lag
+    are stacked long and grouped by (key, lag) with the exact-DECIMAL
+    co-moment recipe of :func:`ghcn_d_etl_project_spark.operators.
+    quality.corr_pairs` — per-row double products are bit-identical
+    across engines, quantized sums are associative, and the final
+    correlation is one double expression over identical sums, so the
+    result is reproducible under any partitioning (Spark's streaming
+    ``F.corr`` accumulator is order-dependent and could never hash-match
+    an oracle).
+
+    Output: one row per (key, lag) with ``n`` overlapping pairs and
+    ``acf`` (NULL when the window variance is zero).
+    """
+    if not lags or any(k <= 0 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    lagged = series.select(
+        *keys,
+        F.col(value_col).cast("double").alias("__x"),
+        *[
+            F.lag(F.col(value_col).cast("double"), k).over(w).alias(f"__l{k}")
+            for k in lags
+        ],
+    )
+    pairs = ", ".join(f"{k}L, `__x`, `__l{k}`" for k in lags)
+    long = lagged.select(
+        *keys,
+        F.expr(f"stack({len(lags)}, {pairs}) as (lag, x, y)"),
+    ).filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    agg = long.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(28,4)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(30,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,6)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    denom = F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return agg.select(
+        *keys,
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            denom > 0,
+            F.round((n * F.col("sxy") - sx * sy) / denom, round_digits),
+        ).alias("acf"),
+    )
+
+
+def seasonal_profile(
+    series: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition of a daily series: per-key
+    per-weekday mean level and the multiplicative seasonal index
+    (weekday mean / overall mean), the "seasonal means" estimator.
+
+    Weekday is computed as pure integer arithmetic on days-since-epoch
+    (``((days + 3) % 7) + 1``, Monday=1 — 1970-01-01 was a Thursday),
+    NOT a locale/engine-dependent ``dayofweek()`` whose week origin
+    differs between Spark (Sunday=1) and DuckDB (Sunday=0).
+
+    Scale design: like :func:`autocorrelation`, the input is the
+    already-aggregated daily series, so this is two map-side-combining
+    aggregates over key×365-ish rows plus a broadcast join of the per-key
+    totals back onto the per-(key, dow) means — the raw fact table never
+    appears. Means are exact-DECIMAL sums divided by BIGINT counts; the
+    index is one double division — all bit-stable cross-engine.
+
+    Output: (keys…, dow iso-weekday long, n_days, mean_value,
+    seasonal_index), index NULL when the key's overall mean is zero.
+    """
+    keys = list(key_cols)
+    base = series.select(
+        *keys,
+        (
+            (F.datediff(F.col(date_col).cast("date"), F.lit("1970-01-01")) + 3)
+            % 7
+            + 1
+        )
+        .cast("long")
+        .alias("dow"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    by_dow = base.groupBy(*keys, "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("__s"),
+    )
+    overall = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__tn"),
+        F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("__ts"),
+    )
+    mean = F.col("__s") / F.col("n_days")
+    omean = F.col("__ts") / F.col("__tn")
+    return (
+        by_dow.join(F.broadcast(overall), keys)
+        .select(
+            *keys,
+            "dow",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(mean, round_digits).alias("mean_value"),
+            F.when(omean != 0, F.round(mean / omean, round_digits)).alias(
+                "seasonal_index"
+            ),
+        )
     )

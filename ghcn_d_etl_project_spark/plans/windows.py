@@ -921,3 +921,127 @@ def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_seconds=3600.0,
         half_life_seconds=1800.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Series autocorrelation (extension, r9): lagged self-similarity
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v AS x,
+         lag(v, 1) OVER w AS l1,
+         lag(v, 2) OVER w AS l2,
+         lag(v, 3) OVER w AS l3
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+long AS (
+  SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged
+  UNION ALL SELECT event_type, 2, x, l2 FROM lagged
+  UNION ALL SELECT event_type, 3, x, l3 FROM lagged
+),
+m AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM long WHERE y IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS acf
+FROM m
+"""
+
+
+@register(
+    "autocorr_events",
+    oracle=_AUTOCORR_ORACLE,
+    tags=("window", "events", "timeseries"),
+    late=True,
+)
+def autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's daily value series
+    (``operators/timeseries.py:autocorrelation``): the raw events
+    collapse to a per-(type, day) series in one partial-agg shuffle —
+    the only pass that ever touches the fact table — then all three
+    lags share ONE window sort and ONE grouped exact-DECIMAL co-moment
+    aggregate (the ``corr_pairs`` recipe), so an iteratively-defined
+    statistic hash-matches a SQL oracle under any partitioning.
+    ``F.corr``'s streaming accumulator could not."""
+    from ghcn_d_etl_project_spark.operators.timeseries import autocorrelation
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("v"))
+    return autocorrelation(
+        series, ["event_type"], "day", "v", lags=(1, 2, 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal profile (extension, r9): seasonal-means decomposition
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type,
+         ((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 1 AS dow, v
+  FROM s
+),
+bd AS (
+  SELECT event_type, dow, COUNT(*) AS n_days,
+         CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS sv
+  FROM b GROUP BY 1, 2
+),
+o AS (
+  SELECT event_type, COUNT(*) AS tn,
+         CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE) AS tsum
+  FROM b GROUP BY 1
+)
+SELECT bd.event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(n_days AS BIGINT) AS n_days,
+       round(sv / n_days, 6) AS mean_value,
+       CASE WHEN tsum / tn <> 0
+            THEN round((sv / n_days) / (tsum / tn), 6) END AS seasonal_index
+FROM bd JOIN o ON bd.event_type = o.event_type
+"""
+
+
+@register(
+    "seasonal_profile_events",
+    oracle=_SEASONAL_ORACLE,
+    tags=("window", "events", "timeseries"),
+    late=True,
+)
+def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonality of each event type's daily
+    value series (``operators/timeseries.py:seasonal_profile``):
+    weekday mean level and seasonal index (weekday mean / overall
+    mean). Weekday is integer arithmetic on days-since-epoch — never
+    ``dayofweek()``, whose week origin differs per engine. After the
+    one fact-table pass that builds the series, the rest is two
+    map-side-combining aggregates over type×day rows and a broadcast
+    join — nothing here grows with the raw event count."""
+    from ghcn_d_etl_project_spark.operators.timeseries import seasonal_profile
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("v"))
+    return seasonal_profile(series, ["event_type"], "day", "v")

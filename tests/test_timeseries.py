@@ -281,3 +281,108 @@ def test_peak_concurrency_half_open(spark):
     # peak is 2 (a+b at 0:30; then b+c at 1:00 — never 3, half-open)
     assert out[0].peak_concurrency == 2
     assert out[0].ts == TS(2024, 1, 1, 0, 30)
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def test_autocorrelation_matches_numpy_pairwise(spark):
+    """ACF at each lag equals the numpy Pearson corr of the series with
+    its k-shifted self over the overlapping support (the pairwise
+    estimator the operator documents)."""
+    import numpy as np
+
+    from ghcn_d_etl_project_spark.operators.timeseries import autocorrelation
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-50, 50), 2) for _ in range(40)]
+    rows = [("g", D(2024, 1, 1) + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {
+        r["lag"]: (r["n"], r["acf"])
+        for r in autocorrelation(df, ["k"], "day", "v", lags=(1, 2, 5)).collect()
+    }
+    a = np.array(vals)
+    for k in (1, 2, 5):
+        x, y = a[k:], a[:-k]
+        expected = float(np.corrcoef(x, y)[0, 1])
+        n, acf = out[k]
+        assert n == len(vals) - k
+        assert acf == pytest.approx(expected, abs=2e-6)
+
+
+def test_autocorrelation_perfect_and_alternating(spark):
+    """A linear ramp has ACF ~ 1 at every lag; a +1/-1 alternation has
+    ACF -1 at odd lags and +1 at even lags."""
+    from ghcn_d_etl_project_spark.operators.timeseries import autocorrelation
+
+    ramp = [("r", D(2024, 1, 1) + dt.timedelta(days=i), float(i)) for i in range(30)]
+    alt = [
+        ("a", D(2024, 1, 1) + dt.timedelta(days=i), 1.0 if i % 2 == 0 else -1.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(ramp + alt, "k string, day date, v double")
+    out = {
+        (r["k"], r["lag"]): r["acf"]
+        for r in autocorrelation(df, ["k"], "day", "v", lags=(1, 2)).collect()
+    }
+    assert out[("r", 1)] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", 1)] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("a", 2)] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_autocorrelation_constant_series_is_null(spark):
+    """Zero variance -> NULL acf (not NaN, not a crash)."""
+    from ghcn_d_etl_project_spark.operators.timeseries import autocorrelation
+
+    rows = [("c", D(2024, 1, 1) + dt.timedelta(days=i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = autocorrelation(df, ["k"], "day", "v", lags=(1,)).collect()
+    assert len(out) == 1 and out[0]["acf"] is None
+
+
+def test_autocorrelation_rejects_bad_lags(spark):
+    from ghcn_d_etl_project_spark.operators.timeseries import autocorrelation
+
+    df = spark.createDataFrame([("a", D(2024, 1, 1), 1.0)], "k string, day date, v double")
+    with pytest.raises(ValueError):
+        autocorrelation(df, ["k"], "day", "v", lags=())
+    with pytest.raises(ValueError):
+        autocorrelation(df, ["k"], "day", "v", lags=(0,))
+
+
+# ---------------------------------------------------------------------------
+# seasonal_profile
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_profile_weekday_arithmetic_and_index(spark):
+    """2024-01-01 was a Monday -> dow 1; a series that is 20.0 on Mondays
+    and 10.0 otherwise over exactly 4 weeks gets mean 20/10 and index
+    against overall mean (6*10+20)/7."""
+    from ghcn_d_etl_project_spark.operators.timeseries import seasonal_profile
+
+    rows = []
+    for i in range(28):
+        day = D(2024, 1, 1) + dt.timedelta(days=i)
+        rows.append(("g", day, 20.0 if i % 7 == 0 else 10.0))
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["dow"]: r for r in seasonal_profile(df, ["k"], "day", "v").collect()}
+    assert set(out) == set(range(1, 8))
+    overall = (6 * 10.0 + 20.0) / 7
+    assert out[1]["mean_value"] == pytest.approx(20.0)
+    assert out[1]["n_days"] == 4
+    assert out[1]["seasonal_index"] == pytest.approx(20.0 / overall, abs=1e-6)
+    assert out[2]["seasonal_index"] == pytest.approx(10.0 / overall, abs=1e-6)
+
+
+def test_seasonal_profile_zero_mean_index_null(spark):
+    from ghcn_d_etl_project_spark.operators.timeseries import seasonal_profile
+
+    rows = [("z", D(2024, 1, 1) + dt.timedelta(days=i), 0.0) for i in range(14)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    for r in seasonal_profile(df, ["k"], "day", "v").collect():
+        assert r["seasonal_index"] is None
+        assert r["mean_value"] == 0.0
