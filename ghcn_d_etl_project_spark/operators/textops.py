@@ -385,3 +385,110 @@ def charlm_surprisal(
             ).alias("avg_logp"),
         )
     )
+
+
+def word_cooccurrence_pmi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_word_len: int = 3,
+    min_df: int = 5,
+    max_df_ratio: float = 0.9,
+    min_pair: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in the
+    same document — the collocation/association primitive behind
+    phrase mining and distributional-similarity features (Church &
+    Hanks 1990), computed over document-level presence.
+
+    PMI(x, y) = ln( P(x,y) / (P(x) P(y)) ) with document-frequency
+    probabilities; NPMI normalizes to [-1, 1] by -ln P(x,y) (Bouma
+    2009) so scores compare across corpus sizes.
+
+    Scale design — prune the vocabulary BEFORE any pair ever exists:
+
+      * tokenize to DISTINCT per-doc words (presence, not counts): one
+        explode, map-side distinct;
+      * document frequency is one groupBy; the vocabulary filter
+        (``min_df`` floor — rare-word noise, ``max_df_ratio`` ceiling —
+        stopword-class words that would dominate the pair fan-out)
+        bounds both the join build side and the per-doc token list;
+      * candidate pairs come from a self-EQUI-join on the doc id with
+        ``w1 < w2`` inside the condition — fan-out is C(tokens_per_doc
+        after pruning, 2) per doc, never corpus-quadratic, and the doc
+        id is unskewed by construction;
+      * the final PMI projection joins the tiny (word, df) vocabulary
+        back twice — both joins broadcast — plus a one-row broadcast
+        of n_docs.
+
+    All counts are BIGINT; pmi/npmi are single double expressions over
+    identical integers, bit-stable cross-engine. NPMI is NULL when
+    n_pair == n_docs (the normalizer is zero). Output: (w1, w2,
+    n_pair, df1, df2, pmi, npmi).
+    """
+    if not 0 < max_df_ratio <= 1:
+        raise ValueError(f"max_df_ratio must be in (0, 1], got {max_df_ratio}")
+    if min_df < 1 or min_pair < 1:
+        raise ValueError("min_df and min_pair must be >= 1")
+    base = docs.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    words = F.array_distinct(
+        F.filter(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0),
+            lambda w: F.length(w) >= min_word_len,
+        )
+    )
+    tok = base.select(
+        F.col(id_col).alias("__doc"), F.explode(words).alias("w")
+    )
+    nd = tok.agg(F.count_distinct("__doc").alias("__n_docs"))
+    dfc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = (
+        dfc.crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= max_df_ratio * F.col("__n_docs"))
+        )
+        .select("w", "df")
+    )
+    pruned = tok.join(F.broadcast(vocab.select("w")), "w").select("__doc", "w")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__doc") == F.col("b.__doc"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    v1 = vocab.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    joined = (
+        pairs.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .crossJoin(F.broadcast(nd))
+    )
+    ratio = (
+        F.col("n_pair").cast("double")
+        * F.col("__n_docs").cast("double")
+        / (F.col("df1").cast("double") * F.col("df2").cast("double"))
+    )
+    pmi = F.log(ratio)
+    norm = F.log(F.col("__n_docs").cast("double")) - F.log(
+        F.col("n_pair").cast("double")
+    )
+    return joined.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "df1",
+        "df2",
+        F.round(pmi, round_digits).alias("pmi"),
+        F.when(F.col("n_pair") != F.col("__n_docs"), F.round(pmi / norm, round_digits)).alias(
+            "npmi"
+        ),
+    )

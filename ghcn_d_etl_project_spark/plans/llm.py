@@ -847,3 +847,69 @@ def charlm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ghcn_d_etl_project_spark.operators.textops import charlm_surprisal
 
     return charlm_surprisal(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Word co-occurrence PMI (extension, r9): collocation mining
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  ) WHERE length(w) >= 3
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+dfc AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY 1),
+vocab AS (SELECT w, df FROM dfc, nd WHERE df >= 5 AND df <= 0.9 * n_docs),
+pt AS (SELECT t.doc_id, t.w FROM tok t JOIN vocab v USING (w)),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+  FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(v1.df AS BIGINT) AS df1, CAST(v2.df AS BIGINT) AS df2,
+       round(ln(CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                / (CAST(v1.df AS DOUBLE) * CAST(v2.df AS DOUBLE))), 6) AS pmi,
+       CASE WHEN n_pair <> n_docs THEN
+         round(ln(CAST(n_pair AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                  / (CAST(v1.df AS DOUBLE) * CAST(v2.df AS DOUBLE)))
+               / (ln(CAST(n_docs AS DOUBLE)) - ln(CAST(n_pair AS DOUBLE))), 6)
+       END AS npmi
+FROM pairs
+JOIN vocab v1 ON pairs.w1 = v1.w
+JOIN vocab v2 ON pairs.w2 = v2.w, nd
+"""
+
+
+@register(
+    "pmi_cooccurrence_docs",
+    oracle=_PMI_ORACLE,
+    tags=("llm", "text", "mining"),
+    late=True,
+)
+def pmi_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI + NPMI collocation scores for word pairs co-occurring in the
+    same document (``operators/textops.py:word_cooccurrence_pmi``).
+    The vocabulary is pruned BEFORE any pair exists (min-df floor,
+    max-df stopword ceiling), the candidate join is a doc-id
+    EQUI-join whose fan-out is per-doc-quadratic only after pruning,
+    and the scoring joins broadcast the tiny (word, df) table — no
+    corpus-quadratic stage anywhere. Counts are BIGINT; pmi/npmi are
+    one double expression over identical integers, so the oracle
+    hash-matches bit-for-bit."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_cooccurrence_pmi,
+    )
+
+    return word_cooccurrence_pmi(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_word_len=3,
+        min_df=5,
+        max_df_ratio=0.9,
+        min_pair=5,
+    )

@@ -669,3 +669,102 @@ def test_similarity_null_and_zero_norm_contract(spark):
         ).collect()
         ids = {r.id1 for r in nd} | {r.id2 for r in nd}
         assert ids == {1, 2, 5}, (strat, nd)
+
+
+# ---------------------------------------------------------------------------
+# word_cooccurrence_pmi (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_computed_values(spark):
+    """Planted corpus: 'alpha beta' co-occur in 4 of 8 docs, each with
+    df 4 -> PMI = ln(4*8/(4*4)) = ln 2; 'gamma delta' never co-occur
+    enough to appear. NPMI = pmi / (ln N - ln n_pair)."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import word_cooccurrence_pmi
+
+    docs = []
+    for i in range(4):
+        docs.append((i, "alpha beta filler%d" % i))
+    for i in range(4, 8):
+        docs.append((i, "gamma delta%d word" % i))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in word_cooccurrence_pmi(
+            df, "doc_id", "text", min_df=2, max_df_ratio=1.0, min_pair=2
+        ).collect()
+    }
+    r = out[("alpha", "beta")]
+    assert r["n_pair"] == 4 and r["df1"] == 4 and r["df2"] == 4
+    expected_pmi = math.log(4 * 8 / (4 * 4))
+    assert r["pmi"] == pytest.approx(expected_pmi, abs=1e-6)
+    assert r["npmi"] == pytest.approx(
+        expected_pmi / (math.log(8) - math.log(4)), abs=1e-6
+    )
+    assert ("gamma", "word") not in out or out[("gamma", "word")]["n_pair"] >= 2
+
+
+def test_pmi_stopword_ceiling_and_rare_floor(spark):
+    """A word present in EVERY doc is pruned by max_df_ratio; a word in
+    only one doc is pruned by min_df — neither may appear in any pair."""
+    from ghcn_d_etl_project_spark.operators.textops import word_cooccurrence_pmi
+
+    docs = [
+        (
+            i,
+            "ubiquitous "
+            + ("alpha beta " if i < 4 else "other words ")
+            + ("rareword" if i == 0 else ""),
+        )
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = word_cooccurrence_pmi(
+        df, "doc_id", "text", min_df=2, max_df_ratio=0.9, min_pair=2
+    ).collect()
+    words = {r["w1"] for r in out} | {r["w2"] for r in out}
+    assert "ubiquitous" not in words
+    assert "rareword" not in words
+    assert ("alpha", "beta") in {(r["w1"], r["w2"]) for r in out}
+
+
+def test_pmi_npmi_null_when_pair_everywhere(spark):
+    """n_pair == n_docs makes the NPMI normalizer zero -> NULL, and PMI
+    itself is still defined (= -ln(df1*df2/N^2) ... here 0 when both
+    dfs are N)."""
+    from ghcn_d_etl_project_spark.operators.textops import word_cooccurrence_pmi
+
+    docs = [(i, "alpha beta") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = word_cooccurrence_pmi(
+        df, "doc_id", "text", min_df=2, max_df_ratio=1.0, min_pair=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["npmi"] is None
+    assert out[0]["pmi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pmi_presence_not_counts(spark):
+    """Repeating a word inside one doc must not inflate df or n_pair
+    (document-level presence semantics)."""
+    from ghcn_d_etl_project_spark.operators.textops import word_cooccurrence_pmi
+
+    docs = [(0, "alpha alpha alpha beta"), (1, "alpha beta beta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = word_cooccurrence_pmi(
+        df, "doc_id", "text", min_df=1, max_df_ratio=1.0, min_pair=1
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_pair"] == 2 and out[0]["df1"] == 2 and out[0]["df2"] == 2
+
+
+def test_pmi_validation(spark):
+    from ghcn_d_etl_project_spark.operators.textops import word_cooccurrence_pmi
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        word_cooccurrence_pmi(df, "doc_id", "text", max_df_ratio=1.5)
+    with pytest.raises(ValueError):
+        word_cooccurrence_pmi(df, "doc_id", "text", min_df=0)
