@@ -1,0 +1,229 @@
+"""Distributed k-means (Lloyd) over embedding columns, engineered for
+determinism: bit-identical assignments under any partitioning.
+
+Why determinism needs designing: textbook float k-means is doubly
+order-sensitive — random init, and centroid means accumulated in
+partition order. This implementation pins both:
+
+  * **init** — the k vectors with the smallest ids (a
+    TakeOrderedAndProject, no randomness, no driver-side scan); callers
+    wanting k-means++ semantics can pass ``init_ids`` explicitly;
+  * **update** — per-cluster per-dimension means are computed in FIXED
+    POINT: each component contributes ``floor(x * scale)`` as BIGINT,
+    sums are exact and associative (the ``pagerank_fixed_point`` trick,
+    ``operators/graphalgo.py``), and the new centroid component is the
+    one double ``sum_fp / (scale * count)`` — so every iteration's
+    centroids are a pure function of the SET of assigned rows, not of
+    accumulation order.
+
+Scale design (100 TB posture):
+
+  * assignment is shuffle-free: centroids (k x d doubles, a few KB)
+    ride a broadcast into ``mapInPandas``; one BLAS GEMM per Arrow
+    batch computes all k distances for the batch
+    (``|x|^2 - 2 x.c + |c|^2``), argmin with lowest-index tie-break;
+  * the per-iteration update is ONE groupBy producing k rows of d+1
+    exact integers — map-side partial aggregation collapses every
+    partition to <= k rows before the shuffle, so the shuffle volume
+    is k x d x partitions regardless of row count;
+  * the scoreable projection is persisted once and re-scanned per
+    iteration (iters is small and fixed); nothing driver-side ever
+    holds more than k x (d+1) numbers.
+
+Empty clusters keep their previous centroid (the standard Lloyd
+convention that never loses a cell).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd", "label_centroids"]
+
+
+def _as_double(col: str):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 4,
+    scale: int = 1_000_000,
+    init_ids: list | None = None,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Lloyd's k-means: returns one row per input vector with its final
+    cluster and (rounded) squared distance to the final centroid.
+
+    Deterministic by construction — see the module docstring. Rows with
+    NULL id or NULL vector are excluded by contract.
+
+    The scoreable projection is persisted for the iteration re-scans;
+    pass ``release_into`` (a list) to receive the persisted DataFrame
+    and ``unpersist()`` it once the returned frame has been consumed.
+
+    Output: ``(id_col, cluster long, dist2 double)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .persist()
+    )
+
+    if init_ids is not None:
+        seed_rows = base.filter(F.col("__id").isin(list(init_ids))).collect()
+        seed_rows.sort(key=lambda r: init_ids.index(r["__id"]))
+    else:
+        seed_rows = base.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        base.unpersist()
+        raise ValueError(
+            f"need at least k={k} distinct seedable rows, got {len(seed_rows)}"
+        )
+    C = np.asarray([r["__v"] for r in seed_rows], dtype=np.float64)
+    dim = C.shape[1]
+
+    sc = df.sparkSession.sparkContext
+
+    def assign(centroids: np.ndarray) -> DataFrame:
+        b = sc.broadcast(centroids)
+        id_type = base.schema["__id"].dataType.simpleString()
+
+        def run(batches):
+            M = b.value
+            cn = (M * M).sum(axis=1)  # |c|^2 per cluster
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                # |x|^2 - 2 x.c + |c|^2, one GEMM for the batch
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ M.T)
+                    + cn[None, :]
+                )
+                cl = d2.argmin(axis=1)  # numpy argmin = lowest index tie
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "__v": pdf["__v"],
+                        "cluster": cl.astype("int64"),
+                        "dist2": d2[np.arange(len(cl)), cl],
+                    }
+                )
+
+        return base.mapInPandas(
+            run,
+            schema=(
+                f"__id {id_type}, __v array<double>, "
+                "cluster long, dist2 double"
+            ),
+        )
+
+    for _ in range(iters):
+        assigned = assign(C)
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.floor(F.col("__v")[i] * F.lit(float(scale))).cast("long")
+                ).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        newC = C.copy()
+        for r in sums.collect():
+            c = int(r["cluster"])
+            n = int(r["__n"])
+            if n > 0:
+                newC[c] = np.asarray(
+                    [r[f"__s{i}"] for i in range(dim)], dtype=np.float64
+                ) / (float(scale) * n)
+        C = newC
+
+    if release_into is not None:
+        release_into.append(base)
+    final = assign(C)
+    return final.select(
+        F.col("__id").alias(id_col),
+        "cluster",
+        F.round("dist2", round_digits).alias("dist2"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label exact centroid of an embedding column, long format —
+    the class-prototype primitive (nearest-centroid classification,
+    contrastive anchor mining, cluster drift monitoring).
+
+    Fixed-point recipe: each component contributes
+    ``floor(v[i] * scale)`` as BIGINT, per-(label, dim) sums are exact
+    and associative, the mean is the single double
+    ``sum / (scale * n)`` — bit-identical under any partitioning or
+    engine, which is what lets a FLOAT-embedding aggregate carry a full
+    value-hash oracle.
+
+    Scale design: ONE groupBy(label) with d+1 aggregate expressions
+    (map-side partial combine collapses each partition to one row per
+    label BEFORE the shuffle — the explode-then-group alternative
+    shuffles n x d rows); the wide row then unpivots to (label, dim, n,
+    centroid) via one stack over |labels| rows. NULL labels/vectors are
+    excluded by contract.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not first:
+            dim = 0
+        else:
+            dim = int(first[0]["d"])
+    if dim < 1:
+        raise ValueError(f"could not infer a positive vector dim (got {dim})")
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"), _as_double(vec_col).alias("__v")
+    )
+    wide = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(
+                F.floor(F.col("__v")[i] * F.lit(float(scale))).cast("long")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    parts = ", ".join(f"{i}L, `__s{i}`" for i in range(dim))
+    return wide.select(
+        "label",
+        "n",
+        F.expr(f"stack({dim}, {parts}) as (dim, s)"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        (
+            F.col("s").cast("double")
+            / (F.lit(float(scale)) * F.col("n").cast("double"))
+        ).alias("centroid"),
+    )

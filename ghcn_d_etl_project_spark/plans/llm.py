@@ -913,3 +913,73 @@ def pmi_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df_ratio=0.9,
         min_pair=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids + deterministic k-means (extension, r9)
+# ---------------------------------------------------------------------------
+
+_CENTROIDS_ORACLE = """
+WITH e AS (
+  SELECT label, embedding FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+x AS (
+  SELECT label, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS fp
+  FROM e, UNNEST(generate_series(1, 64)) AS s(i)
+),
+g AS (SELECT label, dim, COUNT(*) AS n, SUM(fp) AS fpsum FROM x GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(n AS BIGINT) AS n,
+       CAST(fpsum AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS centroid
+FROM g
+"""
+
+
+@register(
+    "label_centroids_embeddings",
+    oracle=_CENTROIDS_ORACLE,
+    tags=("llm", "ml", "embeddings"),
+    late=True,
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label exact centroid of the 64-dim embedding column
+    (``operators/clustering.py:label_centroids``): ONE groupBy(label)
+    with 65 aggregate expressions — map-side combine collapses each
+    partition to one row per label before the shuffle; the
+    explode-then-group alternative would shuffle n x 64 rows. The
+    FIXED-POINT recipe (floor(v*1e6) BIGINT sums, mean = one double
+    division) makes a float-embedding aggregate value-hash bit-for-bit
+    against the oracle, which deliberately states the opposite
+    (explode) formulation so the two shapes cross-check."""
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    out = label_centroids(t(spark, sf_dir, "embeddings"), "label", "embedding")
+    return out.select(
+        F.col("label").cast("long").alias("label"), "dim", "n", "centroid"
+    )
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative float clustering: deterministic (fixed-point
+    # updates, lowest-id init, lowest-index tie-break) but 3 unrolled
+    # Lloyd iterations with GEMM assignment are not practically
+    # SQL-expressible; semantics pinned by numpy-parity pytest instead
+    tags=("llm", "ml", "embeddings", "persists"),
+    late=True,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 3 iterations) over the
+    embeddings table (``operators/clustering.py:kmeans_lloyd``):
+    shuffle-free GEMM assignment via broadcast centroids +
+    ``mapInPandas``, per-iteration update = ONE k-row fixed-point
+    aggregate (map-side combined), lowest-vec_id init — bit-identical
+    output under any partitioning (pinned by the partitioning-
+    invariance and numpy-parity tests in ``test_clustering.py``)."""
+    from ghcn_d_etl_project_spark.operators.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=3
+    )

@@ -1,0 +1,194 @@
+"""Deterministic Lloyd k-means (operators/clustering.py): numpy parity
+of the exact fixed-point update recipe, planted-blob recovery,
+partitioning invariance, empty-cluster carry, validation."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ghcn_d_etl_project_spark.operators.clustering import kmeans_lloyd
+
+
+def _blobs(rng, centers, n_per, spread=0.05):
+    rows = []
+    i = 0
+    for cx in centers:
+        for _ in range(n_per):
+            rows.append(
+                (i, [c + rng.uniform(-spread, spread) for c in cx])
+            )
+            i += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _numpy_lloyd(rows, k, iters, scale=1_000_000):
+    """Reference implementation of the documented fixed-point recipe."""
+    import numpy as np
+
+    ids = sorted(r[0] for r in rows)
+    by_id = dict(rows)
+    C = np.asarray([by_id[i] for i in ids[:k]], dtype=np.float64)
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    rid = np.asarray([r[0] for r in rows])
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        cl = d2.argmin(1)
+        newC = C.copy()
+        for c in range(k):
+            m = cl == c
+            if m.sum():
+                s = np.floor(X[m] * scale).sum(0)
+                newC[c] = s / (scale * m.sum())
+        C = newC
+    d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+    cl = d2.argmin(1)
+    return dict(zip(rid.tolist(), cl.tolist())), C
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    rng = random.Random(3)
+    rows = _blobs(rng, [(0.0, 0.0), (5.0, 5.0), (-4.0, 6.0)], 30)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_lloyd(df, "id", "vec", k=3, iters=3).collect()
+    }
+    want, _ = _numpy_lloyd(rows, k=3, iters=3)
+    assert got == want
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """Well-separated blobs must land in pure clusters (label = the
+    blob every member shares)."""
+    rng = random.Random(11)
+    centers = [(0.0, 0.0, 0.0), (10.0, 0.0, 0.0), (0.0, 10.0, 0.0)]
+    rows = _blobs(rng, centers, 25)
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_lloyd(df, "id", "vec", k=3, iters=5).collect()
+    # ids were assigned before shuffling, 25 per center in order
+    assert sorted(r[0] for r in rows) == list(range(75))
+    blob_of = {i: i // 25 for i in range(75)}
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(blob_of[r["id"]])
+    assert len(by_cluster) == 3
+    for blobs in by_cluster.values():
+        assert len(blobs) == 1, f"mixed cluster: {by_cluster}"
+    for r in out:
+        assert r["dist2"] is not None and r["dist2"] < 1.0
+
+
+def test_kmeans_partitioning_invariance(spark):
+    rng = random.Random(5)
+    rows = _blobs(rng, [(0.0, 0.0), (3.0, 3.0)], 20)
+    df1 = spark.createDataFrame(rows, "id long, vec array<double>")
+    df8 = df1.repartition(8)
+    a = {
+        (r["id"], r["cluster"], r["dist2"])
+        for r in kmeans_lloyd(df1.coalesce(1), "id", "vec", k=2, iters=3).collect()
+    }
+    b = {
+        (r["id"], r["cluster"], r["dist2"])
+        for r in kmeans_lloyd(df8, "id", "vec", k=2, iters=3).collect()
+    }
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Seeding k=3 on data with only two tight groups leaves (at least)
+    one cluster empty after reassignment; the run must not crash and
+    must still assign every row."""
+    rows = [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.02, 0.0])] + [
+        (10 + i, [9.0 + i * 0.01, 9.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_lloyd(df, "id", "vec", k=3, iters=4).collect()
+    assert len(out) == len(rows)
+    assert {r["cluster"] for r in out} <= {0, 1, 2}
+
+
+def test_kmeans_explicit_init_ids(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_lloyd(df, "id", "vec", k=2, iters=2, init_ids=[0, 9]).collect()
+    lo = {r["id"] for r in out if r["cluster"] == 0}
+    hi = {r["id"] for r in out if r["cluster"] == 1}
+    assert lo == {0, 1, 2, 3, 4} and hi == {5, 6, 7, 8, 9}
+
+
+def test_kmeans_validation_and_release(spark):
+    rows = [(0, [0.0]), (1, [1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "id", "vec", k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, "id", "vec", k=2, iters=0)
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_lloyd(df, "id", "vec", k=5)
+    handle: list = []
+    out = kmeans_lloyd(df, "id", "vec", k=2, iters=1, release_into=handle)
+    assert len(out.collect()) == 2
+    assert len(handle) == 1
+    handle[0].unpersist()
+
+
+def test_kmeans_excludes_null_rows(spark):
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (None, [2.0, 2.0]), (3, None)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_lloyd(df, "id", "vec", k=2, iters=1).collect()
+    assert {r["id"] for r in out} == {0, 1}
+
+
+def test_kmeans_dist2_is_true_squared_distance(spark):
+    """dist2 equals the squared euclidean distance to the FINAL centroid
+    (hand case: one cluster, centroid = fixed-point mean)."""
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = {r["id"]: r["dist2"] for r in kmeans_lloyd(df, "id", "vec", k=1, iters=2).collect()}
+    # centroid = (1.0, 0.0) exactly (floor(0*1e6)+floor(2*1e6))/(2e6)
+    assert out[0] == pytest.approx(1.0, abs=1e-9)
+    assert out[1] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_label_centroids_hand_case(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (1, [3.0, 4.0]),
+        (2, [10.0, 20.0]),
+        (None, [99.0, 99.0]),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "label int, vec array<double>")
+    out = {
+        (r["label"], r["dim"]): (r["n"], r["centroid"])
+        for r in label_centroids(df, "label", "vec").collect()
+    }
+    assert out[(1, 0)] == (2, pytest.approx(2.0, abs=1e-9))
+    assert out[(1, 1)] == (2, pytest.approx(3.0, abs=1e-9))
+    assert out[(2, 0)] == (1, pytest.approx(10.0, abs=1e-9))
+    assert len(out) == 4  # 2 labels x 2 dims; NULL label/vec excluded
+
+
+def test_label_centroids_fixed_point_flooring(spark):
+    """Negative components floor DOWN (toward -inf), matching the
+    documented recipe exactly: mean of [-0.15, 0.25] in micro-units is
+    (floor(-150000.xx)=-150001-ish) — pin with values exact in 1e6."""
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    rows = [(0, [-1.5]), (0, [2.5])]
+    df = spark.createDataFrame(rows, "label int, vec array<double>")
+    out = label_centroids(df, "label", "vec").collect()
+    assert out[0]["centroid"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_label_centroids_empty_raises(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    df = spark.createDataFrame([], "label int, vec array<double>")
+    with pytest.raises(ValueError, match="positive vector dim"):
+        label_centroids(df, "label", "vec")
