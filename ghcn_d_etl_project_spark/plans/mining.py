@@ -417,3 +417,98 @@ def negative_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cyclic_negative_sample(
         t(spark, sf_dir, "documents"), "doc_id", k=3, n_buckets=32
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (extension, r9): bounded reachability
+# ---------------------------------------------------------------------------
+
+# The oracle enumerates (node, dist<=4) pairs with a recursive CTE —
+# UNION-dedup bounds it to 5 rows/node at oracle scale, but it is still
+# the path-flavored formulation; the engine runs level-synchronous
+# frontier BFS (per-level anti-join), so a MATCH cross-checks the two.
+_BFS_ORACLE = f"""
+WITH RECURSIVE e0 AS ({_COPURCHASE_EDGES}),
+d AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+s AS (SELECT MIN(u) AS node FROM d),
+w(node, dist) AS (
+  SELECT node, 0 FROM s
+  UNION
+  SELECT d.v, w.dist + 1 FROM w JOIN d ON d.u = w.node WHERE w.dist < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM w GROUP BY 1
+"""
+
+
+@register(
+    "bfs_hops_parts",
+    oracle=_BFS_ORACLE,
+    tags=("mining", "graph", "persists"),
+    late=True,
+)
+def bfs_hops_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (<= 4) from the lowest-keyed part through the
+    co-purchase graph (``operators/graphalgo.py:bfs_hops``):
+    level-synchronous frontier BFS — per level ONE frontier-edge
+    equi-join + ONE anti-join against the visited set, per-level
+    persist with eager release, a bounded ``limit(1)`` empty-probe as
+    the only driver action. The seed is computed IN PLAN (a 1-row MIN
+    aggregate), no collect. The oracle's recursive CTE enumerates
+    (node, dist) pairs instead — two formulations cross-check."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    sources = edges.select(
+        F.least(F.min("u"), F.min("v")).alias("node")
+    )
+    out = bfs_hops(edges, "u", "v", sources, max_hops=4)
+    return out.select(F.col("node").cast("long").alias("node"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (extension, r9): cohesion filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kcore_parts",
+    oracle=None,  # data-dependent fixpoint iteration count — aggregates
+    # inside a recursive CTE's recursive term are not SQL-expressible;
+    # semantics pinned by the brute-force-peel parity pytest instead
+    tags=("mining", "graph", "persists"),
+    late=True,
+)
+def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the co-purchase part graph
+    (``operators/graphalgo.py:kcore``): iterative peeling to the
+    fixpoint — per round one degree aggregate + two node-set
+    semi-joins (AQE picks broadcast as the survivor set shrinks); the
+    driver sees one survivor count per round, never data. Rows-only
+    (fixpoint depth is data-dependent); the operator is cross-checked
+    against a pure-python reference peel in ``test_graph.py``."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import kcore
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    out = kcore(edges, "u", "v", k=3)
+    return out.select(F.col("node").cast("long").alias("node"), "degree")

@@ -174,3 +174,155 @@ def test_driver_closure_string_ids(spark):
         (r.node, r.component) for r in connected_components(edges).collect()
     )
     assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops (r9)
+# ---------------------------------------------------------------------------
+
+
+def _src_df(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_bfs_hand_graph(spark):
+    """Path 1-2-3-4 plus branch 2-5; unreachable 100-101 absent."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (100, 101)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, "u", "v", _src_df(spark, [1]), 4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, "u", "v", _src_df(spark, [1, 5]), 4).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_max_hops_truncates(spark):
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, "u", "v", _src_df(spark, [0]), 3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops as bh
+
+    zero = {
+        r["node"]: r["dist"]
+        for r in bh(edges, "u", "v", _src_df(spark, [0]), 0).collect()
+    }
+    assert zero == {0: 0}
+    with pytest.raises(ValueError):
+        bh(edges, "u", "v", _src_df(spark, [0]), -1)
+
+
+def test_bfs_undirected_and_early_stop(spark):
+    """Edges traverse BOTH directions, and a component exhausted before
+    max_hops terminates early (same answer at max_hops 2 and 50)."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import bfs_hops
+
+    edges = spark.createDataFrame([(3, 1), (2, 1)], "u long, v long")
+    a = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, "u", "v", _src_df(spark, [3]), 2).collect()
+    }
+    b = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, "u", "v", _src_df(spark, [3]), 50).collect()
+    }
+    assert a == b == {(3, 0), (1, 1), (2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# kcore (r9)
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edges, k):
+    """Reference peel: repeatedly drop nodes with degree < k."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg: dict = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        if keep == set(deg):
+            return {n: deg[n] for n in keep}
+        es = {(u, v) for u, v in es if u in keep and v in keep}
+        if not es:
+            return {}
+
+
+def test_kcore_triangle_plus_tail(spark):
+    """Triangle (2-core) with a dangling tail: the tail peels away and
+    its removal does not shave the triangle."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore(edges, "u", "v", 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert kcore(edges, "u", "v", 3).collect() == []
+
+
+def test_kcore_matches_reference_peel_random(spark):
+    import random
+
+    from ghcn_d_etl_project_spark.operators.graphalgo import kcore
+
+    rng = random.Random(42)
+    for trial, k in ((0, 2), (1, 3)):
+        edges = list(
+            {
+                (rng.randrange(30), rng.randrange(30))
+                for _ in range(90)
+            }
+        )
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r["node"]: r["degree"]
+            for r in kcore(df, "u", "v", k).collect()
+        }
+        assert got == _py_kcore(edges, k), f"trial {trial} k={k}"
+
+
+def test_kcore_cascading_peel(spark):
+    """A chain of triangles sharing single cut vertices: 3-core empty
+    (every node has degree <= 4 but peeling cascades), while the
+    4-clique survives k=3."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import kcore
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 3)]  # triangle hanging off node 3
+    df = spark.createDataFrame(clique + tail, "u long, v long")
+    got = {r["node"]: r["degree"] for r in kcore(df, "u", "v", 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_validation(spark):
+    from ghcn_d_etl_project_spark.operators.graphalgo import kcore
+
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError):
+        kcore(df, "u", "v", 0)
