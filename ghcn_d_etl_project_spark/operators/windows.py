@@ -151,3 +151,45 @@ def rolling_zscore(
     return df.withColumn(
         f"{value_col}_base_n", n.cast("long")
     ).withColumn(f"{value_col}_zscore", F.when(ok, z))
+
+
+def running_count_distinct(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "n_distinct_so_far",
+) -> DataFrame:
+    """Running COUNT(DISTINCT value) per key, in event order — the
+    window-distinct Spark does not support natively (``count_distinct``
+    over a window raises ``DISTINCT_WINDOW_FUNCTION_UNSUPPORTED``); SQL
+    engines that do support it (DuckDB, Postgres) make it the natural
+    oracle for this rewrite.
+
+    First-occurrence decomposition: a row is the first time its value
+    appears within its key iff ``row_number() == 1`` over
+    ``(keys + value)`` ordered by the event order; the running distinct
+    count is then a plain running SUM of that flag over ``keys``. Two
+    window specs = two hash-partition exchanges, both on key columns —
+    no distinct-state blowup, no per-row set materialization, and the
+    second exchange is on a PREFIX of the first's keys so AQE-era Spark
+    can often reuse the partitioning.
+
+    ``order_by`` must be a total order within each key (include a
+    unique tiebreaker) or first-occurrence attribution is ambiguous.
+    NULL values are ignored, matching SQL ``COUNT(DISTINCT)``.
+    """
+    if not keys or not order_by:
+        raise ValueError("keys and order_by must be non-empty")
+    w_first = Window.partitionBy(*keys, value_col).orderBy(*order_by)
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_first = (
+        (F.row_number().over(w_first) == 1) & F.col(value_col).isNotNull()
+    ).cast("long")
+    return df.withColumn("__is_first", is_first).withColumn(
+        out_col, F.sum("__is_first").over(w_run).cast("long")
+    ).drop("__is_first")

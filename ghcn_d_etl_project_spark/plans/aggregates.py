@@ -857,3 +857,64 @@ def event_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conf_b_to_a",
         "lift",
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode per group (extension, r9)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT o_orderstatus, SUM(n) AS t FROM c GROUP BY 1),
+r AS (
+  SELECT c.o_orderstatus, o_orderpriority, n, t,
+         ROW_NUMBER() OVER (PARTITION BY c.o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c JOIN tot ON c.o_orderstatus = tot.o_orderstatus
+)
+SELECT o_orderstatus, o_orderpriority AS mode_value,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / t, 6) AS share
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "mode_per_group_orders",
+    oracle=_MODE_ORACLE,
+    tags=("agg", "stats"),
+    late=True,
+)
+def mode_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode (most frequent value, ties broken by smallest
+    value — deterministic, unlike Spark's own ``F.mode`` whose tie
+    choice is non-deterministic by documentation) of order priority per
+    order status, with its frequency share. Completes the A13 summary
+    family for CATEGORICAL columns. One full-data groupBy collapses to
+    |status x priority| rows; the rank window and the share join run on
+    that tiny table — nothing after the first aggregate scales with the
+    fact table."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("o_orderstatus").agg(F.sum("n").alias("t"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.join(F.broadcast(tot), "o_orderstatus")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_value"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+        )
+    )

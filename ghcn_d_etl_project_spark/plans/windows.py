@@ -1045,3 +1045,59 @@ def seasonal_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("v"))
     return seasonal_profile(series, ["event_type"], "day", "v")
+
+
+# ---------------------------------------------------------------------------
+# Running COUNT(DISTINCT) over a window (extension, r9)
+# ---------------------------------------------------------------------------
+
+# The oracle uses the NATIVE distinct window aggregate (DuckDB supports
+# it; Spark raises DISTINCT_WINDOW_FUNCTION_UNSUPPORTED) — so the MATCH
+# certifies the first-occurrence rewrite against an engine that can
+# state the semantics directly.
+_RUNNING_DISTINCT_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       CAST(COUNT(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_distinct_so_far
+FROM orders
+"""
+
+
+@register(
+    "running_distinct_orders",
+    oracle=_RUNNING_DISTINCT_ORACLE,
+    tags=("window", "orders"),
+    late=True,
+)
+def running_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer, the running number of DISTINCT order priorities
+    used so far (``operators/windows.py:running_count_distinct``).
+    Spark has no distinct window aggregate; the first-occurrence
+    decomposition (row_number==1 flag over (key, value), running sum
+    over key) computes it with two key-partitioned exchanges and no
+    per-row distinct state. The oracle is DuckDB's NATIVE
+    COUNT(DISTINCT) OVER, so the rewrite is certified against an
+    engine that can express the semantics directly."""
+    from ghcn_d_etl_project_spark.operators.windows import (
+        running_count_distinct,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    out = running_count_distinct(
+        o,
+        keys=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        value_col="o_orderpriority",
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        as_date_str("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+        "n_distinct_so_far",
+    )

@@ -565,3 +565,64 @@ def test_touch_attribution_decay_near_conservation(spark):
     got = sum(r.attributed_revenue for r in out)
     n_credits = sum(r.n_credits for r in out)
     assert abs(got - rev_total) <= n_credits * 1e-6 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# running_count_distinct (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_running_count_distinct_hand_case(spark):
+    """Values a,b,a,c per key: running distinct = 1,2,2,3; second key
+    independent."""
+    from ghcn_d_etl_project_spark.operators.windows import (
+        running_count_distinct,
+    )
+
+    rows = [
+        ("k1", 1, "a"),
+        ("k1", 2, "b"),
+        ("k1", 3, "a"),
+        ("k1", 4, "c"),
+        ("k2", 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq int, v string")
+    out = {
+        (r["k"], r["seq"]): r["n_distinct_so_far"]
+        for r in running_count_distinct(df, ["k"], ["seq"], "v").collect()
+    }
+    assert out == {
+        ("k1", 1): 1,
+        ("k1", 2): 2,
+        ("k1", 3): 2,
+        ("k1", 4): 3,
+        ("k2", 1): 1,
+    }
+
+
+def test_running_count_distinct_ignores_nulls(spark):
+    """NULLs never increment the count — SQL COUNT(DISTINCT) semantics
+    (the DuckDB-native oracle would diverge otherwise)."""
+    from ghcn_d_etl_project_spark.operators.windows import (
+        running_count_distinct,
+    )
+
+    rows = [("k", 1, None), ("k", 2, "x"), ("k", 3, None)]
+    df = spark.createDataFrame(rows, "k string, seq int, v string")
+    out = {
+        r["seq"]: r["n_distinct_so_far"]
+        for r in running_count_distinct(df, ["k"], ["seq"], "v").collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_running_count_distinct_validation(spark):
+    from ghcn_d_etl_project_spark.operators.windows import (
+        running_count_distinct,
+    )
+
+    df = spark.createDataFrame([("k", 1, "a")], "k string, seq int, v string")
+    with pytest.raises(ValueError):
+        running_count_distinct(df, [], ["seq"], "v")
+    with pytest.raises(ValueError):
+        running_count_distinct(df, ["k"], [], "v")

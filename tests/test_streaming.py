@@ -137,3 +137,63 @@ def test_stateful_running_totals(spark):
     pd.testing.assert_series_equal(
         got["total_value"], want["total_value"], rtol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup (r9): dropDuplicatesWithinWatermark wrapper
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch (within the watermark
+    horizon) are suppressed: two files, maxFilesPerTrigger=1, the second
+    re-delivers ids 1-2 with fresh payloads — output must hold exactly
+    one row per id, and it must be the FIRST arrival's payload."""
+    import datetime as dt
+
+    from ghcn_d_etl_project_spark.streaming.dedup import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    f1 = [(1, base, "first-1"), (2, base + dt.timedelta(seconds=30), "first-2")]
+    f2 = [
+        (1, base + dt.timedelta(minutes=1), "dup-1"),
+        (2, base + dt.timedelta(minutes=1), "dup-2"),
+        (3, base + dt.timedelta(minutes=2), "first-3"),
+    ]
+    src = tmp_path / "dedup_src"
+    spark.createDataFrame(f1, "id long, ts timestamp, payload string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(f2, "id long, ts timestamp, payload string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+
+    sdf = (
+        spark.readStream.schema("id long, ts timestamp, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = dedup_stream(sdf, ["id"], "ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {
+        r["id"]: r["payload"]
+        for r in spark.sql("SELECT * FROM dedup_stream_t").collect()
+    }
+    assert rows == {1: "first-1", 2: "first-2", 3: "first-3"}
+
+
+def test_streaming_dedup_validation(spark):
+    from ghcn_d_etl_project_spark.streaming.dedup import dedup_stream
+
+    sdf = spark.readStream.format("rate").load()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup_stream(sdf, [], "timestamp")
