@@ -635,3 +635,97 @@ def recommend_out_dim(
         "sampled": n,
         "compressible": compressible,
     }
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    qid_col: str,
+    cand_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's candidate pool, greedily select ``k``
+    results balancing relevance against redundancy —
+
+        mmr(i) = lam * rel(i) - (1 - lam) * max_{j selected} cos(i, j)
+
+    — the standard diversity post-step after a first-stage retriever
+    (BM25 / ANN / cosine top-N).
+
+    Greedy selection is inherently SEQUENTIAL per query, so this is an
+    honest ``applyInPandas``: one shuffle on qid, then each group runs
+    the k-step loop over its own pool with numpy (cosine matrix built
+    once per group). The scale contract is the caller's pool bound —
+    feed top-N candidates per query (N ~ 10-100x k from the first
+    stage), NOT the whole corpus: state per group is pool x d floats.
+    First pick = highest relevance; ties at every step break to the
+    smallest candidate id, so output is deterministic under any
+    partitioning.
+
+    Output: ``(qid, cand, mmr_rank long, mmr_score double)`` —
+    mmr_score is the value at selection time (rank 1's score is
+    ``lam * rel`` by convention, applying the lam weight uniformly).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    base = candidates.filter(
+        F.col(qid_col).isNotNull()
+        & F.col(cand_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & F.col(rel_col).isNotNull()
+    ).select(
+        F.col(qid_col).alias("__qid"),
+        F.col(cand_col).alias("__cand"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        _as_double(vec_col).alias("__vec"),
+    )
+    qid_t = base.schema["__qid"].dataType.simpleString()
+    cand_t = base.schema["__cand"].dataType.simpleString()
+    out_schema = (
+        f"qid {qid_t}, cand {cand_t}, mmr_rank long, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__cand").reset_index(drop=True)
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+        )
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0] = 1.0  # zero vectors: cosine treated as 0
+        S = (X @ X.T) / np.outer(norms, norms)
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                red = S[:, picked].max(axis=1)
+            else:
+                red = np.zeros(n)
+            mmr = lam * rel - (1.0 - lam) * red
+            mmr_avail = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_avail))  # argmax = lowest index tie
+            picked.append(best)
+            scores.append(float(mmr_avail[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                "qid": pdf["__qid"].iloc[picked].to_numpy(),
+                "cand": pdf["__cand"].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+                "mmr_score": np.round(np.asarray(scores), round_digits),
+            }
+        )
+
+    return base.groupBy("__qid").applyInPandas(rerank, schema=out_schema)

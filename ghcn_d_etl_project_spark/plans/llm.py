@@ -983,3 +983,70 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=3
     )
+
+
+@register(
+    "pca_project_embeddings",
+    oracle=None,  # exact fixed-point moments make the fit deterministic,
+    # but the eigendecomposition of the 64x64 covariance is a numeric
+    # routine no SQL engine restates; semantics pinned by the numpy
+    # reference-parity pytest suite instead (test_pca.py)
+    tags=("llm", "ml", "embeddings"),
+    late=True,
+)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA compression 64 -> 8 dims of the embeddings table
+    (``operators/pca.py``): ONE mapInPandas moment pass emits exact
+    FIXED-POINT partials (n, floored sums, floored Gram) as (slot,
+    value) pairs folded by a map-side-combining groupBy — shuffle
+    volume is (d^2+d+1) x partitions longs regardless of row count —
+    then the driver eigendecomposes the 64x64 covariance
+    (deterministic sign convention) and the projection rides the plan
+    as a LITERAL matrix: shuffle-free, UDF-free per-row folds, the
+    ``random_projection`` pattern with a data-fitted matrix."""
+    from ghcn_d_etl_project_spark.operators.pca import pca_project
+
+    return pca_project(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", out_dim=8
+    )
+
+
+@register(
+    "mmr_rerank_embeddings",
+    oracle=None,  # the greedy selection is sequential per query — each
+    # pick depends on the redundancy max over all previous picks; a
+    # k-step unrolled SQL restatement is possible in principle but not
+    # honest verification; semantics pinned by hand-case pytests
+    tags=("llm", "ml", "embeddings", "persists"),
+    late=True,
+)
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: exact cosine top-20 per vector as the
+    first-stage pool (block-matmul arm), then Maximal Marginal
+    Relevance (lam=0.7) greedily re-ranks each pool to 5 diverse
+    results (``operators/similarity.py:mmr_rerank``). The greedy step
+    is the honest ``applyInPandas`` (sequential per query, pool-sized
+    state only — the caller's pool bound IS the scale contract); the
+    candidate-vector join back to embeddings is a plain equi-join."""
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    pool = cosine_topk(emb, "vec_id", "embedding", k=20)
+    cand = pool.join(
+        emb.select(
+            F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
+        ),
+        "nid",
+    )
+    out = mmr_rerank(
+        cand, "qid", "nid", "cos_sim", "nvec", k=5, lam=0.7
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cand").cast("long").alias("cand"),
+        "mmr_rank",
+        "mmr_score",
+    )

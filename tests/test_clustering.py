@@ -192,3 +192,88 @@ def test_label_centroids_empty_raises(spark):
     df = spark.createDataFrame([], "label int, vec array<double>")
     with pytest.raises(ValueError, match="positive vector dim"):
         label_centroids(df, "label", "vec")
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (r9) — lives here with the other embedding-ML operators
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_hand_case_diversity_beats_relevance(spark):
+    """Pool: two near-duplicates with top relevance + one distinct
+    mid-relevance doc. Pure relevance keeps both duplicates; MMR at
+    lam=0.5 must pick the distinct doc second."""
+    from ghcn_d_etl_project_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        ("q", 1, 1.00, [1.0, 0.0]),
+        ("q", 2, 0.99, [1.0, 0.001]),  # near-duplicate of 1
+        ("q", 3, 0.60, [0.0, 1.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "qid string, cand long, rel double, vec array<double>")
+    out = sorted(
+        (r["mmr_rank"], r["cand"], r["mmr_score"])
+        for r in mmr_rerank(df, "qid", "cand", "rel", "vec", k=3, lam=0.5).collect()
+    )
+    assert [c for _, c, _ in out] == [1, 3, 2]
+    assert out[0][2] == pytest.approx(0.5, abs=1e-6)  # lam * rel at rank 1
+    # rank 2 = 0.5*0.6 - 0.5*cos(3,1) = 0.3 - 0
+    assert out[1][2] == pytest.approx(0.3, abs=1e-6)
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        ("q", i, float(10 - i), [1.0, 0.0]) for i in range(1, 6)
+    ]  # identical vectors: diversity signal is constant
+    df = spark.createDataFrame(rows, "qid string, cand long, rel double, vec array<double>")
+    out = {
+        r["mmr_rank"]: r["cand"]
+        for r in mmr_rerank(df, "qid", "cand", "rel", "vec", k=3, lam=1.0).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_mmr_tie_breaks_to_smallest_cand_and_partition_invariant(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import mmr_rerank
+
+    rows = [("q", i, 1.0, [float(i), 1.0]) for i in (5, 3, 9, 1)]
+    df = spark.createDataFrame(rows, "qid string, cand long, rel double, vec array<double>")
+    a = sorted(
+        (r["mmr_rank"], r["cand"])
+        for r in mmr_rerank(df.coalesce(1), "qid", "cand", "rel", "vec", k=1).collect()
+    )
+    b = sorted(
+        (r["mmr_rank"], r["cand"])
+        for r in mmr_rerank(df.repartition(8), "qid", "cand", "rel", "vec", k=1).collect()
+    )
+    assert a == b == [(1, 1)]  # equal relevance: smallest cand id wins
+
+
+def test_mmr_multiple_queries_isolated(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        ("a", 1, 1.0, [1.0, 0.0]),
+        ("a", 2, 0.9, [0.0, 1.0]),
+        ("b", 7, 1.0, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "qid string, cand long, rel double, vec array<double>")
+    out = mmr_rerank(df, "qid", "cand", "rel", "vec", k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["cand"])
+    assert sorted(by_q["a"]) == [1, 2] and by_q["b"] == [7]
+
+
+def test_mmr_validation(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import mmr_rerank
+
+    df = spark.createDataFrame(
+        [("q", 1, 1.0, [1.0])], "qid string, cand long, rel double, vec array<double>"
+    )
+    with pytest.raises(ValueError):
+        mmr_rerank(df, "qid", "cand", "rel", "vec", k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(df, "qid", "cand", "rel", "vec", lam=1.5)
