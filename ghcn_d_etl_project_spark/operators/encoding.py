@@ -214,3 +214,78 @@ def standardize(
         keep.append(f"{c}_z")
         drop.extend([f"__sx_{c}", f"__sxx_{c}", f"__n_{c}"])
     return out.select(*keep)
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+    n_buckets: int = 64,
+    salt: str = "fh",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-width sparse
+    features from unbounded categorical vocabularies — ``col=value`` is
+    hashed to a bucket with a ±1 sign, collisions sum, and no
+    vocabulary/fit pass ever exists (the property that makes it the
+    streaming-safe, schema-stable encoder for training pipelines).
+
+    Engine-portable hashes (the house md5 recipe shared with
+    ``operators/common.py``): bucket = first 4 md5 hex chars of
+    ``col=value:salt`` mod ``n_buckets``; sign = parity of the 5th hex
+    char — so the SAME row produces the SAME features on any engine or
+    partitioning, and a SQL oracle can restate the whole construction.
+
+    Scale design — ZERO shuffles: the per-row feature vector is built
+    entirely with higher-order functions (an array of (bucket, sign)
+    structs per row, folded into the dense ``n_buckets`` vector by a
+    transform+aggregate), so this is a pure projection; at 100 TB it
+    pipelines inside whatever stage reads the rows. NULL values emit no
+    feature (standard skip semantics — nullness can be hashed
+    explicitly by coalescing upstream if wanted). Cost per row is
+    O(n_buckets x |cols|) plan-side arithmetic: fine at 64 x a few,
+    size buckets accordingly.
+
+    Output: ``(id_col, features array<double> of n_buckets)``.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+    def tok(c: str):
+        return F.concat(
+            F.lit(c + "="), F.col(c).cast("string"), F.lit(":" + salt)
+        )
+
+    def bucket(c: str):
+        return (
+            F.conv(F.substring(F.md5(tok(c)), 1, 4), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    def sign(c: str):
+        par = F.conv(F.substring(F.md5(tok(c)), 5, 1), 16, 10).cast("long") % 2
+        return F.when(par == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    pairs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(bucket(c).alias("b"), sign(c).alias("s")),
+                )
+                for c in cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    features = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda j: F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.when(x["b"] == j.cast("long"), x["s"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    return df.select(F.col(id_col), features.alias("features"))

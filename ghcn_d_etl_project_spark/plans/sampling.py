@@ -351,3 +351,70 @@ def zscore_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice"],
         group_cols=["l_returnflag"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (extension, r9): the vocabulary-free encoder
+# ---------------------------------------------------------------------------
+
+_FEATURE_HASH_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey,
+         unnest(['o_orderstatus=' || o_orderstatus || ':fh',
+                 'o_orderpriority=' || o_orderpriority || ':fh']) AS t
+  FROM orders
+),
+grid AS (
+  SELECT o_orderkey, j, t
+  FROM base, UNNEST(generate_series(1, 16)) AS s(j)
+),
+vals AS (
+  SELECT o_orderkey, j,
+         SUM(CASE WHEN CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER)
+                       % 16 = j - 1
+                  THEN CASE WHEN CAST(concat('0x', substr(md5(t), 5, 1))
+                                 AS INTEGER) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END
+                  ELSE 0.0 END)::DOUBLE AS v
+  FROM grid GROUP BY 1, 2
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       array_to_string(list(CAST(v AS BIGINT) ORDER BY j), ',') AS features
+FROM vals GROUP BY 1
+"""
+
+
+@register(
+    "feature_hash_orders",
+    oracle=_FEATURE_HASH_ORACLE,
+    tags=("sampling", "ml", "encoding"),
+    late=True,
+)
+def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bucket hashing-trick features from the two categorical order
+    columns (``operators/encoding.py:feature_hash``): col=value md5
+    bucket + sign-bit parity, collisions sum, NULLs skip. ZERO
+    shuffles — the vector is built per row with higher-order functions
+    (transform + aggregate over a (bucket, sign) struct array), a pure
+    projection that pipelines inside the scan stage at any scale. The
+    md5 recipe is engine-portable, so the oracle restates the entire
+    construction and the hash MATCH certifies it bit-for-bit. Weights
+    are integers by construction, so the array is emitted as
+    comma-joined BIGINTs — the house format-to-string convention for
+    array-valued result columns (the driver comparator hashes arrays
+    by engine-specific repr; see ``embedding_project``)."""
+    from ghcn_d_etl_project_spark.operators.encoding import feature_hash
+
+    out = feature_hash(
+        t(spark, sf_dir, "orders"),
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+        n_buckets=16,
+    )
+    joined = F.concat_ws(
+        ",", F.transform("features", lambda x: x.cast("long").cast("string"))
+    )
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        joined.alias("features"),
+    )

@@ -120,3 +120,100 @@ def test_standardize_plan_no_fact_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+
+# ---------------------------------------------------------------------------
+# feature_hash (r9)
+# ---------------------------------------------------------------------------
+
+
+def _py_feature_hash(rows, cols, n_buckets, salt="fh"):
+    """Reference implementation of the documented md5 recipe."""
+    import hashlib
+
+    out = []
+    for row in rows:
+        vec = [0.0] * n_buckets
+        for c in cols:
+            v = row.get(c)
+            if v is None:
+                continue
+            h = hashlib.md5(f"{c}={v}:{salt}".encode()).hexdigest()
+            b = int(h[:4], 16) % n_buckets
+            s = 1.0 if int(h[4], 16) % 2 == 0 else -1.0
+            vec[b] += s
+        out.append(vec)
+    return out
+
+
+def test_feature_hash_matches_reference(spark):
+    from ghcn_d_etl_project_spark.operators.encoding import feature_hash
+
+    rows = [
+        {"id": 0, "a": "x", "b": "y"},
+        {"id": 1, "a": "zzz", "b": None},
+        {"id": 2, "a": None, "b": None},
+    ]
+    df = spark.createDataFrame(
+        [(r["id"], r["a"], r["b"]) for r in rows], "id long, a string, b string"
+    )
+    got = {
+        r["id"]: list(r["features"])
+        for r in feature_hash(df, "id", ["a", "b"], n_buckets=8).collect()
+    }
+    want = _py_feature_hash(rows, ["a", "b"], 8)
+    for r, w in zip(rows, want):
+        assert got[r["id"]] == w
+    assert got[2] == [0.0] * 8  # all-NULL row: zero vector, not dropped
+
+
+def test_feature_hash_collisions_sum(spark):
+    """Two columns with the SAME col=value token land in the same bucket
+    with the same sign — the vector entry is ±2 (the hashing-trick
+    collision semantics, not overwrite)."""
+    from ghcn_d_etl_project_spark.operators.encoding import feature_hash
+
+    df = spark.createDataFrame([(0, "x", "x")], "id long, a string, a2 string")
+    # craft a collision deterministically: hash the same value through
+    # two column names and find a bucket count where they collide
+    import hashlib
+
+    for nb in range(2, 64):
+        ha = int(hashlib.md5(b"a=x:fh").hexdigest()[:4], 16) % nb
+        hb = int(hashlib.md5(b"a2=x:fh").hexdigest()[:4], 16) % nb
+        if ha == hb:
+            sa = 1 if int(hashlib.md5(b"a=x:fh").hexdigest()[4], 16) % 2 == 0 else -1
+            sb = 1 if int(hashlib.md5(b"a2=x:fh").hexdigest()[4], 16) % 2 == 0 else -1
+            got = feature_hash(df, "id", ["a", "a2"], n_buckets=nb).collect()[0]
+            assert got["features"][ha] == float(sa + sb)
+            return
+    raise AssertionError("no colliding bucket count found below 64")
+
+
+def test_feature_hash_plan_is_shuffle_free(spark):
+    from ghcn_d_etl_project_spark.operators.encoding import feature_hash
+    from ghcn_d_etl_project_spark.plans._util import t
+    from ghcn_d_etl_project_spark.utils.plancheck import assert_max_shuffles
+
+    out = feature_hash(
+        t(spark, "/root/testdata/sf0.001", "orders"),
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+        n_buckets=16,
+    )
+    out.count()
+    assert_max_shuffles(out, 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_feature_hash_validation(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.encoding import feature_hash
+
+    df = spark.createDataFrame([(0, "x")], "id long, a string")
+    with pytest.raises(ValueError):
+        feature_hash(df, "id", [])
+    with pytest.raises(ValueError):
+        feature_hash(df, "id", ["a"], n_buckets=0)
