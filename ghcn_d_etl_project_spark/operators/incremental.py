@@ -346,3 +346,120 @@ def finalize_distinct(
     return merged.select(
         *keys, F.hll_sketch_estimate("__hll").cast("long").alias(out_name)
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value
+    column: the bounded-memory approximate-count state ``topk_partial``
+    (above) names as the honest alternative for UNBOUNDED value
+    domains — O(width x depth) counters regardless of cardinality,
+    mergeable across batches/partitions by plain addition.
+
+    Engine-portable determinism: row ``d``'s hash is the first 8 md5
+    hex chars of ``value:salt:d`` mod width — so the sketch (and hence
+    every estimate) is identical on any engine/partitioning, which is
+    what lets an APPROXIMATE structure carry an exact value-hash
+    oracle.
+
+    Scale design: one explode of ``depth`` (d, bucket) structs per row,
+    then ONE groupBy — map-side partial aggregation collapses every
+    partition to <= width x depth rows before the shuffle, so shuffle
+    volume is sketch-sized, never data-sized. NULL values are excluded
+    (they are not countable items).
+
+    Output: ``(d long, bucket long, cnt long)`` — only touched cells
+    (absent cell = 0); merge sketches by union + re-sum.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be >= 1, got {width}x{depth}")
+    v = F.col(value_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(v, F.lit(f":{salt}:{d}"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query a count-min sketch: for each candidate value, the
+    estimate is ``min over d of cnt[d, hash_d(value)]`` — always >= the
+    true count (one-sided error), <= true + eps*N with probability
+    1 - (1/2)^depth for eps = e/width.
+
+    The candidate set is the caller's contract (a dim table, a label
+    vocabulary, last period's heavy hitters) — sketch estimates are
+    only meaningful for values you can name. Plan shape: candidates
+    join the sketch ``depth`` ways on (d, bucket) — the sketch side is
+    sketch-sized, so AQE broadcasts it; one min-aggregate per
+    candidate. Missing cells coalesce to 0 (a value hashing only to
+    untouched cells has true count 0).
+
+    Output: ``(value_col, est long)``.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be >= 1, got {width}x{depth}")
+    v = F.col(value_col).cast("string")
+    cand = candidates.filter(F.col(value_col).isNotNull()).distinct()
+    probes = cand.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("d"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(v, F.lit(f":{salt}:{d}"))
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    joined = probes.join(sketch, ["d", "bucket"], "left").select(
+        value_col, F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    return joined.groupBy(value_col).agg(F.min("cnt").cast("long").alias("est"))

@@ -1255,3 +1255,76 @@ def benford_audit(
         ).alias("chi2"),
         F.col("__n_used").cast("long").alias("n_used"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value whose
+    cumulative weight reaches half the group's total — the robust
+    center for weighted observations (quantity-weighted prices,
+    duration-weighted latencies) that plain ``median`` mis-states and
+    no built-in aggregate provides.
+
+    Convention: the LOWER weighted median (first v with
+    ``2 * cumweight(v) >= total``) — always an observed value,
+    deterministic, and exactly restatable in SQL (interpolating
+    variants are not value-stable across engines).
+
+    Scale design: one groupBy collapses the facts to DISTINCT
+    (group, value) rows with exact DECIMAL weight sums (the shuffle
+    that matters happens map-side-combined here); the cumulative and
+    total sums are two frames over ONE window spec on the collapsed
+    table — per-partition series, never data-sized. NULL values or
+    weights are excluded; a non-positive weight RAISES at execution
+    (silently dropping it would skew the center — same posture as
+    ``weighted_top_k``).
+
+    Output: ``(group_cols..., weighted_median double,
+    total_weight double)``.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    v = F.col(value_col)
+    w0 = F.col(weight_col)
+    guarded = F.when(
+        w0 <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_median: non-positive weight in {weight_col}: "),
+                w0.cast("string"),
+            )
+        ),
+    ).otherwise(w0)
+    base = df.filter(v.isNotNull() & w0.isNotNull()).select(
+        *group_cols, v.alias("__v"), guarded.alias("__w")
+    )
+    collapsed = base.groupBy(*group_cols, "__v").agg(
+        F.sum(F.col("__w").cast("decimal(28,4)")).alias("__wsum")
+    )
+    wspec = Window.partitionBy(*group_cols).orderBy("__v")
+    cum = F.sum("__wsum").over(
+        wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("__wsum").over(
+        Window.partitionBy(*group_cols).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    marked = collapsed.select(
+        *group_cols,
+        "__v",
+        cum.alias("__cw"),
+        tot.alias("__tw"),
+    )
+    return (
+        marked.filter(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").cast("double").alias("weighted_median"),
+            F.max(F.col("__tw").cast("double")).alias("total_weight"),
+        )
+    )

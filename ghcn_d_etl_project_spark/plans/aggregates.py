@@ -918,3 +918,69 @@ def mode_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch estimates (extension, r9): bounded-memory counting
+# ---------------------------------------------------------------------------
+
+_CMS_ORACLE = """
+WITH vals AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5(v || ':cms:' || d), 1, 8)) AS BIGINT)
+           % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM vals, UNNEST(generate_series(0, 2)) AS s(d)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id < 100
+),
+probes AS (
+  SELECT user_id, d,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)
+                                       || ':cms:' || d), 1, 8)) AS BIGINT)
+           % 64 AS bucket
+  FROM cand, UNNEST(generate_series(0, 2)) AS s(d)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN cells USING (d, bucket)
+GROUP BY 1
+"""
+
+
+@register(
+    "cms_estimate_events",
+    oracle=_CMS_ORACLE,
+    tags=("agg", "sketch", "incremental"),
+    late=True,
+)
+def cms_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (width 64, depth 3) over event user ids, point-
+    queried for users < 100 (``operators/incremental.py:cms_sketch`` /
+    ``cms_estimate``) — the bounded-memory counting state for value
+    domains too large for the exact ``incremental_topk`` rollup:
+    O(width x depth) counters total, merged across batches by plain
+    addition, sketch-sized shuffle (map-side combine collapses every
+    partition to <= width x depth rows). The deliberately small width
+    forces real collisions at this SF, so the MATCH certifies the
+    one-sided over-estimates cell by cell — possible only because the
+    md5 hash rows make an approximate structure deterministic
+    cross-engine."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    e = t(spark, sf_dir, "events")
+    sketch = cms_sketch(e, "user_id", width=64, depth=3)
+    cand = e.filter(F.col("user_id") < 100).select("user_id")
+    out = cms_estimate(sketch, cand, "user_id", width=64, depth=3)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"), "est"
+    )

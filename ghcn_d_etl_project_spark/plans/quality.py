@@ -651,3 +651,58 @@ def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ghcn_d_etl_project_spark.operators.quality import benford_audit
 
     return benford_audit(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (extension, r9): the weighted robust center
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(l_quantity AS DECIMAL(28,4)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+collapsed AS (
+  SELECT l_returnflag, v, SUM(w) AS wsum FROM base GROUP BY 1, 2
+),
+marked AS (
+  SELECT l_returnflag, v,
+         SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wsum) OVER (PARTITION BY l_returnflag) AS tw
+  FROM collapsed
+)
+SELECT l_returnflag,
+       CAST(MIN(v) AS DOUBLE) AS weighted_median,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM marked WHERE cw * 2 >= tw
+GROUP BY 1
+"""
+
+
+@register(
+    "weighted_median_lineitem",
+    oracle=_WMEDIAN_ORACLE,
+    tags=("quality", "stats"),
+    late=True,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag
+    (``operators/quality.py:weighted_median``): the LOWER weighted
+    median — smallest value whose cumulative weight reaches half the
+    group total; always an observed value, so exactly restatable in
+    SQL where interpolating variants are not. The facts collapse to
+    distinct (group, value) rows with exact-DECIMAL weight sums in one
+    map-side-combined groupBy; the cumulative and total sums are two
+    frames over one window on the collapsed table."""
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    return weighted_median(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+    )

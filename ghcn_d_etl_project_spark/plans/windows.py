@@ -1101,3 +1101,65 @@ def running_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n_distinct_so_far",
     )
+
+
+# ---------------------------------------------------------------------------
+# Path trigram mining (extension, r9): second-order sequence analysis
+# ---------------------------------------------------------------------------
+
+_TRIGRAMS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type, 1) OVER w AS p1,
+         lag(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT p2 AS t1, p1 AS t2, event_type AS t3, COUNT(*) AS n
+  FROM seq WHERE p2 IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT SUM(n) AS t FROM tri)
+SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / t, 6) AS share
+FROM tri, tot
+"""
+
+
+@register(
+    "path_trigrams_events",
+    oracle=_TRIGRAMS_ORACLE,
+    tags=("window", "events", "path"),
+    late=True,
+)
+def path_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order path mining: (step-2, step-1, current) event-type
+    trigram counts + corpus share — the sequence features behind
+    journey clustering and next-event prediction baselines, extending
+    the first-order ``event_transitions`` matrix. Both lags share ONE
+    window sort (the only full-data shuffle); the trigram aggregate
+    and the share's one-row broadcast total run on the tiny trigram
+    table."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    tri = seq.groupBy(
+        F.col("p2").alias("t1"),
+        F.col("p1").alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = tri.agg(F.sum("n").alias("t"))
+    return tri.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )

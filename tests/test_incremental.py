@@ -73,3 +73,86 @@ def test_incremental_rollup_exactly_once(spark):
     )
     mismatches = joined.filter(F.col("e.n_events") != F.col("b.n_events")).count()
     assert mismatches == 0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_is_one_sided_and_exact_when_wide(spark):
+    """Estimates never undercount; with width >> distinct values and no
+    collisions the estimate is EXACT."""
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "v string")
+    cand = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "v string")
+    exact = {"a": 50, "b": 30, "c": 5, "zzz": 0}
+
+    wide = cms_estimate(
+        cms_sketch(df, "v", width=4096, depth=3),
+        cand, "v", width=4096, depth=3,
+    )
+    got = {r["v"]: r["est"] for r in wide.collect()}
+    assert got == exact  # 3 values in 4096 buckets: collision-free
+
+    narrow = cms_estimate(
+        cms_sketch(df, "v", width=2, depth=2),
+        cand, "v", width=2, depth=2,
+    )
+    for r in narrow.collect():
+        assert r["est"] >= exact[r["v"]]  # one-sided error, always
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    """CMS is mergeable state: sketch(A union B) == elementwise
+    sum(sketch(A), sketch(B)) — the incremental-maintenance contract."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.incremental import cms_sketch
+
+    a = spark.createDataFrame([("x",)] * 7 + [("y",)] * 3, "v string")
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, "v string")
+    full = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(a.unionByName(b), "v", width=16, depth=2).collect()
+    }
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in (
+            cms_sketch(a, "v", width=16, depth=2)
+            .unionByName(cms_sketch(b, "v", width=16, depth=2))
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        ).collect()
+    }
+    assert full == merged
+
+
+def test_cms_sketch_size_bound_and_nulls(spark):
+    from ghcn_d_etl_project_spark.operators.incremental import cms_sketch
+
+    rows = [(str(i),) for i in range(500)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_sketch(df, "v", width=8, depth=3).collect()
+    assert len(sk) <= 8 * 3  # sketch-sized, never data-sized
+    assert sum(r["cnt"] for r in sk if r["d"] == 0) == 500  # NULLs excluded
+
+
+def test_cms_validation(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        cms_sketch(df, "v", width=0)
+    with pytest.raises(ValueError):
+        cms_estimate(df, df, "v", depth=0)

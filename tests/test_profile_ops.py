@@ -824,3 +824,78 @@ def test_benford_conforming_sequence_low_chi2(spark):
     assert chi_good < 20.0, chi_good
     assert chi_bad > 200.0, chi_bad
     assert chi_bad > 10 * chi_good
+
+
+# ---------------------------------------------------------------------------
+# weighted_median (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_hand_cases(spark):
+    """values 1,2,3 with weights 1,1,10 -> median 3 (weight mass);
+    equal weights over 1..4 -> lower median 2."""
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0)] + [
+        ("b", float(v), 1.0) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r["g"]: (r["weighted_median"], r["total_weight"])
+        for r in weighted_median(df, ["g"], "v", "w").collect()
+    }
+    assert out["a"] == (3.0, pytest.approx(12.0))
+    assert out["b"] == (2.0, pytest.approx(4.0))
+
+
+def test_weighted_median_matches_python_reference(spark):
+    import random
+
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    rng = random.Random(17)
+    rows = [
+        ("g", round(rng.uniform(0, 100), 2), float(rng.randint(1, 9)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+
+    agg: dict[float, float] = {}
+    for _, v, w in rows:
+        agg[v] = agg.get(v, 0.0) + w
+    tot = sum(agg.values())
+    cw = 0.0
+    want = None
+    for v in sorted(agg):
+        cw += agg[v]
+        if 2 * cw >= tot:
+            want = v
+            break
+    assert got == want
+
+
+def test_weighted_median_duplicate_values_collapse(spark):
+    """Duplicate values pool their weight BEFORE the cumulative walk —
+    the collapse step, not per-row order, decides the crossing."""
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    rows = [("g", 5.0, 1.0)] * 6 + [("g", 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert out["weighted_median"] == 5.0  # 6 of 11 mass at 5.0... lower
+    # median: cw(1.0)=5, 2*5 < 11; cw(5.0)=11 -> first crossing at 5.0
+
+
+def test_weighted_median_rejects_nonpositive_weight(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    df = spark.createDataFrame([("g", 1.0, 0.0)], "g string, v double, w double")
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_median(df, ["g"], "v", "w").collect()
+    with pytest.raises(ValueError):
+        weighted_median(df, [], "v", "w")
