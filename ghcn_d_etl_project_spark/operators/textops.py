@@ -440,9 +440,13 @@ def word_cooccurrence_pmi(
             lambda w: F.length(w) >= min_word_len,
         )
     )
+    # persist-once substrate: tok feeds the n_docs aggregate, the df
+    # counts, the prune join, AND both sides of the pair self-join —
+    # without the mark the corpus tokenization re-executes ~11x in one
+    # action (measured via plan_report: 11 scans of the source)
     tok = base.select(
         F.col(id_col).alias("__doc"), F.explode(words).alias("w")
-    )
+    ).persist()
     nd = tok.agg(F.count_distinct("__doc").alias("__n_docs"))
     dfc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     vocab = (

@@ -602,14 +602,19 @@ def seasonal_profile(
         .alias("dow"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    by_dow = base.groupBy(*keys, "dow").agg(
+    # exact decimal sums are associative, so the per-key overall rolls
+    # up from the per-(key, dow) partials — the base series is scanned
+    # ONCE (a second base aggregate would re-derive the whole upstream
+    # series construction; plan_report showed 2 source scans)
+    agg0 = base.groupBy(*keys, "dow").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("__s"),
+        F.sum(F.col("__v").cast("decimal(28,4)")).alias("__sdec"),
+    ).persist()  # feeds the rollup AND the final projection
+    overall = agg0.groupBy(*keys).agg(
+        F.sum("n_days").alias("__tn"),
+        F.sum("__sdec").cast("double").alias("__ts"),
     )
-    overall = base.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__tn"),
-        F.sum(F.col("__v").cast("decimal(28,4)")).cast("double").alias("__ts"),
-    )
+    by_dow = agg0.withColumn("__s", F.col("__sdec").cast("double"))
     mean = F.col("__s") / F.col("n_days")
     omean = F.col("__ts") / F.col("__tn")
     return (

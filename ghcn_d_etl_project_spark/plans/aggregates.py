@@ -903,12 +903,15 @@ def mode_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    tot = c.groupBy("o_orderstatus").agg(F.sum("n").alias("t"))
+    # total via a second frame over the SAME tiny collapsed table —
+    # a separate aggregate would re-scan the fact table (plan_report
+    # showed 2 source scans before this)
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("n").desc(), F.col("o_orderpriority")
     )
+    tw = Window.partitionBy("o_orderstatus")
     return (
-        c.join(F.broadcast(tot), "o_orderstatus")
+        c.withColumn("t", F.sum("n").over(tw))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(

@@ -887,7 +887,7 @@ JOIN vocab v2 ON pairs.w2 = v2.w, nd
 @register(
     "pmi_cooccurrence_docs",
     oracle=_PMI_ORACLE,
-    tags=("llm", "text", "mining"),
+    tags=("llm", "text", "mining", "persists"),
     late=True,
 )
 def pmi_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1155,8 +1155,16 @@ def path_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("t2"),
         F.col("event_type").alias("t3"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tot = tri.agg(F.sum("n").alias("t"))
-    return tri.crossJoin(F.broadcast(tot)).select(
+    # corpus share via an unpartitioned frame over the COLLAPSED
+    # trigram table (|event types|^3 rows at most — the bounded
+    # SinglePartition case, same as event_transitions' prob window);
+    # a separate total aggregate re-scans the fact table instead
+    tot = F.sum("n").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return tri.withColumn("t", tot).select(
         "t1",
         "t2",
         "t3",

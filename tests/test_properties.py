@@ -620,3 +620,111 @@ def test_cusum_closed_form_law(spark, xs, target, slack):
         sp = max(0, sp + (x - target - slack))
         sn = max(0, sn + (target - x - slack))
         assert got[i] == (sp, sn), (i, got[i], (sp, sn))
+
+
+# ---------------------------------------------------------------------------
+# weighted_median laws (r9)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False).map(
+                lambda x: round(x, 2)
+            ),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_laws(spark, pairs):
+    """(1) matches the python crossing-point reference; (2) weight
+    SCALING invariance (all weights x3 leaves the median unchanged);
+    (3) the median is always an observed value."""
+    from ghcn_d_etl_project_spark.operators.quality import weighted_median
+
+    rows = [("g", v, float(w)) for v, w in pairs]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]["weighted_median"]
+
+    agg: dict[float, float] = {}
+    for _, v, w in rows:
+        agg[v] = agg.get(v, 0.0) + w
+    tot = sum(agg.values())
+    cw = 0.0
+    want = None
+    for v in sorted(agg):
+        cw += agg[v]
+        if 2 * cw >= tot:
+            want = v
+            break
+    assert got == want
+    assert got in {v for _, v, _ in rows}
+
+    scaled = spark.createDataFrame(
+        [("g", v, w * 3.0) for _, v, w in rows], "g string, v double, w double"
+    )
+    got3 = weighted_median(scaled, ["g"], "v", "w").collect()[0]["weighted_median"]
+    assert got3 == got
+
+
+# ---------------------------------------------------------------------------
+# running_count_distinct laws (r9)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", None]), min_size=1, max_size=25
+    )
+)
+def test_running_count_distinct_laws(spark, values):
+    """Monotone non-decreasing per key; final value == exact distinct
+    count of non-NULL values; each step increases by at most 1."""
+    from ghcn_d_etl_project_spark.operators.windows import (
+        running_count_distinct,
+    )
+
+    rows = [("k", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, seq int, v string")
+    out = sorted(
+        (r["seq"], r["n_distinct_so_far"])
+        for r in running_count_distinct(df, ["k"], ["seq"], "v").collect()
+    )
+    seq = [n for _, n in out]
+    assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
+    assert seq[-1] == len({v for v in values if v is not None})
+
+
+# ---------------------------------------------------------------------------
+# cms laws (r9)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=16),
+)
+def test_cms_one_sided_error_law(spark, values, width):
+    """CMS estimates NEVER undercount, at any width."""
+    from collections import Counter
+
+    from ghcn_d_etl_project_spark.operators.incremental import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    cand = df.distinct()
+    exact = Counter(values)
+    est = cms_estimate(
+        cms_sketch(df, "v", width=width, depth=2), cand, "v",
+        width=width, depth=2,
+    )
+    for r in est.collect():
+        assert r["est"] >= exact[r["v"]]
