@@ -17,6 +17,10 @@ from ghcn_d_etl_project_spark.operators.geo import haversine_km  # noqa: F401
 from ghcn_d_etl_project_spark.operators.linkage import (  # noqa: F401
     deletion_variants,
 )
+from ghcn_d_etl_project_spark.operators.timeseries import (  # noqa: F401
+    business_days_between,
+    business_days_to_date,
+)
 from ghcn_d_etl_project_spark.operators.similarity import (  # noqa: F401
     cosine,
     dot,

@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "autocorrelation",
+    "business_days_between",
+    "business_days_to_date",
     "cusum",
     "date_spine",
     "ewma",
@@ -628,4 +630,34 @@ def seasonal_profile(
                 "seasonal_index"
             ),
         )
+    )
+
+
+def business_days_to_date(col: Column | str) -> Column:
+    """Business days (Mon-Fri) in ``['1969-12-29', d)`` — the closed-form
+    prefix count business-day arithmetic is built from. 1969-12-29 is
+    the Monday anchor; pure integer arithmetic on days-since-anchor
+    (``5 * weeks + least(rem, 5)``), identical on any engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    days = F.datediff(c.cast("date"), F.lit("1969-12-29"))
+    return (
+        F.floor(days / 7) * 5 + F.least(days % 7, F.lit(5))
+    ).cast("long")
+
+
+def business_days_between(d1: Column | str, d2: Column | str) -> Column:
+    """Business days (Mon-Fri) in ``[d1, d2)`` — the working-duration
+    arithmetic Spark's calendar ``datediff`` doesn't provide (SLA
+    clocks, fulfillment latency, settlement T+n). Negative when
+    ``d2 < d1`` (anti-symmetric by construction); weekend endpoints
+    contribute nothing, so e.g. Saturday -> Monday is 0.
+
+    Prefix-difference closed form over :func:`business_days_to_date` —
+    one integer expression per row, no calendar table join, no
+    generate-and-filter explode; holiday calendars compose on top by
+    subtracting a (broadcast) holiday-count range lookup.
+    """
+    return (business_days_to_date(d2) - business_days_to_date(d1)).cast(
+        "long"
     )

@@ -1056,3 +1056,104 @@ def cusum_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum_pos").cast("long").alias("cusum_pos"),
         F.col("cusum_neg").cast("long").alias("cusum_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (extension, r9): two-proportion z-test
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+armed AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 4)) AS INTEGER) % 2 AS arm,
+         conv
+  FROM u
+),
+s AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS c_a,
+         SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS c_b
+  FROM armed
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b, 6)
+         AS rate_diff,
+       CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b) THEN
+         round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z_stat
+FROM s
+"""
+
+
+@register(
+    "ab_proportions_events",
+    oracle=_AB_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,
+)
+def ab_proportions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users deterministically split into two arms
+    by the house md5 bucket (engine-portable, replayable — the SAME
+    assignment any service computes from the user id), then the
+    two-proportion pooled z-test on purchase conversion. One per-user
+    collapse (map-side combined), then a single-row conditional
+    aggregate — the z statistic is one double expression over exact
+    BIGINTs, so an inference-statistics readout value-hashes
+    cross-engine. z is NULL when pooled variance is 0 (all or none
+    converted)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    s = u.select(arm.alias("arm"), "conv").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    c_a, c_b = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pooled = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round(c_a / n_a, 6).alias("rate_a"),
+        F.round(c_b / n_b, 6).alias("rate_b"),
+        F.round(c_a / n_a - c_b / n_b, 6).alias("rate_diff"),
+        F.when(
+            (F.col("c_a") + F.col("c_b") > 0)
+            & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+            F.round(z, 6),
+        ).alias("z_stat"),
+    )

@@ -386,3 +386,66 @@ def test_seasonal_profile_zero_mean_index_null(spark):
     for r in seasonal_profile(df, ["k"], "day", "v").collect():
         assert r["seasonal_index"] is None
         assert r["mean_value"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# business-day arithmetic (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_business_days_matches_python_reference(spark):
+    """Closed form == brute-force weekday count over random date pairs,
+    including negative (reversed) ranges."""
+    from ghcn_d_etl_project_spark.operators.timeseries import (
+        business_days_between,
+    )
+
+    rng = random.Random(23)
+    pairs = []
+    for i in range(60):
+        a = D(2023, 1, 1) + dt.timedelta(days=rng.randrange(0, 700))
+        b = D(2023, 1, 1) + dt.timedelta(days=rng.randrange(0, 700))
+        pairs.append((i, a, b))
+    df = spark.createDataFrame(pairs, "i long, d1 date, d2 date")
+    got = {
+        r["i"]: r["bd"]
+        for r in df.select(
+            "i", business_days_between("d1", "d2").alias("bd")
+        ).collect()
+    }
+
+    def brute(a, b):
+        if b < a:
+            return -brute(b, a)
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    for i, a, b in pairs:
+        assert got[i] == brute(a, b), (a, b)
+
+
+def test_business_days_weekend_edges(spark):
+    """[d1, d2) convention: Sat->Mon is 0 (no weekday in between);
+    Fri->Mon is 1 (Friday itself); same-day is 0."""
+    from ghcn_d_etl_project_spark.operators.timeseries import (
+        business_days_between,
+    )
+
+    rows = [
+        (1, D(2024, 1, 6), D(2024, 1, 8)),  # Sat -> Mon
+        (2, D(2024, 1, 5), D(2024, 1, 8)),  # Fri -> Mon
+        (3, D(2024, 1, 8), D(2024, 1, 8)),  # same Monday
+        (4, D(2024, 1, 8), D(2024, 1, 15)),  # full week Mon -> Mon
+    ]
+    df = spark.createDataFrame(rows, "i long, d1 date, d2 date")
+    got = {
+        r["i"]: r["bd"]
+        for r in df.select(
+            "i", business_days_between("d1", "d2").alias("bd")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 0, 4: 5}
