@@ -50,6 +50,7 @@ __all__ = [
     "ewma",
     "gap_fill_ffill",
     "interpolate_linear",
+    "kaplan_meier",
     "merge_intervals",
     "peak_concurrency",
     "seasonal_profile",
@@ -660,4 +661,86 @@ def business_days_between(d1: Column | str, d2: Column | str) -> Column:
     """
     return (business_days_to_date(d2) - business_days_to_date(d1)).cast(
         "long"
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over right-censored durations:
+    one row per distinct duration with the at-risk count, events,
+    censorings, and S(t) — the time-to-event curve (churn, time-to-
+    conversion, failure analysis) no Spark built-in provides.
+
+    Input: one row per subject — ``duration_col`` (non-negative
+    integer-ish time) and ``event_col`` (1 = event observed,
+    0 = right-censored at that time). S(t) = prod over event times
+    t_i <= t of (1 - d_i / n_i).
+
+    Cross-engine determinism for a PRODUCT: the factors move to log
+    space and each term ``ln(1 - d/n)`` — a double identical on both
+    engines — is quantized to DECIMAL(28,12) BEFORE the running sum,
+    so the cumulative is exact and associative (window-aggregate
+    implementations are free to sum in segment-tree order, which would
+    otherwise move the last bit); S(t) = exp(double(cumsum)), rounded.
+
+    Scale shape: subjects collapse to one row per distinct duration
+    (map-side combined — the only data-sized pass); the at-risk
+    arithmetic and the log-space product are two frames over ONE
+    unpartitioned window on that collapsed table (bounded
+    SinglePartition: |distinct durations| rows). Add a cohort column
+    upstream and partition the windows to compare curves.
+    """
+    d = F.col(duration_col)
+    ev = F.col(event_col)
+    base = df.filter(d.isNotNull() & ev.isNotNull()).select(
+        d.cast("long").alias("t"), ev.cast("long").alias("e")
+    )
+    per_t = base.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c_censored"),
+    )
+    w_order = Window.orderBy("t")
+    prior = F.coalesce(
+        F.sum(F.col("d_events") + F.col("c_censored")).over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = F.sum(F.col("d_events") + F.col("c_censored")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    marked = per_t.select(
+        "t",
+        "d_events",
+        "c_censored",
+        (total - prior).cast("long").alias("n_at_risk"),
+    )
+    # d == n (everyone at risk dies) sends ln(1 - d/n) to -inf; carry
+    # an explicit extinction flag instead and pin S = 0 from there on
+    term = F.when(
+        (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_at_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events").cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(term.cast("decimal(28,12)")).over(running)
+    extinct = F.max(
+        (F.col("d_events") == F.col("n_at_risk")).cast("int")
+    ).over(running)
+    survival = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(cum.cast("double")), round_digits)
+    )
+    return marked.select(
+        "t",
+        "n_at_risk",
+        "d_events",
+        "c_censored",
+        survival.alias("survival"),
     )

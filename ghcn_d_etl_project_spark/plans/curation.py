@@ -1157,3 +1157,169 @@ def ab_proportions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6),
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (extension, r9): the experiment sensitivity lever
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(28,4)) END), 0) AS DOUBLE)
+           AS pre,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(value AS DECIMAL(28,4)) END), 0) AS DOUBLE)
+           AS post
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(pre AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(post AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(pre * pre AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(pre * post AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM u
+),
+adj AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 4)) AS INTEGER) % 2 AS arm,
+         post,
+         post - ((m.n * sxy - sx * sy) / (m.n * sxx - sx * sx))
+                * (pre - sx / m.n) AS adjusted,
+         (m.n * sxy - sx * sy) / (m.n * sxx - sx * sx) AS theta
+  FROM u, m
+),
+by_arm AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(CAST(post AS DECIMAL(28,4))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(post * post AS DECIMAL(30,6))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(adjusted AS DECIMAL(28,6))) AS DOUBLE) AS sa,
+         CAST(SUM(CAST(adjusted * adjusted AS DECIMAL(30,6))) AS DOUBLE)
+           AS saa,
+         MIN(theta) AS theta
+  FROM adj GROUP BY 1
+),
+pooled AS (
+  SELECT arm, n, sp, sa, theta,
+         SUM(n) OVER () AS tn, SUM(sp) OVER () AS tsp,
+         SUM(spp) OVER () AS tspp, SUM(sa) OVER () AS tsa,
+         SUM(saa) OVER () AS tsaa
+  FROM by_arm
+)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n,
+       round(sp / n, 6) AS mean_post,
+       round(sa / n, 6) AS mean_adjusted,
+       round(theta, 6) AS theta,
+       round(1 - ((tsaa - tsa * tsa / tn) / tn)
+               / ((tspp - tsp * tsp / tn) / tn), 6) AS var_reduction
+FROM pooled
+"""
+
+
+@register(
+    "cuped_adjusted_events",
+    oracle=_CUPED_ORACLE,
+    tags=("curation", "experiment", "stats", "persists"),
+    late=True,
+)
+def cuped_adjusted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, WSDM): each user's
+    post-period metric is adjusted by theta x (pre-period covariate -
+    its mean), theta = cov(pre, post)/var(pre) — the standard lever
+    that lets an experiment detect the same effect with a fraction of
+    the traffic. Per arm (house md5 split): raw vs adjusted means and
+    the pooled variance-reduction ratio.
+
+    Scale shape: one per-user collapse of the fact table (map-side
+    combined, persisted — it feeds the theta moments AND the adjusted
+    aggregate), one single-row exact-DECIMAL moment aggregate broadcast
+    back, one per-arm aggregate, and an unpartitioned window over the
+    TWO arm rows for the pooled ratio. theta and every mean are single
+    double expressions over exact sums — the whole readout
+    value-hashes cross-engine."""
+    cutoff = "2024-01-16"
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    dec = F.col("value").cast("decimal(28,4)")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cutoff, dec)), F.lit(0)
+            )
+            .cast("double")
+            .alias("pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cutoff, dec)), F.lit(0)
+            )
+            .cast("double")
+            .alias("post"),
+        )
+        .persist()
+    )
+    pre, post = F.col("pre"), F.col("post")
+    m = u.agg(
+        F.count(F.lit(1)).alias("mn"),
+        F.sum(pre.cast("decimal(28,4)")).cast("double").alias("sx"),
+        F.sum(post.cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum((pre * pre).cast("decimal(30,6)")).cast("double").alias("sxx"),
+        F.sum((pre * post).cast("decimal(30,6)")).cast("double").alias("sxy"),
+    )
+    mn = F.col("mn").cast("double")
+    theta = (mn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        mn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    adj = u.crossJoin(F.broadcast(m)).select(
+        arm.alias("arm"),
+        "post",
+        (post - theta * (pre - F.col("sx") / mn)).alias("adjusted"),
+        theta.alias("theta"),
+    )
+    a = F.col("adjusted")
+    by_arm = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(post.cast("decimal(28,4)")).cast("double").alias("sp"),
+        F.sum((post * post).cast("decimal(30,6)")).cast("double").alias("spp"),
+        F.sum(a.cast("decimal(28,6)")).cast("double").alias("sa"),
+        F.sum((a * a).cast("decimal(30,6)")).cast("double").alias("saa"),
+        F.min("theta").alias("theta"),
+    )
+    from pyspark.sql import Window
+
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooledvar_post = (
+        F.sum("spp").over(full)
+        - F.sum("sp").over(full) * F.sum("sp").over(full)
+        / F.sum("n").over(full)
+    ) / F.sum("n").over(full)
+    pooledvar_adj = (
+        F.sum("saa").over(full)
+        - F.sum("sa").over(full) * F.sum("sa").over(full)
+        / F.sum("n").over(full)
+    ) / F.sum("n").over(full)
+    return by_arm.select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sp") / F.col("n"), 6).alias("mean_post"),
+        F.round(F.col("sa") / F.col("n"), 6).alias("mean_adjusted"),
+        F.round("theta", 6).alias("theta"),
+        F.round(1 - pooledvar_adj / pooledvar_post, 6).alias("var_reduction"),
+    )

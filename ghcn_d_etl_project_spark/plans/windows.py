@@ -1171,3 +1171,114 @@ def path_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (extension, r9): time-to-event analysis
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH sign AS (
+  SELECT user_id, MIN(ts) AS s0 FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL GROUP BY 1
+),
+pur AS (
+  SELECT e.user_id, MIN(e.ts) AS p0
+  FROM events e JOIN sign s ON e.user_id = s.user_id AND e.ts >= s.s0
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(ts) AS mts FROM events),
+subj AS (
+  SELECT CASE WHEN p.p0 IS NOT NULL
+              THEN date_diff('day', CAST(s.s0 AS DATE), CAST(p.p0 AS DATE))
+              ELSE date_diff('day', CAST(s.s0 AS DATE), CAST(mx.mts AS DATE))
+         END AS t,
+         CASE WHEN p.p0 IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM sign s LEFT JOIN pur p ON s.user_id = p.user_id, mx
+),
+per_t AS (
+  SELECT t, SUM(e) AS d_events, SUM(1 - e) AS c_censored
+  FROM subj GROUP BY 1
+),
+marked AS (
+  SELECT t, d_events, c_censored,
+         SUM(d_events + c_censored) OVER ()
+           - COALESCE(SUM(d_events + c_censored) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_t
+),
+curve AS (
+  SELECT t, n_at_risk, d_events, c_censored,
+         SUM(CAST(CASE WHEN d_events > 0 AND d_events < n_at_risk
+                       THEN ln(1 - CAST(d_events AS DOUBLE) / n_at_risk)
+                       ELSE 0.0 END AS DECIMAL(28,12)))
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+         MAX(CASE WHEN d_events = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS extinct
+  FROM marked
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(c_censored AS BIGINT) AS c_censored,
+       CASE WHEN extinct = 1 THEN 0.0
+            ELSE round(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+FROM curve
+"""
+
+
+@register(
+    "survival_km_events",
+    oracle=_KM_ORACLE,
+    tags=("window", "events", "survival"),
+    late=True,
+)
+def survival_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: days from each user's first
+    signup to their first subsequent purchase, right-censored at the
+    corpus horizon for users who never convert
+    (``operators/timeseries.py:kaplan_meier``). The estimator's
+    running PRODUCT is made engine-exact by quantizing each
+    ``ln(1 - d/n)`` term to DECIMAL(28,12) before the window sum —
+    windowed double sums are free to accumulate in segment-tree order,
+    which would otherwise move the last bit; extinction (d == n) is an
+    explicit flag, not a -inf. Subjects collapse to one row per
+    distinct duration; the curve is two frames over one bounded
+    unpartitioned window on that table."""
+    from ghcn_d_etl_project_spark.operators.timeseries import kaplan_meier
+
+    e = t(spark, sf_dir, "events")
+    sign = (
+        e.filter(
+            (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s0"))
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(sign, "user_id")
+        .filter(F.col("ts") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    mx = e.agg(F.max("ts").alias("mts"))
+    subj = (
+        sign.join(pur, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("p0").isNotNull(),
+                F.datediff(F.col("p0").cast("date"), F.col("s0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("mts").cast("date"), F.col("s0").cast("date"))
+            )
+            .alias("t"),
+            F.col("p0").isNotNull().cast("long").alias("e"),
+        )
+    )
+    return kaplan_meier(subj, "t", "e")

@@ -449,3 +449,83 @@ def test_business_days_weekend_edges(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 0, 4: 5}
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier (r9)
+# ---------------------------------------------------------------------------
+
+
+def _py_km(subjects):
+    """Reference KM: subjects = [(t, event)], returns {t: survival}."""
+    from collections import Counter
+
+    d = Counter(t for t, e in subjects if e)
+    c = Counter(t for t, e in subjects if not e)
+    times = sorted(set(d) | set(c))
+    n = len(subjects)
+    s = 1.0
+    out = {}
+    for t in times:
+        if d[t] and d[t] < n:
+            s *= 1.0 - d[t] / n
+        elif d[t] == n:
+            s = 0.0
+        out[t] = (n, d[t], c[t], round(s, 6))
+        n -= d[t] + c[t]
+    return out
+
+
+def test_km_textbook_case(spark):
+    """Classic worked example: events at 1,2 censor at 3, event at 4."""
+    from ghcn_d_etl_project_spark.operators.timeseries import kaplan_meier
+
+    subjects = [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]
+    df = spark.createDataFrame(subjects, "t long, e long")
+    got = {
+        r["t"]: (r["n_at_risk"], r["d_events"], r["c_censored"], r["survival"])
+        for r in kaplan_meier(df, "t", "e").collect()
+    }
+    # by hand: S(1)=4/5=0.8; S(2)=0.8*3/4=0.6; S(3)=0.6 (censor only);
+    # S(4): n=2, d=1 -> 0.3; S(5)=0.3 (censor only)
+    assert got[1] == (5, 1, 0, 0.8)
+    assert got[2] == (4, 1, 0, 0.6)
+    assert got[3] == (3, 0, 1, 0.6)
+    assert got[4] == (2, 1, 0, 0.3)
+    assert got[5] == (1, 0, 1, 0.3)
+
+
+def test_km_matches_python_reference_random(spark):
+    from ghcn_d_etl_project_spark.operators.timeseries import kaplan_meier
+
+    rng = random.Random(41)
+    subjects = [(rng.randint(0, 20), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(subjects, "t long, e long")
+    got = {
+        r["t"]: (r["n_at_risk"], r["d_events"], r["c_censored"], r["survival"])
+        for r in kaplan_meier(df, "t", "e").collect()
+    }
+    want = _py_km(subjects)
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:3] == want[t][:3], t
+        assert abs(got[t][3] - want[t][3]) <= 1e-6, t
+
+
+def test_km_monotone_and_extinction(spark):
+    """Survival never increases; all-events-at-once pins S to exactly 0
+    (no -inf artifacts)."""
+    from ghcn_d_etl_project_spark.operators.timeseries import kaplan_meier
+
+    rng = random.Random(43)
+    subjects = [(rng.randint(0, 10), rng.randint(0, 1)) for _ in range(100)]
+    df = spark.createDataFrame(subjects, "t long, e long")
+    curve = [
+        r["survival"]
+        for r in kaplan_meier(df, "t", "e").orderBy("t").collect()
+    ]
+    assert all(b <= a + 1e-12 for a, b in zip(curve, curve[1:]))
+
+    allout = spark.createDataFrame([(5, 1), (5, 1)], "t long, e long")
+    got = kaplan_meier(allout, "t", "e").collect()
+    assert got[0]["survival"] == 0.0
