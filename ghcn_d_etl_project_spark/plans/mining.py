@@ -512,3 +512,99 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kcore(edges, "u", "v", k=3)
     return out.select(F.col("node").cast("long").alias("node"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (extension, r9): inequality of customer revenue
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+byv AS (SELECT cents AS v, COUNT(*) AS c FROM rev GROUP BY 1),
+cumd AS (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cumc
+  FROM byv
+),
+terms AS (
+  SELECT CAST(v AS DECIMAL(38,0))
+           * (CAST(cumc - c AS DECIMAL(38,0)) * c + CAST(c AS DECIMAL(38,0))
+              * (c + 1) / 2) AS rank_weighted,
+         CAST(v AS DECIMAL(38,0)) * c AS total_v,
+         c
+  FROM cumd
+),
+s AS (
+  SELECT SUM(rank_weighted) AS s1, SUM(total_v) AS sx, SUM(c) AS n
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(CAST(sx AS DOUBLE) / (100.0 * n) AS DOUBLE) AS mean_revenue,
+       round(CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM s
+"""
+
+
+@register(
+    "gini_revenue_customers",
+    oracle=_GINI_ORACLE,
+    tags=("mining", "stats", "analytics"),
+    late=True,
+)
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    standard inequality/concentration metric (whale-dependence audits,
+    marketplace health). Computed RANK-FREE: exact integer revenue
+    cents collapse to distinct values with counts, the cumulative count
+    runs through the bucketed ``global_cumsum`` (never a data-sized
+    single-partition rank window), and each tied block contributes
+    ``v * (F_v*c + c(c+1)/2)`` — the closed form of its rank-weighted
+    sum — in DECIMAL(38,0) exact arithmetic. The oracle states the
+    plain window formulation; the MATCH certifies the distributed
+    rewrite, ties and all."""
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(24,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    byv = rev.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cumd = global_cumsum(byv, "v", "c", out_col="cumc")
+    vdec = F.col("v").cast("decimal(38,0)")
+    cdec = F.col("c").cast("decimal(38,0)")
+    fv = (F.col("cumc") - F.col("c")).cast("decimal(38,0)")
+    terms = cumd.select(
+        (vdec * (fv * F.col("c") + cdec * (F.col("c") + 1) / 2)).alias(
+            "rank_weighted"
+        ),
+        (vdec * F.col("c")).alias("total_v"),
+        "c",
+    )
+    s = terms.agg(
+        F.sum("rank_weighted").alias("s1"),
+        F.sum("total_v").alias("sx"),
+        F.sum("c").alias("n"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("long").alias("n_customers"),
+        (F.col("sx").cast("double") / (F.lit(100.0) * n)).alias(
+            "mean_revenue"
+        ),
+        F.round(
+            (2 * F.col("s1") - (n + 1) * F.col("sx")).cast("double")
+            / (n * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -384,3 +384,49 @@ def test_global_cummax_matches_window(spark):
                 .collect()
             }
             assert got == want, (inclusive, kwargs)
+
+
+# ---------------------------------------------------------------------------
+# gini (r9) — exercised through the registered query's building blocks
+# ---------------------------------------------------------------------------
+
+
+def _py_gini(values):
+    xs = sorted(values)
+    n = len(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    sx = sum(xs)
+    return (2 * s1 - (n + 1) * sx) / (n * sx)
+
+
+def test_gini_closed_form_matches_brute(spark):
+    """The rank-free tied-block formulation == the textbook sorted-rank
+    formula, on data WITH ties."""
+    import random
+
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    rng = random.Random(9)
+    vals = [rng.choice([100, 100, 250, 400, 400, 900, 1500]) for _ in range(80)]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    byv = df.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cumd = global_cumsum(byv, "v", "c", out_col="cumc")
+    rows = cumd.collect()
+    s1 = sum(
+        r["v"] * ((r["cumc"] - r["c"]) * r["c"] + r["c"] * (r["c"] + 1) / 2)
+        for r in rows
+    )
+    sx = sum(r["v"] * r["c"] for r in rows)
+    n = sum(r["c"] for r in rows)
+    got = (2 * s1 - (n + 1) * sx) / (n * sx)
+    assert got == pytest.approx(_py_gini(vals), abs=1e-12)
+
+
+def test_gini_boundary_values(spark):
+    """All-equal -> 0; one whale among near-zeros -> close to 1 - 1/n."""
+    assert _py_gini([5] * 40) == pytest.approx(0.0, abs=1e-12)
+    n = 50
+    g = _py_gini([1] * (n - 1) + [10_000_000])
+    assert g == pytest.approx(1 - 1 / n, abs=0.01)
