@@ -1323,3 +1323,110 @@ def cuped_adjusted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("theta", 6).alias("theta"),
         F.round(1 - pooledvar_adj / pooledvar_post, 6).alias("var_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift & gains (extension, r9): targeting-model readout
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+scored AS (
+  SELECT score, conv,
+         CAST(CEIL(CUME_DIST() OVER (ORDER BY score) * 10) AS BIGINT)
+           AS decile
+  FROM u
+),
+byd AS (
+  SELECT decile, COUNT(*) AS n, SUM(score) AS s, SUM(conv) AS c
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tn, SUM(c) AS tc FROM byd)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n_users,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_score,
+       CAST(c AS BIGINT) AS n_converted,
+       round(CAST(c AS DOUBLE) / n, 6) AS conv_rate,
+       CASE WHEN tc > 0 THEN
+         round((CAST(c AS DOUBLE) / n) / (CAST(tc AS DOUBLE) / tn), 6)
+       END AS lift,
+       CASE WHEN tc > 0 THEN
+         round(CAST(SUM(c) OVER (ORDER BY decile DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+               / tc, 6)
+       END AS cum_gains
+FROM byd, tot
+"""
+
+
+@register(
+    "decile_lift_events",
+    oracle=_LIFT_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,
+)
+def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative gains: users bucketed into engagement-
+    score deciles (tie-stable ceil(10 x cume) — equal scores share a
+    decile, computed by the COUNTING percentile recipe
+    (``operators/encoding.py:percentile_features``), never the
+    single-partition global-sort window the oracle states), then per
+    decile the conversion rate, lift vs the overall rate, and the
+    top-down cumulative gains curve — the standard targeting-model
+    readout. After the one per-user collapse, everything runs on <= 10
+    rows (broadcast totals, bounded ordered window)."""
+    from ghcn_d_etl_project_spark.operators.encoding import (
+        percentile_features,
+    )
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    scored = percentile_features(
+        u, "score", rank_col="__pr", cume_col="__cume"
+    ).drop("__pr")
+    decile = F.ceil(F.col("__cume") * 10).cast("long")
+    byd = scored.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score").cast("long").alias("s"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gains_w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tn = F.sum("n").over(full)
+    tc = F.sum("c").over(full)
+    rate = F.col("c").cast("double") / F.col("n")
+    return byd.select(
+        "decile",
+        F.col("n").alias("n_users"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_score"),
+        F.col("c").alias("n_converted"),
+        F.round(rate, 6).alias("conv_rate"),
+        F.when(
+            tc > 0, F.round(rate / (tc.cast("double") / tn), 6)
+        ).alias("lift"),
+        F.when(
+            tc > 0,
+            F.round(F.sum("c").over(gains_w).cast("double") / tc, 6),
+        ).alias("cum_gains"),
+    )
