@@ -1282,3 +1282,80 @@ def survival_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kaplan_meier(subj, "t", "e")
+
+
+# ---------------------------------------------------------------------------
+# Active users & stickiness (extension, r9): DAU / trailing-7-day WAU
+# ---------------------------------------------------------------------------
+
+_ACTIVE_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM ud),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+       CAST(dau AS BIGINT) AS dau,
+       CAST(wau AS BIGINT) AS wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@register(
+    "active_users_events",
+    oracle=_ACTIVE_ORACLE,
+    tags=("window", "events", "analytics"),
+    late=True,
+)
+def active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and DAU/WAU stickiness per observed
+    day — the product-health curve. The trailing DISTINCT count is
+    computed by SUPPORT EXPLODE, not a window: each (user, day)
+    activity row emits the <= 7 future days it supports, a distinct +
+    count per target day finishes it — two hash aggregates, fan-out
+    bounded by the window length, no per-day range self-join of the
+    fact table and no distinct-over-window state (which Spark refuses
+    and which holds a user SET per frame elsewhere). The oracle states
+    the range-join formulation it replaces. Target days land only on
+    OBSERVED days via a broadcast semi-join with the day spine."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+    )
+    wau = (
+        support.join(
+            F.broadcast(days.withColumnRenamed("day", "tday")), "tday"
+        )
+        .select("user_id", "tday")
+        .distinct()
+        .groupBy("tday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
