@@ -289,3 +289,98 @@ def feature_hash(
         ),
     )
     return df.select(F.col(id_col), features.alias("features"))
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    weight_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group isotonic regression via Pool-Adjacent-Violators (PAVA):
+    the monotone-nondecreasing step function minimizing weighted squared
+    error — the standard model-calibration fit (Zadrozny & Elkan 2002)
+    and monotone-constraint smoother.
+
+    PAVA is inherently SEQUENTIAL in x order (each pool decision depends
+    on every earlier pool), so this is an honest ``applyInPandas``: one
+    shuffle on the group keys, then a numpy stack-based PAVA per group.
+    The scale contract mirrors ``mmr_rerank``: feed PRE-AGGREGATED
+    (x, y, w) points per group (distinct x values — e.g. score buckets
+    with observed rates), not raw events; state per group is the
+    distinct-x table. Duplicate x within a group are pre-pooled by
+    weighted mean (standard), which also makes the fit independent of
+    input order — deterministic under any partitioning.
+
+    Output: ``(group_cols..., x, y_iso double, x_weight double)`` —
+    one row per distinct x (``x_weight`` = that x's pooled input
+    weight), y_iso monotone non-decreasing in x and preserving the
+    weighted mean of y.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    cols = [F.col(c) for c in group_cols]
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        w.alias("__w"),
+    )
+    out_schema = ", ".join(
+        [f"{c} {base.schema[c].dataType.simpleString()}" for c in group_cols]
+        + ["x double", "y_iso double", "x_weight double"]
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pre-pool duplicate x by weighted mean, then sort by x
+        g = (
+            pdf.assign(wy=pdf["__y"] * pdf["__w"])
+            .groupby("__x", as_index=False)
+            .agg(w=("__w", "sum"), wy=("wy", "sum"))
+            .sort_values("__x")
+            .reset_index(drop=True)
+        )
+        xs = g["__x"].to_numpy()
+        ws = g["w"].to_numpy(dtype=np.float64)
+        ys = (g["wy"] / g["w"]).to_numpy(dtype=np.float64)
+        # stack of (mean, weight, count) pools
+        means: list[float] = []
+        wts: list[float] = []
+        cnts: list[int] = []
+        for i in range(len(xs)):
+            means.append(float(ys[i]))
+            wts.append(float(ws[i]))
+            cnts.append(1)
+            while len(means) > 1 and means[-2] > means[-1]:
+                m2, w2, c2 = means.pop(), wts.pop(), cnts.pop()
+                m1, w1, c1 = means.pop(), wts.pop(), cnts.pop()
+                means.append((m1 * w1 + m2 * w2) / (w1 + w2))
+                wts.append(w1 + w2)
+                cnts.append(c1 + c2)
+        y_iso = np.concatenate(
+            [np.full(c, m) for m, c in zip(means, cnts)]
+        )
+        res = pd.DataFrame(
+            {
+                "x": xs,
+                "y_iso": np.round(y_iso, round_digits),
+                "x_weight": ws,
+            }
+        )
+        for c in group_cols:
+            res.insert(0, c, pdf[c].iloc[0])
+        return res[group_cols + ["x", "y_iso", "x_weight"]]
+
+    return base.groupBy(*group_cols).applyInPandas(pava, schema=out_schema)

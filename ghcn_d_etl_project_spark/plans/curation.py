@@ -1430,3 +1430,51 @@ def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c").over(gains_w).cast("double") / tc, 6),
         ).alias("cum_gains"),
     )
+
+
+@register(
+    "isotonic_calibration_events",
+    oracle=None,  # PAVA pooling is sequential in x — each pool decision
+    # depends on every earlier one; semantics pinned by the hand-case /
+    # monotone / mean-preservation / fixed-point pytest suite instead
+    tags=("curation", "experiment", "ml"),
+    late=True,
+)
+def isotonic_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve: observed conversion rate per engagement-score
+    value, made monotone by isotonic regression
+    (``operators/encoding.py:isotonic_fit`` — PAVA, Zadrozny & Elkan
+    2002). The input to PAVA is the PRE-AGGREGATED (score, rate,
+    n_users) table — the map-side-combined per-user collapse plus one
+    per-score aggregate — so the sequential fit runs over distinct
+    score values, never raw events; weights carry the per-score user
+    counts so sparse scores don't distort the pools."""
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    per_score = u.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users"),
+        (F.sum("conv") / F.count(F.lit(1))).alias("rate"),
+    )
+    out = isotonic_fit(
+        per_score.withColumn("__all", F.lit("all")),
+        ["__all"],
+        "score",
+        "rate",
+        weight_col="n_users",
+    )
+    return out.select(
+        F.col("x").cast("long").alias("score"),
+        F.col("y_iso").alias("calibrated_rate"),
+        F.col("x_weight").cast("long").alias("n_users"),
+    )

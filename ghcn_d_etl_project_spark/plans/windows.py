@@ -1359,3 +1359,94 @@ def active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast baseline + accuracy (extension, r9): seasonal-naive + MASE
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v,
+         lag(v, 1) OVER w AS l1,
+         lag(v, 7) OVER w AS l7
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+m AS (
+  SELECT event_type,
+         COUNT(l7) AS n_eval,
+         CAST(SUM(CASE WHEN l7 IS NOT NULL
+                  THEN CAST(ABS(v - l7) AS DECIMAL(28,4)) END) AS DOUBLE)
+           AS sae7,
+         COUNT(l1) AS n1,
+         CAST(SUM(CASE WHEN l1 IS NOT NULL
+                  THEN CAST(ABS(v - l1) AS DECIMAL(28,4)) END) AS DOUBLE)
+           AS sae1
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, CAST(n_eval AS BIGINT) AS n_eval,
+       round(sae7 / n_eval, 6) AS mae_seasonal_naive,
+       round(sae1 / n1, 6) AS mae_naive1,
+       CASE WHEN sae1 > 0
+            THEN round((sae7 / n_eval) / (sae1 / n1), 6) END AS mase
+FROM m
+"""
+
+
+@register(
+    "forecast_eval_events",
+    oracle=_FORECAST_ORACLE,
+    tags=("window", "events", "timeseries"),
+    late=True,
+)
+def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting baseline readout per event type: the seasonal-naive
+    forecast (value from 7 days earlier) scored by MAE and by MASE
+    (Hyndman & Koehler 2006 — scaled against the one-step naive's MAE,
+    the scale-free accuracy metric that makes series comparable). Both
+    lags share ONE window sort on the daily series (the raw facts are
+    touched once, in the series-building partial agg); absolute errors
+    are exact-DECIMAL sums (the series carries <= 4 decimals, so
+    differences are exact), means one double division — the whole
+    readout value-hashes cross-engine. MASE NULL when the naive MAE is
+    zero (constant series)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = s.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 7).over(w).alias("l7"),
+    )
+    ae = lambda l: F.abs(F.col("v") - F.col(l)).cast("decimal(28,4)")  # noqa: E731
+    m = lagged.groupBy("event_type").agg(
+        F.count("l7").alias("n_eval"),
+        F.sum(F.when(F.col("l7").isNotNull(), ae("l7")))
+        .cast("double")
+        .alias("sae7"),
+        F.count("l1").alias("n1"),
+        F.sum(F.when(F.col("l1").isNotNull(), ae("l1")))
+        .cast("double")
+        .alias("sae1"),
+    )
+    mae7 = F.col("sae7") / F.col("n_eval")
+    mae1 = F.col("sae1") / F.col("n1")
+    return m.select(
+        "event_type",
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.round(mae7, 6).alias("mae_seasonal_naive"),
+        F.round(mae1, 6).alias("mae_naive1"),
+        F.when(F.col("sae1") > 0, F.round(mae7 / mae1, 6)).alias("mase"),
+    )

@@ -217,3 +217,85 @@ def test_feature_hash_validation(spark):
         feature_hash(df, "id", [])
     with pytest.raises(ValueError):
         feature_hash(df, "id", ["a"], n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# isotonic_fit (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_pava_hand_case_pools_violators(spark):
+    """y = [1, 3, 2, 4]: the (3, 2) violation pools to 2.5; result
+    monotone [1, 2.5, 2.5, 4]."""
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+
+    rows = [("g", 0.0, 1.0), ("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r["x"]: r["y_iso"]
+        for r in isotonic_fit(df, ["g"], "x", "y").collect()
+    }
+    assert out == {0.0: 1.0, 1.0: 2.5, 2.0: 2.5, 3.0: 4.0}
+
+
+def test_pava_monotone_and_mean_preserving_random(spark):
+    """Output is monotone non-decreasing and preserves the weighted
+    mean (PAVA's defining invariants); already-monotone input is a
+    fixed point."""
+    import random
+
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+
+    rng = random.Random(3)
+    rows = [
+        ("g", float(i), rng.uniform(0, 10), float(rng.randint(1, 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double, w double")
+    out = sorted(
+        (r["x"], r["y_iso"], r["x_weight"])
+        for r in isotonic_fit(df, ["g"], "x", "y", weight_col="w").collect()
+    )
+    ys = [y for _, y, _ in out]
+    assert all(b >= a - 1e-12 for a, b in zip(ys, ys[1:]))
+    want_mean = sum(y * w for _, _, y, w in rows) / sum(w for *_, w in rows)
+    got_mean = sum(y * w for _, y, w in out) / sum(w for _, _, w in out)
+    assert abs(got_mean - want_mean) < 1e-6
+
+    mono = [("m", float(i), float(i) * 2.0) for i in range(10)]
+    dfm = spark.createDataFrame(mono, "g string, x double, y double")
+    fixed = {
+        r["x"]: r["y_iso"] for r in isotonic_fit(dfm, ["g"], "x", "y").collect()
+    }
+    assert fixed == {float(i): float(i) * 2.0 for i in range(10)}
+
+
+def test_pava_duplicate_x_prepooled_and_partition_invariant(spark):
+    import pytest
+
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+
+    rows = [("g", 1.0, 0.0), ("g", 1.0, 10.0), ("g", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = sorted(
+        (r["x"], r["y_iso"])
+        for r in isotonic_fit(df.coalesce(1), ["g"], "x", "y").collect()
+    )
+    b = sorted(
+        (r["x"], r["y_iso"])
+        for r in isotonic_fit(df.repartition(8), ["g"], "x", "y").collect()
+    )
+    # x=1 pre-pools to mean 5; (5, 4) violates -> pools to 4.666667ish
+    # weighted (2*5 + 1*4)/3
+    assert a == b
+    assert a[0][1] == a[1][1] == pytest.approx(14 / 3, abs=1e-6)
+
+
+def test_pava_validation(spark):
+    import pytest as _p
+
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+
+    df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, x double, y double")
+    with _p.raises(ValueError):
+        isotonic_fit(df, [], "x", "y")
