@@ -608,3 +608,87 @@ def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles (extension, r9): the 80/20 concentration readout
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT cents,
+         CAST(CEIL(CUME_DIST() OVER (ORDER BY cents) * 10) AS BIGINT)
+           AS decile
+  FROM rev
+),
+byd AS (
+  SELECT decile, COUNT(*) AS n, SUM(cents) AS s FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(s) AS ts FROM byd)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(s AS DOUBLE) / ts, 6) AS revenue_share,
+       round(CAST(SUM(s) OVER (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS DOUBLE)
+             / ts, 6) AS cum_share
+FROM byd, tot
+"""
+
+
+@register(
+    "lorenz_deciles_customers",
+    oracle=_LORENZ_ORACLE,
+    tags=("mining", "stats", "analytics"),
+    late=True,
+)
+def lorenz_deciles_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of customer revenue — the '80/20' readout
+    that pairs with ``gini_revenue_customers`` (Gini = 1 - 2 x the
+    area under this curve): customers bucketed into revenue deciles by
+    the tie-stable COUNTING percentile recipe (never the oracle's
+    global-sort window), per-decile exact-cents revenue, share, and
+    the ascending cumulative share. After the per-customer collapse
+    everything runs on <= 10 rows."""
+    from ghcn_d_etl_project_spark.operators.encoding import (
+        percentile_features,
+    )
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(24,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    scored = percentile_features(
+        rev, "cents", rank_col="__pr", cume_col="__cume"
+    )
+    decile = F.ceil(F.col("__cume") * 10).cast("long")
+    byd = scored.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ts = F.sum("s").over(full)
+    return byd.select(
+        "decile",
+        "n_customers",
+        (F.col("s").cast("double") / 100.0).alias("revenue"),
+        F.round(F.col("s").cast("double") / ts, 6).alias("revenue_share"),
+        F.round(
+            F.sum("s").over(cum_w).cast("double") / ts, 6
+        ).alias("cum_share"),
+    )
