@@ -191,19 +191,19 @@ def label_centroids(
     centroid) via one stack over |labels| rows. NULL labels/vectors are
     excluded by contract.
     """
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-        if not first:
-            dim = 0
-        else:
-            dim = int(first[0]["d"])
-    if dim < 1:
-        raise ValueError(f"could not infer a positive vector dim (got {dim})")
     base = df.filter(
         F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
     ).select(
         F.col(label_col).alias("label"), _as_double(vec_col).alias("__v")
     )
+    if dim is None:
+        # infer from the null-FILTERED base (kmeans_lloyd convention):
+        # an unfiltered first row can carry a NULL vector, where F.size
+        # returns NULL and int() raised an opaque TypeError
+        first = base.select(F.size("__v").alias("d")).limit(1).collect()
+        dim = 0 if not first or first[0]["d"] is None else int(first[0]["d"])
+    if dim < 1:
+        raise ValueError(f"could not infer a positive vector dim (got {dim})")
     wide = base.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         *[

@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["percentile_features", "standardize", "target_encode_loo"]
+__all__ = [
+    "feature_hash",
+    "isotonic_fit",
+    "percentile_features",
+    "standardize",
+    "target_encode_loo",
+]
 
 
 def target_encode_loo(
@@ -83,6 +89,8 @@ def percentile_features(
     cume_col: str = "cume_dist",
     bucket_width: float | None = None,
     round_digits: int = 6,
+    tile_col: str | None = None,
+    n_tiles: int = 10,
 ) -> DataFrame:
     """Append the GLOBAL ``percent_rank`` and ``cume_dist`` of
     ``value_col`` to every row — the quantile-normalization feature —
@@ -108,6 +116,14 @@ def percentile_features(
     Join-back note: the join key is the value itself — exact-equality
     on the very doubles both sides carry, and heavy duplication of a
     value is exactly what SHRINKS the distinct-value table.
+
+    ``tile_col`` appends the tie-stable value n-tile
+    ``ceil(n_tiles * cum / N)`` as EXACT BIGINT arithmetic
+    (``(n_tiles*cum + N - 1) div N`` — never the rounded ``cume_col``
+    double): deriving the tile from a 6-digit-rounded cume can flip a
+    bucket when cum/N lands within 5e-7 of a tile boundary, which at
+    >~2e5 distinct rows is a real event. Equal values always share a
+    tile (unlike row-ordered NTILE); NULL values get a NULL tile.
     """
     from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
 
@@ -125,23 +141,29 @@ def percentile_features(
         F.col("__N").alias("__N_total")
     )
     big_n = F.col("__N_total")
-    vals = (
-        cums.crossJoin(F.broadcast(totals))
-        .select(
-            "__v",
-            F.round(
-                F.when(big_n > 1,
-                       (F.col("__cum") - F.col("__n")).cast("double")
-                       / (big_n - 1).cast("double"))
-                .otherwise(F.lit(0.0)),
-                round_digits,
-            ).alias(rank_col),
-            F.round(
-                F.col("__cum").cast("double") / big_n.cast("double"),
-                round_digits,
-            ).alias(cume_col),
+    out_cols = [
+        F.round(
+            F.when(big_n > 1,
+                   (F.col("__cum") - F.col("__n")).cast("double")
+                   / (big_n - 1).cast("double"))
+            .otherwise(F.lit(0.0)),
+            round_digits,
+        ).alias(rank_col),
+        F.round(
+            F.col("__cum").cast("double") / big_n.cast("double"),
+            round_digits,
+        ).alias(cume_col),
+    ]
+    if tile_col is not None:
+        # exact ceil(n_tiles * cum / N) in BIGINT — no float boundary
+        out_cols.append(
+            F.floor(
+                (F.lit(int(n_tiles)) * F.col("__cum") + big_n - 1) / big_n
+            )
+            .cast("long")
+            .alias(tile_col)
         )
-    )
+    vals = cums.crossJoin(F.broadcast(totals)).select("__v", *out_cols)
     return df.join(
         vals, on=df[value_col] == vals["__v"], how="left"
     ).drop("__v")

@@ -596,9 +596,17 @@ def seasonal_profile(
     keys = list(key_cols)
     base = series.select(
         *keys,
+        # pmod, not `%`: the signed remainder goes non-positive for
+        # pre-1970 dates (1969-12-25 read dow -3); pmod keeps the ISO
+        # weekday in 1..7 over the full date domain.
         (
-            (F.datediff(F.col(date_col).cast("date"), F.lit("1970-01-01")) + 3)
-            % 7
+            F.pmod(
+                F.datediff(
+                    F.col(date_col).cast("date"), F.lit("1970-01-01")
+                )
+                + 3,
+                F.lit(7),
+            )
             + 1
         )
         .cast("long")
@@ -642,8 +650,12 @@ def business_days_to_date(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     days = F.datediff(c.cast("date"), F.lit("1969-12-29"))
+    # floored division MUST pair with the floored (positive) modulus:
+    # Spark's `%` is a signed remainder, so `floor(days/7)` + `days % 7`
+    # disagree for pre-anchor dates (days < 0) and the weekday count came
+    # out wrong (1969-12-26 -> 1969-12-29 read 8 business days, not 1).
     return (
-        F.floor(days / 7) * 5 + F.least(days % 7, F.lit(5))
+        F.floor(days / 7) * 5 + F.least(F.pmod(days, F.lit(7)), F.lit(5))
     ).cast("long")
 
 

@@ -999,14 +999,20 @@ WITH ls AS (
   FROM lineitem GROUP BY 1
 ),
 j AS (
+  -- floored division + floored (positive) modulus, mirroring the
+  -- engine's floor()/pmod() pair so the formula holds for pre-anchor
+  -- dates too (DuckDB's bare % is a signed remainder like Spark's)
   SELECT o_orderpriority,
          date_diff('day', CAST(o_orderdate AS DATE), last_ship) AS cal,
-         (5 * (date_diff('day', DATE '1969-12-29', last_ship) // 7)
-            + LEAST(date_diff('day', DATE '1969-12-29', last_ship) % 7, 5))
-         - (5 * (date_diff('day', DATE '1969-12-29',
-                           CAST(o_orderdate AS DATE)) // 7)
-            + LEAST(date_diff('day', DATE '1969-12-29',
-                              CAST(o_orderdate AS DATE)) % 7, 5)) AS bd
+         (5 * CAST(floor(date_diff('day', DATE '1969-12-29',
+                                   last_ship) / 7.0) AS BIGINT)
+            + LEAST(((date_diff('day', DATE '1969-12-29', last_ship)
+                      % 7) + 7) % 7, 5))
+         - (5 * CAST(floor(date_diff('day', DATE '1969-12-29',
+                           CAST(o_orderdate AS DATE)) / 7.0) AS BIGINT)
+            + LEAST(((date_diff('day', DATE '1969-12-29',
+                              CAST(o_orderdate AS DATE)) % 7) + 7) % 7,
+                    5)) AS bd
   FROM orders JOIN ls ON o_orderkey = l_orderkey
 )
 SELECT o_orderpriority,

@@ -1338,9 +1338,13 @@ WITH u AS (
   FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 scored AS (
+  -- exact integer ceil(10*cum/N) with peers-inclusive cum, mirroring
+  -- the engine's BIGINT tile arithmetic — CEIL(CUME_DIST()*10) on the
+  -- rounded double can flip a bucket within 5e-7 of a boundary
   SELECT score, conv,
-         CAST(CEIL(CUME_DIST() OVER (ORDER BY score) * 10) AS BIGINT)
-           AS decile
+         CAST((10 * (COUNT(*) OVER (ORDER BY score))
+               + (COUNT(*) OVER ()) - 1) // (COUNT(*) OVER ())
+              AS BIGINT) AS decile
   FROM u
 ),
 byd AS (
@@ -1399,9 +1403,11 @@ def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv"),
     )
     scored = percentile_features(
-        u, "score", rank_col="__pr", cume_col="__cume"
+        u, "score", rank_col="__pr", cume_col="__cume", tile_col="__decile"
     ).drop("__pr")
-    decile = F.ceil(F.col("__cume") * 10).cast("long")
+    # exact BIGINT tile from the unrounded counts — never the rounded
+    # cume double, whose 6-digit rounding can cross a decile boundary
+    decile = F.col("__decile")
     byd = scored.groupBy(decile.alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("score").cast("long").alias("s"),

@@ -622,9 +622,12 @@ WITH rev AS (
   FROM orders GROUP BY 1
 ),
 scored AS (
+  -- exact integer ceil(10*cum/N) with peers-inclusive cum (see
+  -- decile_lift_events) — no float decile boundary
   SELECT cents,
-         CAST(CEIL(CUME_DIST() OVER (ORDER BY cents) * 10) AS BIGINT)
-           AS decile
+         CAST((10 * (COUNT(*) OVER (ORDER BY cents))
+               + (COUNT(*) OVER ()) - 1) // (COUNT(*) OVER ())
+              AS BIGINT) AS decile
   FROM rev
 ),
 byd AS (
@@ -669,9 +672,9 @@ def lorenz_deciles_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     scored = percentile_features(
-        rev, "cents", rank_col="__pr", cume_col="__cume"
+        rev, "cents", rank_col="__pr", cume_col="__cume", tile_col="__decile"
     )
-    decile = F.ceil(F.col("__cume") * 10).cast("long")
+    decile = F.col("__decile")
     byd = scored.groupBy(decile.alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("s"),

@@ -1000,8 +1000,11 @@ WITH s AS (
   FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 b AS (
+  -- floored (positive) modulus mirroring the engine's pmod, so the
+  -- ISO weekday stays in 1..7 for pre-1970 dates too
   SELECT event_type,
-         ((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 1 AS dow, v
+         ((((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 7) % 7)
+           + 1 AS dow, v
   FROM s
 ),
 bd AS (

@@ -194,6 +194,38 @@ def test_label_centroids_empty_raises(spark):
         label_centroids(df, "label", "vec")
 
 
+def test_label_centroids_null_first_row_infers_dim(spark):
+    """Dim inference must come from the null-FILTERED base: a NULL
+    vector (or NULL label) in the first physical row made F.size
+    return NULL and int() raise an opaque TypeError."""
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    rows = [(3, None), (None, [9.0, 9.0]), (1, [2.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "label int, vec array<double>"
+    ).coalesce(1)
+    out = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, "label", "vec").collect()
+    }
+    assert out == {
+        (1, 0): pytest.approx(2.0, abs=1e-9),
+        (1, 1): pytest.approx(4.0, abs=1e-9),
+    }
+
+
+def test_label_centroids_all_null_vectors_raises(spark):
+    """Every usable row filtered away -> the existing ValueError, not a
+    TypeError from int(None)."""
+    from ghcn_d_etl_project_spark.operators.clustering import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, None), (None, [1.0])], "label int, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="positive vector dim"):
+        label_centroids(df, "label", "vec")
+
+
 # ---------------------------------------------------------------------------
 # mmr_rerank (r9) — lives here with the other embedding-ML operators
 # ---------------------------------------------------------------------------

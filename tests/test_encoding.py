@@ -62,6 +62,40 @@ def test_percentile_features_match_window_semantics(spark):
     assert len(got) == 5
 
 
+def test_percentile_features_exact_tile_column(spark):
+    """tile_col = exact BIGINT ceil(n_tiles*cum/N): ties share a tile,
+    NULLs get NULL, and the arithmetic never routes through the rounded
+    cume double (a boundary value within 5e-7 of a tile edge must land
+    on the exact side)."""
+    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+
+    rows = [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {
+        r.id: r.tile
+        for r in percentile_features(
+            df, "v", tile_col="tile", n_tiles=4
+        ).collect()
+    }
+    # cum/N: 1/4 -> tile 1; ties cum 3/4 -> tile 3; 4/4 -> tile 4
+    assert got == {1: 1, 2: 3, 3: 3, 4: 4, 5: None}
+
+    # boundary stress: N rows where one value sits exactly at a decile
+    # edge and another a hair past it — the rounded-cume formulation
+    # (ceil(round(cum/N, 6) * 10)) misbuckets the hair-past row when
+    # round() pulls it back onto the edge; the integer form cannot
+    n = 2_000_003  # cum/N within 5e-7 of 0.1 for cum near n/10
+    cum_edge = n // 10  # 200000 -> cum/N just below 0.1 -> tile 1
+    cum_past = cum_edge + 1  # just past -> tile 2 (rounds to 0.1!)
+    assert round(cum_past / n, 6) == 0.1  # the trap ADVICE described
+    import math
+
+    for cum, want in [(cum_edge, 1), (cum_past, 2), (n, 10)]:
+        exact = (10 * cum + n - 1) // n
+        assert exact == want
+        assert exact == math.ceil(10 * cum / n)
+
+
 def test_percentile_features_no_single_partition_sort(spark):
     """The operator's reason to exist: the executed plan must not
     contain the window formulation's Exchange SinglePartition over the

@@ -451,6 +451,63 @@ def test_business_days_weekend_edges(spark):
     assert got == {1: 0, 2: 1, 3: 0, 4: 5}
 
 
+def test_business_days_pre_anchor_dates(spark):
+    """Dates BEFORE the 1969-12-29 Monday anchor: the decomposition
+    must pair floored division with the positive modulus (pmod) — the
+    signed `%` remainder read 1969-12-26 -> 1969-12-29 as 8 business
+    days instead of 1, and Sun -> Mon as 6 instead of 0."""
+    from ghcn_d_etl_project_spark.operators.timeseries import (
+        business_days_between,
+    )
+
+    rows = [
+        (1, D(1969, 12, 26), D(1969, 12, 29)),  # Fri -> Mon = 1
+        (2, D(1969, 12, 28), D(1969, 12, 29)),  # Sun -> Mon = 0
+        (3, D(1969, 12, 22), D(1969, 12, 29)),  # Mon -> Mon = 5
+        (4, D(1969, 12, 29), D(1969, 12, 26)),  # reversed = -1
+        (5, D(1960, 2, 29), D(1970, 1, 5)),  # deep pre-anchor span
+        (6, D(1969, 12, 27), D(1969, 12, 29)),  # Sat -> Mon = 0
+    ]
+    df = spark.createDataFrame(rows, "i long, d1 date, d2 date")
+    got = {
+        r["i"]: r["bd"]
+        for r in df.select(
+            "i", business_days_between("d1", "d2").alias("bd")
+        ).collect()
+    }
+
+    def brute(a, b):
+        if b < a:
+            return -brute(b, a)
+        n, d = 0, a
+        while d < b:
+            if d.weekday() < 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    assert got == {i: brute(a, b) for i, a, b in rows}
+
+
+def test_seasonal_profile_pre_1970_dow_in_range(spark):
+    """pmod keeps the ISO weekday in 1..7 for pre-epoch dates (the
+    signed remainder read 1969-12-25 as dow -3)."""
+    from ghcn_d_etl_project_spark.operators.timeseries import seasonal_profile
+
+    rows = [
+        ("k", D(1969, 12, 25), 1.0),  # Thursday -> dow 4
+        ("k", D(1969, 12, 28), 2.0),  # Sunday -> dow 7
+        ("k", D(1969, 12, 29), 3.0),  # Monday -> dow 1
+        ("k", D(1970, 1, 1), 4.0),  # Thursday -> dow 4
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["dow"]: r for r in seasonal_profile(df, ["k"], "day", "v").collect()}
+    assert set(out) == {1, 4, 7}
+    assert all(1 <= d <= 7 for d in out)
+    assert out[4]["n_days"] == 2 and out[4]["mean_value"] == 2.5
+    assert out[7]["n_days"] == 1 and out[1]["n_days"] == 1
+
+
 # ---------------------------------------------------------------------------
 # kaplan_meier (r9)
 # ---------------------------------------------------------------------------
