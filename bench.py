@@ -142,6 +142,24 @@ whole bench):
     forced System.gc() + 0.4s settle between runs (outside the timed
     window) cuts the IQR to ~0.22s at an unchanged min.
 
+Round-10 additions:
+  * START-CONTENTION RETRY: when the pre-flight probes (spin + calib)
+    flag a loaded box, the harness sleeps ``SPARK_GRAFT_BENCH_SETTLE``
+    (default 90s) and re-probes ONCE before measuring; both probe sets
+    are recorded under ``load.start_retry``. Three rounds running the
+    driver's snapshot landed on a loaded box, so the artifact it read
+    was systematically the noisy record even though a clean banked one
+    existed — now a transiently-loaded start self-heals, and a
+    persistently-loaded one documents itself with two probes.
+  * HEAVY TIER (``"heavy5"`` + ``"heavy"``): the five expensive
+    LLM/graph ops (ann_lsh_topk, kmeans_embeddings, simhash_dedup,
+    kcore_parts, bfs_hops_parts) get tracked min/IQR timing with their
+    own run caps (``SPARK_GRAFT_BENCH_HEAVY_RUNS``/``_MAX_RUNS``/
+    ``_QUERY_BUDGET``, default 3/5/120s; disable with
+    ``SPARK_GRAFT_BENCH_HEAVY=0``) and a fixed-composition subtotal —
+    ``value``/``core13`` keep their frozen membership, so neither tier
+    pollutes the other's round-over-round comparison.
+
 Round-9 attribution of the star_join_revenue "creep" (r6 0.824 →
 r7-idle 1.05 → r8-idle 1.172 min): NOT a code or plan regression. The
 function is byte-identical since r6 (git-diff-checked), the physical
@@ -309,6 +327,18 @@ _CORE13 = (
     "ann_ivf_topk",
 )
 
+# r10 heavy tier: the five expensive LLM/graph ops that previously had
+# no tracked timing (VERDICT r9 gap #4). Frozen like _CORE13 — a second
+# fixed-composition subtotal ("heavy5") that never contaminates "value"
+# or "core13", so each tier stays comparable round-over-round.
+_HEAVY5 = (
+    "ann_lsh_topk",
+    "kmeans_embeddings",
+    "simhash_dedup",
+    "kcore_parts",
+    "bfs_hops_parts",
+)
+
 
 def _corpus_staged(spark, sf_dir: str) -> dict[str, float]:
     """Per-stage timings for the corpus-prep pipeline run (see
@@ -437,6 +467,38 @@ def main() -> None:
         calib_start = None
     spark.catalog.clearCache()
 
+    # r10: retry ONCE on start-contention. Three rounds running, the
+    # driver's box was loaded exactly at bench time, so the headline
+    # artifact it reads was systematically the noisy record while the
+    # clean banked BENCH_DETAIL survived only as a sibling file. When
+    # the pre-flight probes flag contention, sleep a bounded settle and
+    # re-probe once BEFORE the measurement loop; both probe sets are
+    # emitted (load.start_retry) so a run that never went idle proves
+    # it with two recorded probes instead of one.
+    spin_base = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SPIN_BASELINE", "6.5e6")
+    )
+    start_retry = None
+    start_contended = (
+        calib_start is not None and calib_start > calib_idle * calib_band
+    ) or spin_start < spin_base / 1.8
+    if start_contended:
+        settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "90"))
+        start_retry = {
+            "spin_mps_initial": round(spin_start / 1e6, 2),
+            "calib_sec_initial": calib_start,
+            "settle_sec": settle,
+        }
+        time.sleep(settle)
+        spin_start = _spin_rate()
+        try:
+            calib_start = _calibrate(spark, registry, build_dir)
+        except Exception:  # noqa: BLE001
+            calib_start = None
+        spark.catalog.clearCache()
+        start_retry["spin_mps_retry"] = round(spin_start / 1e6, 2)
+        start_retry["calib_sec_retry"] = calib_start
+
     stages_out: dict[str, dict[str, float]] = {}
     # Mid-run steal detection: one cheap spin sample between queries.
     # The end probes miss contention that starts and stops INSIDE the
@@ -444,20 +506,29 @@ def main() -> None:
     # both above threshold — while core13 inflated 35%); the minimum of
     # these per-query samples closes that blind spot at ~0.1s/query.
     spin_mid: list[float] = []
-    for name, q in queries.items():
+
+    def _time_one(
+        name,
+        q,
+        timings_out: dict[str, float],
+        spreads_out: dict[str, dict[str, float]],
+        runs_floor: int,
+        runs_cap: int,
+        budget: float,
+    ) -> None:
         spin_mid.append(_spin_rate(samples=1, dur=0.1))
         runs: list[float] = []
         stage_samples: list[dict[str, float]] = []
         staged_fn = _STAGED.get(name)
         per_run_clear = bool({"pipeline", "persists"} & q.tags)
         try:
-            # adaptive: initial n_runs, then keep running while the
-            # relative IQR exceeds the target (up to max_runs) — the
+            # adaptive: initial runs_floor, then keep running while the
+            # relative IQR exceeds the target (up to runs_cap) — the
             # similarity family needs 5-9 runs for a stable median,
             # the sub-second queries settle at 3
-            while len(runs) < n_runs or (
-                len(runs) < max_runs
-                and sum(runs) < query_budget
+            while len(runs) < runs_floor or (
+                len(runs) < runs_cap
+                and sum(runs) < budget
                 and _stats(runs)[2] > spread_target * _stats(runs)[0]
             ):
                 t0 = time.perf_counter()
@@ -481,8 +552,8 @@ def main() -> None:
                     spark.sparkContext._jvm.System.gc()
                     time.sleep(0.4)
             med, mn, iqr = _stats(runs)
-            timings[name] = round(med, 3)
-            spreads[name] = {
+            timings_out[name] = round(med, 3)
+            spreads_out[name] = {
                 "min": round(mn, 3),
                 "iqr": round(iqr, 3),
                 "runs": len(runs),
@@ -498,10 +569,44 @@ def main() -> None:
             errors[name] = _err(e)
         finally:
             spark.catalog.clearCache()
+
+    for name, q in queries.items():
+        _time_one(name, q, timings, spreads, n_runs, max_runs, query_budget)
     total = round(sum(timings.values()), 3)
 
-    # Load calibration pass #2: immediately after the headline loop, so
-    # it brackets exactly the window `value`/`core13` measure. It must
+    # r10 heavy tier (VERDICT r9 gap #4): the expensive LLM/graph ops
+    # had NO tracked timing — their only record was the driver-sim tail,
+    # measured under whatever load the sim box happened to carry (21.2s
+    # committed vs 6.0s idle for ann_lsh_topk — a 3.5x load artifact,
+    # useless for regression detection). They get their own subtotal
+    # ("heavy5") so "value"/"core13" keep their frozen composition, the
+    # same adaptive spread machinery, and their own run caps/budget
+    # (these are multi-second pipelines; 9 runs each would dominate the
+    # harness wall time). Disable with SPARK_GRAFT_BENCH_HEAVY=0.
+    heavy_timings: dict[str, float] = {}
+    heavy_spreads: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
+        heavy_floor = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "3"))
+        )
+        heavy_cap = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_MAX_RUNS", "5"))
+        heavy_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_HEAVY_QUERY_BUDGET", "120")
+        )
+        for name in _HEAVY5:
+            q = registry.get(name)
+            if q is None:
+                errors[name] = "KeyError: not in registry"
+                continue
+            _time_one(
+                name, q, heavy_timings, heavy_spreads,
+                heavy_floor, heavy_cap, heavy_budget,
+            )
+        spreads.update(heavy_spreads)
+    heavy_total = round(sum(heavy_timings.values()), 3)
+
+    # Load calibration pass #2: immediately after the measurement loops
+    # (headline + heavy tier), bracketing everything the run timed. It must
     # run BEFORE the GHCN side metric: that pipeline generates 913 files
     # and persists two layers, and the post-pipeline JVM state (GC
     # pressure, evicted code cache) inflates the micro-calibration ~2.5x
@@ -527,9 +632,6 @@ def main() -> None:
             ghcn_e2e = {"error": _err(e)}
 
     load_end = os.getloadavg()
-    spin_base = float(
-        os.environ.get("SPARK_GRAFT_BENCH_SPIN_BASELINE", "6.5e6")
-    )
     # The spin reference is the BEST of (env baseline, both probes): CPU
     # frequency boost makes a post-loop probe on this host read up to
     # ~11 M it/s vs the ~6.9 cold-idle median, so a run that was clean at
@@ -573,6 +675,8 @@ def main() -> None:
         "calib_idle_sec": calib_idle,
         "calib_band": calib_band,
     }
+    if start_retry is not None:
+        load["start_retry"] = start_retry
 
     # fixed-composition subtotal (see _CORE13): comparable across rounds
     # no matter how the full bench set grows
@@ -587,6 +691,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "core13": round(sum(core13_present), 3),
+        "heavy5": heavy_total,
+        "heavy": heavy_timings,
         "load": {
             "avg1m": [load["avg1m_start"], load["avg1m_end"]],
             "calib": [calib_start, calib_end],
@@ -596,6 +702,8 @@ def main() -> None:
     }
     if len(core13_present) != len(_CORE13):
         compact["core13_incomplete"] = True
+    if len(heavy_timings) != len(_HEAVY5):
+        compact["heavy5_incomplete"] = True
     if errors:
         # the sum covers only surviving queries — flag it so a broken
         # round can never read as a round-over-round speedup

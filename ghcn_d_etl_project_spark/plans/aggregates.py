@@ -255,7 +255,7 @@ GROUP BY order_year
 """
 
 
-@register("cross_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",))
+@register("cross_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",), late=True)
 def cross_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-level rollup over a first-level mart (A16), reference
     ``04_gold_processing.py:51-73`` state-wide trends over gold marts."""
@@ -306,7 +306,7 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
-@register("multi_grain_agg", oracle=_MULTI_GRAIN_ORACLE, tags=("agg", "multilevel"))
+@register("multi_grain_agg", oracle=_MULTI_GRAIN_ORACLE, tags=("agg", "multilevel"), late=True)
 def multi_grain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three multi-level grouping APIs in one labeled query:
     rollup(flag, status) for hierarchical subtotals, cube for all 2^k
@@ -961,7 +961,6 @@ GROUP BY 1
     "cms_estimate_events",
     oracle=_CMS_ORACLE,
     tags=("agg", "sketch", "incremental"),
-    late=True,
 )
 def cms_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (width 64, depth 3) over event user ids, point-

@@ -1101,7 +1101,6 @@ FROM s
     "ab_proportions_events",
     oracle=_AB_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,
 )
 def ab_proportions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment readout: users deterministically split into two arms
@@ -1223,7 +1222,6 @@ FROM pooled
     "cuped_adjusted_events",
     oracle=_CUPED_ORACLE,
     tags=("curation", "experiment", "stats", "persists"),
-    late=True,
 )
 def cuped_adjusted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (Deng et al. 2013, WSDM): each user's
@@ -1374,7 +1372,6 @@ FROM byd, tot
     "decile_lift_events",
     oracle=_LIFT_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,
 )
 def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift & cumulative gains: users bucketed into engagement-

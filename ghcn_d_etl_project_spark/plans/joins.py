@@ -67,7 +67,7 @@ LEFT JOIN normals n ON o.o_custkey = n.o_custkey
 """
 
 
-@register("agg_enrich_anomaly", oracle=_ANOMALY_ORACLE, tags=("join",), bench=True)
+@register("agg_enrich_anomaly", oracle=_ANOMALY_ORACLE, tags=("join",), bench=True, late=True)
 def agg_enrich_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-enrichment (J2): join per-customer normals back onto each
     order and compute the deviation — the reference's monthly-normals
@@ -103,7 +103,7 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
-@register("semi_join", oracle=_SEMI_ORACLE, tags=("join",))
+@register("semi_join", oracle=_SEMI_ORACLE, tags=("join",), late=True)
 def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi join = EXISTS: customers having at least one big order.
     SURVEY §2.4 notes the reference lacks semi/anti but needs them for its

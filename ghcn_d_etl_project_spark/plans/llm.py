@@ -888,7 +888,6 @@ JOIN vocab v2 ON pairs.w2 = v2.w, nd
     "pmi_cooccurrence_docs",
     oracle=_PMI_ORACLE,
     tags=("llm", "text", "mining", "persists"),
-    late=True,
 )
 def pmi_cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI + NPMI collocation scores for word pairs co-occurring in the
@@ -941,7 +940,6 @@ FROM g
     "label_centroids_embeddings",
     oracle=_CENTROIDS_ORACLE,
     tags=("llm", "ml", "embeddings"),
-    late=True,
 )
 def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label exact centroid of the 64-dim embedding column

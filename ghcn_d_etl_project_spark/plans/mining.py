@@ -6,9 +6,10 @@ after the curation queries: which baskets are near-identical (exact
 similarity join — the lossless counterpart of the MinHash ladder), how
 clustered the co-purchase graph is (triangles), which items are central
 (PageRank), which customers matter (RFM), and which corpus rows make
-good contrastive negatives. All register ``late=True`` (VERDICT r6
-discipline: graceful degradation under a fixed driver correctness
-budget).
+good contrastive negatives. New queries register ``late=True`` until a
+window rotation promotes them (VERDICT r6 discipline: graceful
+degradation under a fixed driver correctness budget; the r10 rotation
+promoted the r9 wave — gini/lorenz/bfs — into the hard window).
 
 Oracle notes: every query here is engineered bit-exact cross-engine —
 integer counts/ratios for the joins and triangles, FIXED-POINT integer
@@ -445,7 +446,6 @@ FROM w GROUP BY 1
     "bfs_hops_parts",
     oracle=_BFS_ORACLE,
     tags=("mining", "graph", "persists"),
-    late=True,
 )
 def bfs_hops_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distance (<= 4) from the lowest-keyed part through the
@@ -556,7 +556,6 @@ FROM s
     "gini_revenue_customers",
     oracle=_GINI_ORACLE,
     tags=("mining", "stats", "analytics"),
-    late=True,
 )
 def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue concentration across customers — the
@@ -650,7 +649,6 @@ FROM byd, tot
     "lorenz_deciles_customers",
     oracle=_LORENZ_ORACLE,
     tags=("mining", "stats", "analytics"),
-    late=True,
 )
 def lorenz_deciles_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve deciles of customer revenue — the '80/20' readout

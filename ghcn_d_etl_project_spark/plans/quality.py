@@ -687,7 +687,6 @@ GROUP BY 1
     "weighted_median_lineitem",
     oracle=_WMEDIAN_ORACLE,
     tags=("quality", "stats"),
-    late=True,
 )
 def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag

@@ -32,7 +32,7 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
 
 
-@register("unpivot_measures", oracle=_UNPIVOT_ORACLE, tags=("reshape",))
+@register("unpivot_measures", oracle=_UNPIVOT_ORACLE, tags=("reshape",), late=True)
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long unpivot (R1) of 4 measure columns via ``stack`` — the
     idiomatic twin of the reference's explode-based day-slot unpivot
@@ -67,7 +67,7 @@ WHERE d <= day(last_day(make_date(CAST(y AS INTEGER), CAST(m AS INTEGER), 1)))
 """
 
 
-@register("explode_day_slots", oracle=_EXPLODE_ORACLE, tags=("reshape",))
+@register("explode_day_slots", oracle=_EXPLODE_ORACLE, tags=("reshape",), late=True)
 def explode_day_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode-based slot expansion (R1) exactly as the reference builds
     bronze: cross (year,month) rows with literal days [1..31], build the
@@ -123,7 +123,7 @@ GROUP BY user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d')
 """
 
 
-@register("pivot_events", oracle=_PIVOT_ORACLE, tags=("reshape",), bench=True)
+@register("pivot_events", oracle=_PIVOT_ORACLE, tags=("reshape",), bench=True, late=True)
 def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pivot (R2): events long -> one row per (user, day) with one
     column per event type — the reference's element pivot

@@ -53,7 +53,7 @@ FROM b
 """
 
 
-@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"))
+@register("dataset_split", oracle=_SPLIT_ORACLE, tags=("sampling", "split"), late=True)
 def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment
     (``operators/common.py:hash_split_bucket``) + per-stratum sampling
@@ -388,7 +388,6 @@ FROM vals GROUP BY 1
     "feature_hash_orders",
     oracle=_FEATURE_HASH_ORACLE,
     tags=("sampling", "ml", "encoding"),
-    late=True,
 )
 def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bucket hashing-trick features from the two categorical order

@@ -70,7 +70,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("streaming", "window"))
+@register("sliding_window_agg", oracle=_SLIDING_ORACLE, tags=("streaming", "window"), late=True)
 def sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes per event_type — each
     event lands in exactly 2 windows; the oracle expands events to their
@@ -108,7 +108,7 @@ GROUP BY user_id, sid
 """
 
 
-@register("session_window_agg", oracle=_SESSION_ORACLE, tags=("streaming", "window"))
+@register("session_window_agg", oracle=_SESSION_ORACLE, tags=("streaming", "window"), late=True)
 def session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap: session
     end = last event + gap, a new session starts when the gap to the

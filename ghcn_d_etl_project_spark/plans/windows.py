@@ -42,7 +42,7 @@ FROM orders
 """
 
 
-@register("lag_features", oracle=_LAG_ORACLE, tags=("window",), bench=True)
+@register("lag_features", oracle=_LAG_ORACLE, tags=("window",), bench=True, late=True)
 def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag/lead features over a per-entity time series (W1,
     ``gold_processor.py:185-194``) plus the gap-to-previous-event length —
@@ -94,7 +94,7 @@ FROM orders
 """
 
 
-@register("rolling_features", oracle=_ROLLING_ORACLE, tags=("window",), bench=True)
+@register("rolling_features", oracle=_ROLLING_ORACLE, tags=("window",), bench=True, late=True)
 def rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS-frame rolling sum/avg over the trailing 7 rows (W2/W3,
     ``gold_processor.py:195-199``) plus a running total and sequence
@@ -149,7 +149,7 @@ FROM base
 """
 
 
-@register("rolling_range_days", oracle=_RANGE_ORACLE, tags=("window",))
+@register("rolling_range_days", oracle=_RANGE_ORACLE, tags=("window",), late=True)
 def rolling_range_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling 90-calendar-day spend per customer — the
     gap-correct alternative to the reference's ROWS-based "7-day" frames
@@ -209,7 +209,7 @@ SELECT * FROM ranked WHERE rn <= 3
 """
 
 
-@register("rank_topk_per_group", oracle=_RANK_ORACLE, tags=("window",))
+@register("rank_topk_per_group", oracle=_RANK_ORACLE, tags=("window",), late=True)
 def rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer with the full ranking + distribution
     family (row_number/rank/dense_rank/ntile/percent_rank/cume_dist) —
@@ -1237,7 +1237,6 @@ FROM curve
     "survival_km_events",
     oracle=_KM_ORACLE,
     tags=("window", "events", "survival"),
-    late=True,
 )
 def survival_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion: days from each user's first
@@ -1315,7 +1314,6 @@ FROM dau JOIN wau ON dau.day = wau.day
     "active_users_events",
     oracle=_ACTIVE_ORACLE,
     tags=("window", "events", "analytics"),
-    late=True,
 )
 def active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU, trailing-7-day WAU, and DAU/WAU stickiness per observed
@@ -1405,7 +1403,6 @@ FROM m
     "forecast_eval_events",
     oracle=_FORECAST_ORACLE,
     tags=("window", "events", "timeseries"),
-    late=True,
 )
 def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting baseline readout per event type: the seasonal-naive
