@@ -59,6 +59,8 @@ class PlanReport:
     window_ops: int = 0
     python_evals: int = 0  # row-at-a-time or Arrow-batched UDF nodes
     pandas_group_ops: int = 0  # FlatMapGroupsInPandas etc.
+    cold_scans: int = 0  # FileScans NOT inside a cached (InMemoryRelation) subtree
+    cached_refs: int = 0  # InMemoryTableScan references (served from cache)
     scans: list[dict] = field(default_factory=list)
 
     def as_dict(self) -> dict:
@@ -74,6 +76,8 @@ class PlanReport:
             "window_ops": self.window_ops,
             "python_evals": self.python_evals,
             "pandas_group_ops": self.pandas_group_ops,
+            "cold_scans": self.cold_scans,
+            "cached_refs": self.cached_refs,
             "scans": self.scans,
         }
 
@@ -101,9 +105,27 @@ def plan_report(df: DataFrame) -> PlanReport:
         + p.count("FlatMapGroupsWithStateInPandas")
         + p.count("MapInPandas"),
     )
+    r.cached_refs = p.count("InMemoryTableScan")
+    # cold_scans: FileScans NOT nested inside an InMemoryRelation
+    # subtree. toString prints each cached reference WITH its full
+    # recompute plan, so a persisted substrate referenced k times shows
+    # k textual FileScans that execution serves from cache — counting
+    # them as rescans misread e.g. the (fixed) PMI query as still
+    # scanning its source 11x. Tree depth = length of the `:  `/`+- `
+    # glyph prefix, monotone in nesting; a stack of active
+    # InMemoryRelation depths tells whether a scan line is inside one.
+    imr_depths: list[int] = []
     for line in p.splitlines():
+        depth = len(line) - len(line.lstrip(" :+-*(0123456789)"))
+        while imr_depths and depth <= imr_depths[-1]:
+            imr_depths.pop()
+        if "InMemoryRelation" in line:
+            imr_depths.append(depth)
+            continue
         if "FileScan" not in line:
             continue
+        if not imr_depths:
+            r.cold_scans += 1
         cols = re.search(r"FileScan \w+ \[([^\]]*)\]", line)
         pushed = re.search(r"PushedFilters: \[([^\]]*)\]", line)
         schema = re.search(r"ReadSchema: (struct<.*?>)(?:,|$)", line)

@@ -1,16 +1,34 @@
-"""Plan-snapshot artifact: the physical plan of every bench query,
+"""Plan-snapshot artifact: the physical plan of EVERY registry query,
 committed per round so "no plan change" is a checkable diff, not memory.
 
 Rounds 6-8 each adjudicated a bench delta on the premise "the plan did
 not change" — asserted from session memory, unfalsifiable after the
-fact. This script writes ``PLANS.json`` at the repo root: for each
-``bench=True`` registry query, the structural ``plan_report`` counts
-(shuffles, join strategies, sorts, scans with pruned columns + pushed
-filters) plus the NORMALIZED executed-plan text and its sha256.
+fact. Round 9 pinned the 25 ``bench=True`` queries; round 10 extends
+the gate to the FULL registry after the exact bug class the gate exists
+for was found BY HAND in its blind spot (de9c923: four non-bench
+queries rescanning their source — PMI 11x — none of them snapshotted).
+
+This script writes ``PLANS.json`` at the repo root: for EVERY registry
+query, the structural ``plan_report`` counts (shuffles, join
+strategies, sorts, cold scans vs cached references, per-scan pruned
+columns + pushed filters) plus the sha256 of the NORMALIZED
+executed-plan text; the full normalized text itself is kept only for
+the ``bench=True`` set (size: text for all 147 would be ~1.5 MB of
+churn per round; the sha still pins it).
 ``tests/test_plan_snapshot.py`` regenerates the reports and fails on
 any drift from the committed file, so an unexplained plan change breaks
 CI by query name; an intentional one is re-snapshotted here and shows
 up in the git diff of PLANS.json.
+
+COLD-SCAN CEILING: ``plan_report.cold_scans`` counts FileScans NOT
+inside an InMemoryRelation subtree — the metric that distinguishes a
+real rescan bug (the PMI class: 11 cold scans of one source in one
+action) from a persisted substrate textually reprinted per cached
+reference (the fixed PMI: cold=0, cached_refs=11). Any query whose
+cold_scans exceeds ``COLD_SCAN_CEILING`` fails this script (and the
+test) unless listed in ``COLD_SCAN_ALLOWLIST`` with a reason — so the
+next PMI-class bug fails the snapshot run itself, before a human has
+to notice a number in a diff.
 
 Normalization strips the volatile parts of Spark's plan text — expression
 ids (``name#123``), plan/subquery ids, session-specific file paths and
@@ -43,6 +61,31 @@ from ghcn_d_etl_project_spark.utils.plancheck import (  # noqa: E402
     plan_string,
 )
 
+# Maximum cold (non-cache-served) FileScans a query's initial plan may
+# contain. Census at r10: 124 of 147 queries sit at <= 4; the max is 8
+# (star schemas scanning several DISTINCT tables once each, and the
+# two-sided drift/association queries). The PMI bug this guards against
+# read 11. Raising the ceiling for a genuinely wider query is a
+# one-line allowlist entry WITH a reason — the point is that it cannot
+# happen silently.
+COLD_SCAN_CEILING = 8
+COLD_SCAN_ALLOWLIST: dict[str, str] = {
+    # name: reason (kept empty at r10 — every query fits the ceiling;
+    # entries look like "star_join_wide: scans 9 distinct dims once each")
+}
+
+
+def check_cold_scans(name: str, report: dict) -> str | None:
+    """Ceiling violation message, or None when the query is fine."""
+    cold = report.get("cold_scans", 0)
+    if cold <= COLD_SCAN_CEILING or name in COLD_SCAN_ALLOWLIST:
+        return None
+    return (
+        f"{name}: {cold} cold FileScans > ceiling {COLD_SCAN_CEILING} — "
+        f"a rescan bug (persist the substrate) or an allowlist entry"
+    )
+
+
 _NORMALIZERS = (
     (re.compile(r"#\d+[L]?"), "#"),  # expression ids
     (re.compile(r"\b(plan_id|id|subquery)=#?\d+"), r"\1="),
@@ -64,8 +107,6 @@ def normalize_plan(text: str) -> str:
 def snapshot(spark, sf_dir: str) -> dict:
     out: dict[str, dict] = {}
     for name, q in all_queries().items():
-        if not q.bench:
-            continue
         try:
             df = q.fn(spark, sf_dir)
             report = plan_report(df).as_dict()
@@ -73,8 +114,9 @@ def snapshot(spark, sf_dir: str) -> dict:
             out[name] = {
                 "report": report,
                 "plan_sha": hashlib.sha256(norm.encode()).hexdigest()[:16],
-                "plan": norm,
             }
+            if q.bench:
+                out[name]["plan"] = norm
         except Exception as e:  # noqa: BLE001 — record, keep snapshotting
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
         finally:
@@ -92,9 +134,25 @@ def main() -> None:
     doc = {"sf_dir": args.sf, "queries": plans}
     Path(args.out).write_text(json.dumps(doc, indent=1, sort_keys=True) + "\n")
     errs = {n: p["error"] for n, p in plans.items() if "error" in p}
-    print(f"snapshotted {len(plans)} bench-query plans -> {args.out}")
+    ceiling = [
+        m
+        for n, p in plans.items()
+        if "report" in p
+        for m in [check_cold_scans(n, p["report"])]
+        if m
+    ]
+    n_bench = sum(1 for p in plans.values() if "plan" in p)
+    print(
+        f"snapshotted {len(plans)} query plans ({n_bench} with full text) "
+        f"-> {args.out}"
+    )
+    if ceiling:
+        print("COLD-SCAN CEILING VIOLATIONS:")
+        for m in ceiling:
+            print(" ", m)
     if errs:
         print("ERRORS:", json.dumps(errs, indent=1))
+    if errs or ceiling:
         sys.exit(1)
 
 

@@ -1,34 +1,48 @@
-"""Plan-drift regression gate (round 9).
+"""Plan-drift regression gate (round 9; full-registry since round 10).
 
 Rounds 6-8 each adjudicated a bench delta on the claim "the plan did not
 change" — asserted from memory. ``PLANS.json`` (written by
-``scripts/plan_snapshot.py``) commits every bench query's structural
+``scripts/plan_snapshot.py``) commits every registry query's structural
 plan report; this test regenerates the reports live and fails BY QUERY
-NAME on any drift, so the claim is now a checkable artifact.
+NAME on any drift, so the claim is now a checkable artifact. Round 10
+extended coverage from the 25 bench queries to all of them: the exact
+bug class the gate exists for (de9c923 — four NON-bench queries
+rescanning their source, PMI 11x in one action) was found by hand in
+the gate's blind spot.
 
 The comparison is the structural ``plan_report`` dict (shuffle count,
-join strategies, sorts, window ops, Python eval nodes, per-scan pruned
-columns + pushed filters) — invariant to shuffle-partition count and
-session identity, unlike the raw plan text whose sha the artifact also
-records for round-over-round human diffing at the snapshot config.
+join strategies, sorts, window ops, Python eval nodes, cold vs
+cache-served scans, per-scan pruned columns + pushed filters) —
+invariant to shuffle-partition count and session identity, unlike the
+raw plan text whose sha the artifact also records for round-over-round
+human diffing at the snapshot config.
 
 An INTENTIONAL plan change is re-snapshotted:
     python scripts/plan_snapshot.py
-and the PLANS.json diff documents it in the commit.
+and the PLANS.json diff documents it in the commit. The snapshot run
+itself (and ``test_cold_scan_ceiling`` here) fails on any query whose
+COLD scan count exceeds the ceiling without an allowlist entry — the
+automatic tripwire that would have caught the PMI rescans at authoring
+time instead of in a round-later manual audit.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 from pathlib import Path
 
 import pytest
 
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "scripts"))
+
 from ghcn_d_etl_project_spark.plans import all_queries
 from ghcn_d_etl_project_spark.utils.plancheck import plan_report
+from plan_snapshot import COLD_SCAN_ALLOWLIST, COLD_SCAN_CEILING  # noqa: E402
 from tests.conftest import SF_DIR
 
-PLANS = Path(__file__).resolve().parents[1] / "PLANS.json"
+PLANS = REPO / "PLANS.json"
 
 
 def _committed() -> dict:
@@ -36,36 +50,66 @@ def _committed() -> dict:
     return json.loads(PLANS.read_text())["queries"]
 
 
-def test_snapshot_covers_every_bench_query():
-    """A bench query added without re-snapshotting would silently dodge
-    the drift gate — membership is pinned both ways."""
-    committed = set(_committed())
-    live = {q.name for q in all_queries().values() if q.bench}
-    assert committed == live, (
-        f"PLANS.json out of date: missing={sorted(live - committed)}, "
-        f"stale={sorted(committed - live)} — run scripts/plan_snapshot.py"
+def test_snapshot_covers_every_registry_query():
+    """A query added without re-snapshotting would silently dodge the
+    drift gate — membership is pinned both ways, for the WHOLE registry
+    (bench membership additionally implies full plan text)."""
+    committed = _committed()
+    live = set(all_queries())
+    assert set(committed) == live, (
+        f"PLANS.json out of date: missing={sorted(live - set(committed))}, "
+        f"stale={sorted(set(committed) - live)} — run scripts/plan_snapshot.py"
+    )
+    with_text = {n for n, e in committed.items() if "plan" in e}
+    bench = {q.name for q in all_queries().values() if q.bench}
+    assert with_text == bench, (
+        f"full-text membership != bench set: missing_text="
+        f"{sorted(bench - with_text)}, extra_text={sorted(with_text - bench)}"
     )
 
 
 def test_no_unexplained_plan_drift(spark):
-    """Every bench query's live structural plan must equal the committed
-    snapshot. A failure here means the physical plan changed: either fix
-    the regression or re-snapshot and explain the diff in the commit."""
+    """Every registry query's live structural plan must equal the
+    committed snapshot. A failure here means the physical plan changed:
+    either fix the regression or re-snapshot and explain the diff in
+    the commit."""
     committed = _committed()
     registry = all_queries()
     drifted: dict[str, dict] = {}
     for name, entry in committed.items():
         if "error" in entry:
             pytest.fail(f"committed snapshot has an error for {name}: {entry}")
+        if name not in registry:
+            continue  # membership test reports this with a better message
         live = plan_report(registry[name].fn(spark, SF_DIR)).as_dict()
         spark.catalog.clearCache()
         if live != entry["report"]:
             drifted[name] = {
-                k: {"committed": entry["report"][k], "live": live[k]}
+                k: {"committed": entry["report"].get(k), "live": live[k]}
                 for k in live
                 if live[k] != entry["report"].get(k)
             }
     assert not drifted, (
         "physical-plan drift vs PLANS.json (re-snapshot if intentional):\n"
         + json.dumps(drifted, indent=1, default=str)
+    )
+
+
+def test_cold_scan_ceiling():
+    """No query's COMMITTED plan may exceed the cold-scan ceiling
+    without an allowlist entry. cold_scans counts FileScans outside any
+    InMemoryRelation subtree — real rescans, not the textual reprints a
+    persisted substrate gets per cached reference — so this is the
+    automatic form of the audit that found the de9c923 rescans. Runs on
+    the committed artifact (the live plans are pinned equal to it by
+    test_no_unexplained_plan_drift, so checking the file checks the
+    code)."""
+    offenders = {}
+    for name, entry in _committed().items():
+        cold = entry.get("report", {}).get("cold_scans", 0)
+        if cold > COLD_SCAN_CEILING and name not in COLD_SCAN_ALLOWLIST:
+            offenders[name] = cold
+    assert not offenders, (
+        f"cold FileScans > {COLD_SCAN_CEILING} (persist the substrate or "
+        f"allowlist with a reason in scripts/plan_snapshot.py): {offenders}"
     )
