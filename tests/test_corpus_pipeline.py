@@ -79,14 +79,16 @@ def test_components_cover_exact_dedup_output(spark):
 
 
 def test_release_unpersists_cached_stages(spark):
-    """corpus_prep persists three named intermediates plus MinHash-LSH's
-    two internal ones (surfaced via extra_handles); release() must drop
-    all five so repeated invocations don't accumulate cached blocks."""
+    """corpus_prep persists two named intermediates plus three handles
+    surfaced via extra_handles (the profiled base under the gate filter
+    — see profiled_persisted — and MinHash-LSH's shingle sets +
+    signatures); release() must drop all five so repeated invocations
+    don't accumulate cached blocks."""
     stages = corpus_prep(spark, SF_DIR)
     stages["survivors"].count()  # materialize through the whole ladder
-    cached = [stages[k] for k in ("filtered", "exact_deduped", "survivors")]
+    cached = [stages[k] for k in ("exact_deduped", "survivors")]
     cached += stages.extra_handles
-    assert len(stages.extra_handles) == 2  # shingle sets + signatures
+    assert len(stages.extra_handles) == 3  # profiled base + shingles + sigs
     assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
     stages.release()
     for df in cached:
