@@ -264,3 +264,134 @@ def stratified_fixed_n(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+# Poisson(1) CDF at k = 0..8 — the inverse-CDF thresholds the online
+# bootstrap draws weights through. Computed once from math so the SQL
+# oracle twin can restate the EXACT same double literals via repr().
+def _poisson1_cdf(max_k: int = 8) -> tuple[float, ...]:
+    import math
+
+    acc, out, term = 0.0, [], math.exp(-1.0)
+    for k in range(max_k + 1):
+        if k > 0:
+            term /= k
+        acc += term
+        out.append(acc)
+    return tuple(out)
+
+
+POISSON1_CDF: tuple[float, ...] = _poisson1_cdf()
+
+
+def bootstrap_uniform(id_col: Column | str, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) from the house md5 recipe: first
+    8 hex chars (32 bits) of ``md5(id || ':' || salt)`` over 2^32 —
+    exact in double, identical on any engine/partitioning/run (the
+    ``hash_split_bucket`` convention, widened from 16 to 32 bits for
+    resampling-grade resolution)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    id_str = F.coalesce(c.cast("string"), F.lit(""))
+    hex8 = F.substring(F.md5(F.concat(id_str, F.lit(":" + salt))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") / F.lit(4294967296.0)
+
+
+def poisson_weight(u: Column) -> Column:
+    """Poisson(1) draw by inverse CDF over a uniform: the count of CDF
+    thresholds at or below ``u`` (0..9, the tail past k=8 truncated —
+    P ~ 1.1e-7, and truncation is part of the pinned recipe both
+    engines state identically)."""
+    w: Column | None = None
+    for f_k in POISSON1_CDF:
+        ind = (u >= F.lit(f_k)).cast("int")
+        w = ind if w is None else w + ind
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    replicates: int = 24,
+    alpha: float = 0.05,
+    scale: int = 2,
+    salt: str = "boot",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-group MEAN
+    of ``value_col`` — uncertainty quantification that needs no
+    distributional assumption and, crucially, no resampling pass over
+    the data: the ONLINE (Poisson) bootstrap [Oza & Russell 2001;
+    Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams"]. Each row contributes to replicate ``b`` with weight
+    ``Poisson(1)`` instead of being multinomially redrawn — at 100 TB
+    a true resample is B full shuffles; this is ZERO extra passes.
+
+    Determinism (what makes a *bootstrap* value-hashable cross-engine):
+    the Poisson draw for (row, replicate) is the inverse CDF of the
+    md5-derived 32-bit uniform of ``id:salt:b`` — replayable on any
+    engine, any partitioning, any run, like every sampler in this
+    module. Weighted sums accumulate exactly (DECIMAL via the house
+    quantization; weights are small ints), so each replicate mean is
+    ONE double division and the whole CI reproduces bit-for-bit.
+
+    Scale shape: one groupBy carrying ``2B + 2`` aggregate expressions
+    (map-side combined — each partition collapses to one row per group
+    before the shuffle); the percentile interpolation then runs on a
+    B-length array per group row. Cost is B md5 calls per row —
+    linear, embarrassingly parallel, no extra shuffle; production runs
+    raise ``replicates`` into the hundreds by adding columns, never
+    passes.
+
+    CI: percentile interpolation over the sorted replicate means at
+    ``alpha/2`` and ``1 - alpha/2`` (linear between order statistics).
+    NULL bounds when any replicate drew zero total weight (tiny
+    groups) — the honest posture, not a silently-degenerate interval.
+    NULL values/ids are excluded (NULL id would alias all such rows to
+    one resample unit).
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    groups = list(group_cols or [])
+    x = F.col(value_col)
+    xd = x.cast(f"decimal(24,{scale})")
+    base = df.filter(x.isNotNull() & F.col(id_col).isNotNull())
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).alias("__sx"),
+    ]
+    for b in range(replicates):
+        w = poisson_weight(bootstrap_uniform(id_col, f"{salt}:{b}"))
+        aggs.append(F.sum(w * xd).alias(f"__s{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"__n{b}"))
+    stats = base.groupBy(*groups).agg(*aggs)
+
+    means = [
+        F.col(f"__s{b}").cast("double") / F.col(f"__n{b}").cast("double")
+        for b in range(replicates)
+    ]
+    arr = F.array_sort(F.array(*means))
+
+    def interp(p: float) -> Column:
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        lo_el = F.element_at(arr, lo + 1)
+        if lo + 1 >= replicates:
+            return lo_el
+        hi_el = F.element_at(arr, lo + 2)
+        return lo_el + (hi_el - lo_el) * F.lit(frac)
+
+    ok = F.least(*[F.col(f"__n{b}") for b in range(replicates)]) > 0
+    return stats.select(
+        *groups,
+        "n",
+        F.round(F.col("__sx").cast("double") / F.col("n"), round_digits).alias(
+            "point_est"
+        ),
+        F.when(ok, F.round(interp(alpha / 2), round_digits)).alias("ci_lo"),
+        F.when(ok, F.round(interp(1 - alpha / 2), round_digits)).alias("ci_hi"),
+        F.lit(replicates).cast("long").alias("replicates"),
+    )

@@ -1038,6 +1038,108 @@ def ks_drift(
     )
 
 
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) with tie
+    correction — the distribution-free location test that reads a
+    metric's RANKS where the z-test (:mod:`plans/curation.py`
+    ``ab_proportions``) reads its mean: immune to the heavy tails and
+    outliers that dominate revenue-like metrics. Companion to
+    :func:`ks_drift` (KS asks "same distribution?"; U asks "does one
+    group stochastically dominate?").
+
+    Scale shape — the same no-global-sort rank recipe as :func:`ks_drift`
+    / ``avg_ranks``: ONE data-sized pass collapses both groups to
+    per-DISTINCT-VALUE counts (total + group-A) with map-side partials,
+    the running below-count rides ``operators/prefix.py:global_cumsum``
+    (value-derived buckets, bounded single-partition summary), and the
+    rank sum collapses in one aggregate. The textbook
+    ``RANK() OVER (ORDER BY v)`` would single-partition-sort the fact.
+
+    Exactness (what makes a rank STATISTIC value-hashable cross-engine):
+    average ranks live on the 1/2 grain, so the doubled rank sum
+    ``2*R_A = sum(cntA * (2*below + cnt + 1))`` is an INTEGER,
+    accumulated in DECIMAL(38,0) (n up to ~1e12 keeps 2n^2 inside 38
+    digits; BIGINT overflows past ~2^31.5 rows). The tie term
+    ``T = sum(cnt^3 - cnt)`` likewise. U, mu, sigma then derive from
+    exact integers through one identical double expression per field.
+
+    One row out: ``n_a, n_b, u_a, u_b, cles`` (common-language effect
+    size U_A/(nA*nB)), ``n_tied_values``, ``z`` (normal approximation,
+    no continuity correction; NULL when sigma is 0 — all values tied —
+    or either group is empty). Rows with NULL value or a group other
+    than ``group_a``/``group_b`` are excluded.
+    """
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    g = F.col(group_col)
+    tagged = df.filter(
+        F.col(value_col).isNotNull() & g.isin(group_a, group_b)
+    ).select(
+        F.col(value_col).alias("__x"),
+        (g == group_a).cast("int").alias("__a"),
+    )
+    per_val = tagged.groupBy(F.col("__x").alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("__a").cast("long").alias("cnt_a"),
+    )
+    cums = global_cumsum(per_val, "value", "cnt", out_col="__cum")
+    below = F.col("__cum") - F.col("cnt")
+    stats = cums.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(
+            (
+                F.col("cnt_a")
+                * (2 * below + F.col("cnt") + 1)
+            ).cast("decimal(38,0)")
+        ).alias("r2a"),
+        F.sum(
+            (
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("cnt")
+                * F.col("cnt")
+                - F.col("cnt")
+            ).cast("decimal(38,0)")
+        ).alias("ties_t"),
+        F.count(F.when(F.col("cnt") > 1, F.lit(1))).cast("long").alias(
+            "n_tied_values"
+        ),
+    )
+    n = F.col("n").cast("double")
+    n_a = F.col("n_a")
+    n_b = F.col("n") - F.col("n_a")
+    # U_A = R_A - nA(nA+1)/2, via the exact doubled rank sum
+    u_a = (
+        F.col("r2a").cast("double") - (n_a * (n_a + 1)).cast("double")
+    ) / F.lit(2.0)
+    u_b = (n_a * n_b).cast("double") - u_a
+    mu = (n_a * n_b).cast("double") / F.lit(2.0)
+    tie_adj = (n + 1) - F.col("ties_t").cast("double") / (n * (n - 1))
+    sigma = F.sqrt((n_a * n_b).cast("double") / F.lit(12.0) * tie_adj)
+    return stats.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        F.when(
+            (n_a > 0) & (n_b > 0),
+            F.round(u_a / (n_a * n_b).cast("double"), round_digits),
+        ).alias("cles"),
+        F.col("n_tied_values"),
+        F.when(
+            (n_a > 0) & (n_b > 0) & (sigma > 0),
+            F.round((u_a - mu) / sigma, round_digits),
+        ).alias("z"),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     value_col: str,

@@ -964,6 +964,91 @@ def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (r10): distribution-free A/B location test
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH u AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_orderpriority IN ('1-URGENT', '5-LOW')
+), v AS (
+  SELECT x AS value, COUNT(*) AS cnt, SUM(a) AS cnt_a
+  FROM u GROUP BY 1
+), c AS (
+  SELECT value, cnt, cnt_a,
+         SUM(cnt) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM v
+), s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         SUM(CAST(cnt_a * (2 * (cum - cnt) + cnt + 1)
+                  AS DECIMAL(38,0))) AS r2a,
+         SUM(CAST(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt
+                  AS DECIMAL(38,0))) AS ties_t,
+         CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT)
+           AS n_tied_values
+  FROM c
+), f AS (
+  SELECT n, n_a, n - n_a AS n_b, r2a, ties_t, n_tied_values,
+         (CAST(r2a AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE)) / 2.0
+           AS u_a
+  FROM s
+)
+SELECT n_a, n_b, u_a,
+       CAST(n_a * n_b AS DOUBLE) - u_a AS u_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND(u_a / CAST(n_a * n_b AS DOUBLE), 6) END AS cles,
+       n_tied_values,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 *
+                      ((CAST(n AS DOUBLE) + 1)
+                       - CAST(ties_t AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) > 0
+       THEN
+         ROUND((u_a - CAST(n_a * n_b AS DOUBLE) / 2.0)
+               / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 *
+                      ((CAST(n AS DOUBLE) + 1)
+                       - CAST(ties_t AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))), 6)
+       END AS z
+FROM f
+"""
+
+
+@register(
+    "mannwhitney_orders",
+    oracle=_MWU_ORACLE,
+    tags=("quality", "stats", "experiment"),
+    late=True,
+)
+def mannwhitney_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between urgent and low-priority order prices
+    (``operators/quality.py:mann_whitney_u``): the distribution-free
+    location test for revenue-like metrics where the mean z-test is
+    outlier-dominated, with tie correction. Ranks come from the
+    ks_drift counting recipe (per-distinct-value counts + ONE
+    global_cumsum prefix pass), never the single-partition
+    ``RANK() OVER (ORDER BY v)`` the oracle states; average ranks live
+    on the 1/2 grain, so the doubled rank sum is an exact
+    DECIMAL(38,0) integer and the z statistic value-hashes
+    cross-engine."""
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    return mann_whitney_u(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "5-LOW",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUSUM change detection over the daily revenue series
 # ---------------------------------------------------------------------------
 

@@ -1048,3 +1048,42 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank",
         "mmr_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (r10): fixed-budget training sequences, FFD per bucket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences_docs",
+    oracle=None,  # first-fit-decreasing is sequential within a bucket —
+    # each placement depends on all earlier ones; the assignment laws
+    # (exactly-once, budget ceiling, determinism, FFD waste bound) are
+    # pinned in tests/test_packing.py
+    tags=("llm", "shard", "packing"),
+    late=True,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 256-token training sequences
+    (``operators/packing.py:pack_sequences``): md5-bucketed first-fit-
+    decreasing — the anti-padding batch-prep step after chunking, where
+    ``token_shards`` answers "which contiguous shard" and this answers
+    "which packed context window". One shuffle on the bucket key;
+    sequential FFD bounded by docs/bucket; deterministic under any
+    partitioning, so epoch shuffles can key on seq_id."""
+    from ghcn_d_etl_project_spark.operators.packing import pack_sequences
+    from ghcn_d_etl_project_spark.operators.textops import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", budget=256, n_buckets=8)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bucket",
+        "seq",
+        "seq_id",
+        "truncate",
+    )

@@ -417,3 +417,103 @@ def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         joined.alias("features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Online (Poisson) bootstrap CI (r10): deterministic resampling-free CIs
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_oracle(replicates: int = 24, alpha: float = 0.05) -> str:
+    """Generate the SQL twin of poisson_bootstrap_ci over order prices
+    per priority. Built programmatically so the Poisson(1) CDF
+    thresholds and the percentile-interpolation constants are the
+    repr() of the EXACT double literals the Spark expression uses —
+    the md5 recipe makes an approximate method value-hashable, but
+    only if both engines state identical constants."""
+    from ghcn_d_etl_project_spark.operators.common import POISSON1_CDF
+
+    us = ",\n         ".join(
+        "(CAST(concat('0x', substr(md5(concat(coalesce(CAST(o_orderkey AS "
+        f"VARCHAR), ''), ':boot:{b}')), 1, 8)) AS BIGINT) / 4294967296.0) "
+        f"AS u{b}"
+        for b in range(replicates)
+    )
+    ws = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN u{b} >= {f!r} THEN 1 ELSE 0 END)"
+            for f in POISSON1_CDF
+        )
+        + f") AS w{b}"
+        for b in range(replicates)
+    )
+    sums = ",\n         ".join(
+        f"SUM(w{b} * x) AS s{b}, SUM(w{b}) AS n{b}"
+        for b in range(replicates)
+    )
+    means = ", ".join(
+        f"CAST(s{b} AS DOUBLE) / CAST(n{b} AS DOUBLE)"
+        for b in range(replicates)
+    )
+    least = ", ".join(f"n{b}" for b in range(replicates))
+
+    def interp(p: float) -> str:
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        if lo + 1 >= replicates:
+            return f"arr[{lo + 1}]"
+        return f"(arr[{lo + 1}] + (arr[{lo + 2}] - arr[{lo + 1}]) * {frac!r})"
+
+    return f"""
+WITH r AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DECIMAL(24,2)) AS x,
+         {us}
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), w AS (
+  SELECT g, x,
+         {ws}
+  FROM r
+), s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+         {sums}
+  FROM w GROUP BY g
+), f AS (
+  SELECT g, n, sx, LEAST({least}) AS minn,
+         list_sort(list_value({means})) AS arr
+  FROM s
+)
+SELECT g AS o_orderpriority, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS point_est,
+       CASE WHEN minn > 0 THEN ROUND({interp(alpha / 2)}, 6) END AS ci_lo,
+       CASE WHEN minn > 0 THEN ROUND({interp(1 - alpha / 2)}, 6) END AS ci_hi,
+       CAST({replicates} AS BIGINT) AS replicates
+FROM f
+"""
+
+
+@register(
+    "bootstrap_ci_orders",
+    oracle=_bootstrap_oracle(),
+    tags=("sampling", "stats", "experiment"),
+    late=True,
+)
+def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for mean order price per priority
+    (``operators/common.py:poisson_bootstrap_ci``): the ONLINE Poisson
+    bootstrap [Chamandy et al. 2012] — each row joins replicate b with
+    a deterministic md5-derived Poisson(1) weight, so the whole
+    B-replicate bootstrap is ONE groupBy with 2B+2 map-side-combined
+    aggregates and ZERO resampling passes (a classical bootstrap at
+    100 TB is B full shuffles). The md5 recipe makes a RESAMPLING
+    method value-hashable: the oracle replays the identical draws,
+    sums, sort and interpolation in SQL."""
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    return poisson_bootstrap_ci(
+        t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+        group_cols=["o_orderpriority"],
+    )

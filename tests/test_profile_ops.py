@@ -899,3 +899,108 @@ def test_weighted_median_rejects_nonpositive_weight(spark):
         weighted_median(df, ["g"], "v", "w").collect()
     with pytest.raises(ValueError):
         weighted_median(df, [], "v", "w")
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u (r10)
+# ---------------------------------------------------------------------------
+
+
+def _mwu_reference(a, b):
+    """Textbook Mann-Whitney with average ranks + tie correction."""
+    import math
+    from collections import Counter
+
+    pooled = sorted(a + b)
+    cnt = Counter(pooled)
+    # average rank per value
+    ranks, below = {}, 0
+    for v in sorted(cnt):
+        ranks[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    ra = sum(ranks[v] for v in a)
+    na, nb, n = len(a), len(b), len(a) + len(b)
+    ua = ra - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    t = sum(c**3 - c for c in cnt.values())
+    sigma2 = na * nb / 12.0 * ((n + 1) - t / (n * (n - 1)))
+    z = (ua - mu) / math.sqrt(sigma2) if sigma2 > 0 else None
+    return ua, z, sum(1 for c in cnt.values() if c > 1)
+
+
+def _mwu_df(spark, a, b):
+    rows = [("A", float(v)) for v in a] + [("B", float(v)) for v in b]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_mwu_hand_case_with_ties(spark):
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    a, b = [1, 2, 2, 5], [2, 3, 4, 4, 6]
+    r = mann_whitney_u(_mwu_df(spark, a, b), "g", "v", "A", "B").collect()[0]
+    ua, z, n_tied = _mwu_reference(a, b)
+    assert r["n_a"] == 4 and r["n_b"] == 5
+    assert r["u_a"] == ua
+    assert r["u_b"] == 4 * 5 - ua
+    assert r["n_tied_values"] == n_tied == 2
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert r["cles"] == pytest.approx(ua / 20.0, abs=1e-6)
+
+
+def test_mwu_matches_reference_on_random_data(spark):
+    import random
+
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    rng = random.Random(10)
+    # coarse grid forces heavy ties; B shifted up so z is clearly signed
+    a = [rng.randrange(0, 15) for _ in range(80)]
+    b = [rng.randrange(3, 18) for _ in range(60)]
+    r = mann_whitney_u(_mwu_df(spark, a, b), "g", "v", "A", "B").collect()[0]
+    ua, z, n_tied = _mwu_reference(a, b)
+    assert r["u_a"] == ua
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert r["n_tied_values"] == n_tied
+    assert r["z"] < 0  # A sits below B by construction
+
+
+def test_mwu_all_tied_and_empty_group(spark):
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    # every value identical -> sigma 0 -> z NULL, U at its midpoint
+    r = mann_whitney_u(
+        _mwu_df(spark, [7, 7], [7, 7, 7]), "g", "v", "A", "B"
+    ).collect()[0]
+    assert r["z"] is None
+    assert r["u_a"] == 2 * 3 / 2.0
+    # one group absent -> cles/z NULL, counts honest
+    r2 = mann_whitney_u(
+        _mwu_df(spark, [1, 2], []), "g", "v", "A", "B"
+    ).collect()[0]
+    assert r2["n_a"] == 2 and r2["n_b"] == 0
+    assert r2["cles"] is None and r2["z"] is None
+
+
+def test_mwu_ignores_other_groups_and_nulls(spark):
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    rows = [("A", 1.0), ("B", 2.0), ("C", 99.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert r["n_a"] == 1 and r["n_b"] == 1
+    assert r["u_a"] == 0.0 and r["u_b"] == 1.0
+
+
+def test_mwu_partitioning_invariance(spark):
+    from ghcn_d_etl_project_spark.operators.quality import mann_whitney_u
+
+    import random
+
+    rng = random.Random(4)
+    a = [rng.randrange(0, 9) for _ in range(50)]
+    b = [rng.randrange(0, 9) for _ in range(50)]
+    outs = []
+    for parts in (1, 7):
+        df = _mwu_df(spark, a, b).repartition(parts)
+        outs.append(mann_whitney_u(df, "g", "v", "A", "B").collect()[0])
+    assert outs[0] == outs[1]

@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import math
 
+import pytest
+from pyspark.sql import functions as F
+
 from ghcn_d_etl_project_spark.plans import all_queries
 from ghcn_d_etl_project_spark.plans.sampling import STRATA_FRACTIONS
 from ghcn_d_etl_project_spark.plans._util import t
@@ -240,3 +243,127 @@ def test_stratified_n_validation(spark):
     df = spark.createDataFrame([(1, "g")], "id long, grp string")
     with pytest.raises(ValueError, match="n >= 1"):
         stratified_fixed_n(df, "grp", "id", 0)
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci (r10)
+# ---------------------------------------------------------------------------
+
+
+def _py_bootstrap(rows, replicates=24, alpha=0.05):
+    """Full pure-Python replay of the operator's md5 recipe."""
+    import hashlib
+
+    from ghcn_d_etl_project_spark.operators.common import POISSON1_CDF
+
+    def weight(rid, b):
+        h = hashlib.md5(f"{rid}:boot:{b}".encode()).hexdigest()[:8]
+        u = int(h, 16) / 4294967296.0
+        return sum(1 for f in POISSON1_CDF if u >= f)
+
+    n = len(rows)
+    point = sum(v for _, v in rows) / n
+    means = []
+    for b in range(replicates):
+        ws = [(weight(rid, b), v) for rid, v in rows]
+        tw = sum(w for w, _ in ws)
+        if tw == 0:
+            return n, point, None, None
+        means.append(sum(w * v for w, v in ws) / tw)
+    means.sort()
+
+    def interp(p):
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        if lo + 1 >= replicates:
+            return means[lo]
+        return means[lo] + (means[lo + 1] - means[lo]) * frac
+
+    return n, point, interp(alpha / 2), interp(1 - alpha / 2)
+
+
+def test_bootstrap_matches_python_replay(spark):
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    rows = [(i, float(10 + (i * 37) % 100)) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+    n, point, lo, hi = _py_bootstrap(rows)
+    assert r["n"] == n
+    assert r["point_est"] == round(point, 6)
+    assert r["ci_lo"] == pytest.approx(lo, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(hi, abs=1e-6)
+    assert r["ci_lo"] < r["point_est"] < r["ci_hi"]
+
+
+def test_bootstrap_width_shrinks_with_n(spark):
+    """Deterministic draws -> the sqrt(n) width contraction is an exact
+    assertable fact, not a statistical tendency."""
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    def width(n):
+        rows = [(i, float(50 + (i * 13) % 40)) for i in range(1, n + 1)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        r = poisson_bootstrap_ci(df, "v", "id").collect()[0]
+        return r["ci_hi"] - r["ci_lo"]
+
+    assert width(2000) < width(200) / 2.0
+
+
+def test_bootstrap_partitioning_invariance_and_groups(spark):
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    rows = [(i, "g%d" % (i % 3), float(i % 25)) for i in range(1, 601)]
+    outs = []
+    for parts in (1, 8):
+        df = spark.createDataFrame(rows, "id long, g string, v double").repartition(parts)
+        out = poisson_bootstrap_ci(df, "v", "id", group_cols=["g"])
+        outs.append(sorted(map(tuple, out.collect())))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 3
+
+
+def test_bootstrap_tiny_group_null_bounds_and_null_rows(spark):
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    # a single-row group: some replicate draws weight 0 with
+    # overwhelming (and deterministic) certainty -> NULL bounds
+    rows = [(1, "solo", 5.0), (2, "big", 1.0), (3, "big", 2.0),
+            (None, "big", 9.0), (4, "big", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["g"]: r for r in
+           poisson_bootstrap_ci(df, "v", "id", group_cols=["g"]).collect()}
+    assert got["solo"]["ci_lo"] is None and got["solo"]["ci_hi"] is None
+    assert got["solo"]["point_est"] == 5.0
+    assert got["big"]["n"] == 2  # NULL id and NULL value both excluded
+
+
+def test_bootstrap_validation(spark):
+    from ghcn_d_etl_project_spark.operators.common import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="replicates"):
+        poisson_bootstrap_ci(df, "v", "id", replicates=1)
+    with pytest.raises(ValueError, match="alpha"):
+        poisson_bootstrap_ci(df, "v", "id", alpha=1.5)
+
+
+def test_poisson_weight_distribution_sanity(spark):
+    """Mean weight ~ 1 and P(w=0) ~ e^-1 over many ids — the inverse
+    CDF is wired right (a constants bug would shift both)."""
+    from ghcn_d_etl_project_spark.operators.common import (
+        bootstrap_uniform,
+        poisson_weight,
+    )
+
+    df = spark.range(1, 20001).select(
+        poisson_weight(bootstrap_uniform("id", "t")).alias("w")
+    )
+    r = df.agg(
+        F.avg("w").alias("m"),
+        F.avg((F.col("w") == 0).cast("int")).alias("p0"),
+        F.max("w").alias("mx"),
+    ).collect()[0]
+    assert abs(r["m"] - 1.0) < 0.03
+    assert abs(r["p0"] - 0.3679) < 0.02
+    assert r["mx"] <= 9
