@@ -12,6 +12,10 @@ codegen-friendly, scale-safe (SURVEY.md §2.9, §2.11).
 from ghcn_d_etl_project_spark.operators.contamination import (  # noqa: F401
     word_ngrams,
 )
+from ghcn_d_etl_project_spark.operators.common import (  # noqa: F401
+    bootstrap_uniform,
+    poisson_weight,
+)
 from ghcn_d_etl_project_spark.operators.dedup import simhash64  # noqa: F401
 from ghcn_d_etl_project_spark.operators.geo import haversine_km  # noqa: F401
 from ghcn_d_etl_project_spark.operators.linkage import (  # noqa: F401
@@ -53,6 +57,7 @@ from ghcn_d_etl_project_spark.plans._util import (  # noqa: F401
 
 __all__ = [
     "as_date_str",
+    "bootstrap_uniform",
     "bpe_ish_token_count",
     "char_shingles",
     "chunk_spans",
@@ -69,6 +74,7 @@ __all__ = [
     "norm",
     "normalize_text",
     "pii_redact",
+    "poisson_weight",
     "punct_ratio",
     "rolling_hash",
     "sign_lsh_bucket",
