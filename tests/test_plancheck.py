@@ -63,3 +63,33 @@ def test_assert_scan_pruned(spark):
     no_scan = spark.range(3).select(F.col("id") * 2)
     with pytest.raises(AssertionError, match="no file scans"):
         assert_scan_pruned(no_scan, max_columns=10)
+
+
+def test_cold_scans_vs_cached_refs(spark):
+    """cold_scans counts FileScans OUTSIDE InMemoryRelation subtrees;
+    a persisted substrate referenced k times must read cold=0 with k
+    cached references, while the same plan unpersisted reads k cold
+    scans — the distinction that separates a real rescan bug (the PMI
+    class) from textual reprints of a cached recompute plan."""
+    from ghcn_d_etl_project_spark.plans._util import t
+
+    base = t(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    a = base.groupBy().agg(F.sum("o_totalprice").alias("s"))
+    b = base.groupBy().agg(F.count("*").alias("n"))
+    union = a.crossJoin(b)
+
+    r_cold = plan_report(union)
+    assert r_cold.cold_scans == 2
+    assert r_cold.cached_refs == 0
+
+    cached = base.persist()
+    a2 = cached.groupBy().agg(F.sum("o_totalprice").alias("s"))
+    b2 = cached.groupBy().agg(F.count("*").alias("n"))
+    r_cached = plan_report(a2.crossJoin(b2))
+    try:
+        assert r_cached.cold_scans == 0
+        assert r_cached.cached_refs == 2
+        # the cached-subtree scans still appear in the textual list
+        assert len(r_cached.scans) == 2
+    finally:
+        cached.unpersist()
