@@ -395,3 +395,104 @@ def poisson_bootstrap_ci(
         F.when(ok, F.round(interp(1 - alpha / 2), round_digits)).alias("ci_hi"),
         F.lit(replicates).cast("long").alias("replicates"),
     )
+
+
+def poisson_bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    arm_col: str,
+    arm_a,
+    arm_b,
+    replicates: int = 24,
+    alpha: float = 0.05,
+    scale: int = 2,
+    salt: str = "boot",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the DIFFERENCE in means between two
+    arms — the uplift readout an experiment actually ships on.
+    :func:`poisson_bootstrap_ci` answers "how uncertain is this arm's
+    mean"; this answers "how uncertain is A minus B", which is NOT the
+    difference of the per-arm intervals (the arms' replicate draws are
+    independent by id, and the quantile of a difference needs the JOINT
+    replicate: diff_b = mean_A,b - mean_B,b, then percentiles of the B
+    diffs).
+
+    Same scale shape and determinism as the one-arm form: one
+    row-returning aggregate carrying ``4B + 6`` conditional map-side-
+    combined expressions (weights from the identical md5 inverse-CDF
+    recipe, exact DECIMAL weighted sums), then sort + interpolation
+    over the B diffs. A significant uplift reads directly: the CI
+    excludes 0. NULL bounds when any replicate draws zero total weight
+    in either arm; rows with NULL value/id or an arm other than
+    ``arm_a``/``arm_b`` are excluded.
+    """
+    if replicates < 2:
+        raise ValueError(f"replicates must be >= 2, got {replicates}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    arm = F.col(arm_col)
+    x = F.col(value_col)
+    xd = x.cast(f"decimal(24,{scale})")
+    base = df.filter(
+        x.isNotNull() & F.col(id_col).isNotNull() & arm.isin(arm_a, arm_b)
+    )
+    is_a = arm == arm_a
+    aggs = [
+        F.count(F.when(is_a, F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(~is_a, F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, xd)).alias("__sxa"),
+        F.sum(F.when(~is_a, xd)).alias("__sxb"),
+    ]
+    for b in range(replicates):
+        w = poisson_weight(bootstrap_uniform(id_col, f"{salt}:{b}"))
+        aggs.append(F.sum(F.when(is_a, w * xd)).alias(f"__sa{b}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(is_a, w)), F.lit(0))
+            .cast("long")
+            .alias(f"__na{b}")
+        )
+        aggs.append(F.sum(F.when(~is_a, w * xd)).alias(f"__sb{b}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(~is_a, w)), F.lit(0))
+            .cast("long")
+            .alias(f"__nb{b}")
+        )
+    stats = base.agg(*aggs)
+
+    diffs = [
+        F.col(f"__sa{b}").cast("double") / F.col(f"__na{b}").cast("double")
+        - F.col(f"__sb{b}").cast("double") / F.col(f"__nb{b}").cast("double")
+        for b in range(replicates)
+    ]
+    arr = F.array_sort(F.array(*diffs))
+
+    def interp(p: float) -> Column:
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        lo_el = F.element_at(arr, lo + 1)
+        if lo + 1 >= replicates:
+            return lo_el
+        hi_el = F.element_at(arr, lo + 2)
+        return lo_el + (hi_el - lo_el) * F.lit(frac)
+
+    ok = (
+        F.least(
+            *[F.col(f"__na{b}") for b in range(replicates)],
+            *[F.col(f"__nb{b}") for b in range(replicates)],
+        )
+        > 0
+    )
+    mean_a = F.col("__sxa").cast("double") / F.col("n_a").cast("double")
+    mean_b = F.col("__sxb").cast("double") / F.col("n_b").cast("double")
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, round_digits).alias("mean_a"),
+        F.round(mean_b, round_digits).alias("mean_b"),
+        F.round(mean_a - mean_b, round_digits).alias("diff"),
+        F.when(ok, F.round(interp(alpha / 2), round_digits)).alias("ci_lo"),
+        F.when(ok, F.round(interp(1 - alpha / 2), round_digits)).alias("ci_hi"),
+        F.lit(replicates).cast("long").alias("replicates"),
+    )

@@ -1430,3 +1430,92 @@ def weighted_median(
             F.max(F.col("__tw").cast("double")).alias("total_weight"),
         )
     )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    exact: bool = True,
+    scale: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Winsorized AND trimmed per-group means — the robust-metric
+    companions to :func:`robust_outliers`: the plain mean follows one
+    whale order wherever it goes; the winsorized mean clamps values to
+    the [p_lo, p_hi] percentile bounds and the trimmed mean drops them,
+    so a bounded contamination moves the readout boundedly.
+
+    Two-phase like robust_outliers (the bounds ARE group statistics):
+    per-group percentile aggregate -> broadcast join back -> one
+    map-side-combined aggregate of the clamped/kept values. The fact
+    table never shuffles. ``exact=True`` is the oracle anchor (exact
+    percentile buffers each group's values — the A14 tradeoff);
+    ``exact=False`` swaps in the mergeable ``percentile_approx``
+    sketch, the 100 TB path (anchor/twin convention).
+
+    Parity recipe: bounds are ROUNDED to ``round_digits`` BEFORE
+    clamping — interpolated percentiles agree cross-engine only to
+    float precision, and an unrounded bound could clamp a
+    boundary-sitting value differently per engine; rounding first makes
+    the clamp decision identical, after which the DECIMAL mean is
+    exact. Output: (groups..., n, mean_value, winsorized_mean,
+    trimmed_mean, n_clamped_lo, n_clamped_hi); trimmed_mean is NULL
+    when every row is trimmed. NULL values excluded.
+    """
+    from ghcn_d_etl_project_spark.plans._util import count_if
+
+    if not 0 <= p_lo < p_hi <= 1:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    groups = list(group_cols or [])
+    pct = "percentile" if exact else "percentile_approx"
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    bounds = base.groupBy(*groups).agg(
+        F.round(F.expr(f"{pct}({value_col}, {p_lo!r})"), round_digits).alias(
+            "__lo"
+        ),
+        F.round(F.expr(f"{pct}({value_col}, {p_hi!r})"), round_digits).alias(
+            "__hi"
+        ),
+    )
+    joined = (
+        base.join(F.broadcast(bounds), groups)
+        if groups
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
+    clamped = F.least(F.greatest(v, lo), hi).cast(f"decimal(24,{scale})")
+    kept = ~(v < lo) & ~(v > hi)
+    vd = v.cast(f"decimal(24,{scale})")
+    out = joined.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vd).alias("__s"),
+        F.sum(clamped).alias("__sw"),
+        F.sum(F.when(kept, vd)).alias("__st"),
+        F.count(F.when(kept, F.lit(1))).cast("long").alias("__nt"),
+        count_if(v < lo).alias("n_clamped_lo"),
+        count_if(v > hi).alias("n_clamped_hi"),
+    )
+    n = F.col("n").cast("double")
+    return out.select(
+        *groups,
+        "n",
+        F.round(F.col("__s").cast("double") / n, round_digits).alias(
+            "mean_value"
+        ),
+        F.round(F.col("__sw").cast("double") / n, round_digits).alias(
+            "winsorized_mean"
+        ),
+        F.when(
+            F.col("__nt") > 0,
+            F.round(
+                F.col("__st").cast("double") / F.col("__nt").cast("double"),
+                round_digits,
+            ),
+        ).alias("trimmed_mean"),
+        "n_clamped_lo",
+        "n_clamped_hi",
+    )

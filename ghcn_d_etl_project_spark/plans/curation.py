@@ -1566,3 +1566,142 @@ def isotonic_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_iso").alias("calibrated_rate"),
         F.col("x_weight").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap uplift CI (r10): joint-replicate CI on the A/B difference
+# ---------------------------------------------------------------------------
+
+
+def _uplift_oracle(replicates: int = 24, alpha: float = 0.05) -> str:
+    """SQL twin of poisson_bootstrap_diff_ci over the md5 arm split —
+    generated so every Poisson-CDF threshold and interpolation constant
+    is the repr() of the exact double the Spark expression uses."""
+    from ghcn_d_etl_project_spark.operators.common import POISSON1_CDF
+
+    us = ",\n         ".join(
+        "(CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), "
+        f"':boot:{b}')), 1, 8)) AS BIGINT) / 4294967296.0) AS u{b}"
+        for b in range(replicates)
+    )
+    ws = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN u{b} >= {f!r} THEN 1 ELSE 0 END)"
+            for f in POISSON1_CDF
+        )
+        + f") AS w{b}"
+        for b in range(replicates)
+    )
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN arm = 0 THEN w{b} * x END) AS sa{b}, "
+        f"COALESCE(SUM(CASE WHEN arm = 0 THEN w{b} END), 0) AS na{b}, "
+        f"SUM(CASE WHEN arm = 1 THEN w{b} * x END) AS sb{b}, "
+        f"COALESCE(SUM(CASE WHEN arm = 1 THEN w{b} END), 0) AS nb{b}"
+        for b in range(replicates)
+    )
+    diffs = ", ".join(
+        f"CAST(sa{b} AS DOUBLE) / CAST(na{b} AS DOUBLE) "
+        f"- CAST(sb{b} AS DOUBLE) / CAST(nb{b} AS DOUBLE)"
+        for b in range(replicates)
+    )
+    least = ", ".join(
+        f"na{b}, nb{b}" for b in range(replicates)
+    )
+
+    def interp(p: float) -> str:
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        if lo + 1 >= replicates:
+            return f"arr[{lo + 1}]"
+        return f"(arr[{lo + 1}] + (arr[{lo + 2}] - arr[{lo + 1}]) * {frac!r})"
+
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             ':ab')), 1, 4))
+              AS INTEGER) % 2 AS arm,
+         CAST(score AS DECIMAL(24,2)) AS x,
+         {us}
+  FROM per_user
+), w AS (
+  SELECT arm, x,
+         {ws}
+  FROM r
+), s AS (
+  SELECT CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN arm = 0 THEN x END) AS sxa,
+         SUM(CASE WHEN arm = 1 THEN x END) AS sxb,
+         {sums}
+  FROM w
+), f AS (
+  SELECT n_a, n_b, sxa, sxb, LEAST({least}) AS minn,
+         list_sort(list_value({diffs})) AS arr
+  FROM s
+)
+SELECT n_a, n_b,
+       ROUND(CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_a,
+       ROUND(CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_b,
+       ROUND(CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff,
+       CASE WHEN minn > 0 THEN ROUND({interp(alpha / 2)}, 6) END AS ci_lo,
+       CASE WHEN minn > 0 THEN ROUND({interp(1 - alpha / 2)}, 6) END AS ci_hi,
+       CAST({replicates} AS BIGINT) AS replicates
+FROM f
+"""
+
+
+@register(
+    "bootstrap_uplift_events",
+    oracle=_uplift_oracle(),
+    tags=("curation", "experiment", "stats"),
+    late=True,
+)
+def bootstrap_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI on the A-minus-B difference in mean user
+    engagement (``operators/common.py:poisson_bootstrap_diff_ci``),
+    arms split by the same md5 recipe as ``ab_proportions_events`` —
+    the uplift interval an experiment ships on (significant iff the CI
+    excludes 0). The JOINT replicate matters: diff_b pairs arm means
+    from the SAME replicate draw, which the difference of two per-arm
+    CIs cannot express. One per-user collapse, then ONE row-returning
+    aggregate with 4B+6 conditional map-side-combined expressions —
+    zero resampling passes at any scale."""
+    from ghcn_d_etl_project_spark.operators.common import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    return poisson_bootstrap_diff_ci(
+        u.select("user_id", "score", arm.alias("arm")),
+        "score",
+        "user_id",
+        "arm",
+        0,
+        1,
+    )

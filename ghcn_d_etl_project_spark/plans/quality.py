@@ -705,3 +705,60 @@ def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_quantity",
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed mean (r10): bounded-influence robust metrics
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS g,
+         ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+         ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority AS g, o.o_totalprice AS v, b.lo, b.hi
+  FROM orders o JOIN b ON o.o_orderpriority = b.g
+  WHERE o.o_totalprice IS NOT NULL
+)
+SELECT g AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(24,2))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_value,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(24,2)))
+                  AS DOUBLE) / COUNT(*), 6) AS winsorized_mean,
+       CASE WHEN COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END) > 0 THEN
+         ROUND(CAST(SUM(CASE WHEN v >= lo AND v <= hi
+                             THEN CAST(v AS DECIMAL(24,2)) END) AS DOUBLE)
+               / CAST(COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END)
+                      AS DOUBLE), 6) END AS trimmed_mean,
+       CAST(COUNT(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clamped_lo,
+       CAST(COUNT(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clamped_hi
+FROM j GROUP BY 1
+"""
+
+
+@register(
+    "winsorized_mean_orders",
+    oracle=_WINSOR_ORACLE,
+    tags=("quality", "stats", "robust"),
+    late=True,
+)
+def winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorized and trimmed mean order price per priority
+    (``operators/quality.py:winsorized_mean``) — the bounded-influence
+    metric family: one whale order moves the plain mean arbitrarily,
+    the winsorized mean boundedly, the trimmed mean not at all. Bounds
+    are per-group percentile aggregates broadcast back (fact never
+    shuffles), ROUNDED before clamping so the clamp decision is
+    engine-identical and the exact-DECIMAL means value-hash. Exact
+    percentile here is the oracle anchor; ``exact=False`` routes the
+    100 TB path through the mergeable percentile_approx sketch."""
+    from ghcn_d_etl_project_spark.operators.quality import winsorized_mean
+
+    return winsorized_mean(
+        t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        group_cols=["o_orderpriority"],
+    )

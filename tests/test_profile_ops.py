@@ -1004,3 +1004,85 @@ def test_mwu_partitioning_invariance(spark):
         df = _mwu_df(spark, a, b).repartition(parts)
         outs.append(mann_whitney_u(df, "g", "v", "A", "B").collect()[0])
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# winsorized_mean (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_hand_case(spark):
+    """10 values 1..9 + whale 1000, p10/p90: numpy-checked bounds, the
+    whale clamps to the hi bound in the winsorized mean and vanishes
+    from the trimmed mean."""
+    import numpy as np
+
+    from ghcn_d_etl_project_spark.operators.quality import winsorized_mean
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = winsorized_mean(df, "v", p_lo=0.1, p_hi=0.9).collect()[0]
+    lo = round(float(np.percentile(vals, 10)), 6)
+    hi = round(float(np.percentile(vals, 90)), 6)
+    wins = [min(max(v, lo), hi) for v in vals]
+    trim = [v for v in vals if lo <= v <= hi]
+    assert r["n"] == 10
+    assert r["mean_value"] == round(sum(vals) / 10, 6)
+    assert r["winsorized_mean"] == pytest.approx(sum(wins) / 10, abs=1e-6)
+    assert r["trimmed_mean"] == pytest.approx(sum(trim) / len(trim), abs=1e-6)
+    assert r["n_clamped_lo"] == 1 and r["n_clamped_hi"] == 1
+
+
+def test_winsorized_bounded_influence(spark):
+    """Growing the whale 100x moves the plain mean but NEITHER robust
+    metric (the whale already sits above the hi bound)."""
+    from ghcn_d_etl_project_spark.operators.quality import winsorized_mean
+
+    base = [float(v) for v in range(1, 50)]
+
+    def metrics(whale):
+        df = spark.createDataFrame([(v,) for v in base + [whale]], "v double")
+        r = winsorized_mean(df, "v").collect()[0]
+        return r["mean_value"], r["winsorized_mean"], r["trimmed_mean"]
+
+    m1, w1, t1 = metrics(1e4)
+    m2, w2, t2 = metrics(1e6)
+    assert m2 > m1 * 10
+    assert w1 == w2 and t1 == t2
+
+
+def test_winsorized_groups_nulls_and_validation(spark):
+    from ghcn_d_etl_project_spark.operators.quality import winsorized_mean
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           winsorized_mean(df, "v", group_cols=["g"]).collect()}
+    assert got["a"]["n"] == 3  # NULL excluded
+    assert got["b"]["n"] == 1 and got["b"]["winsorized_mean"] == 7.0
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorized_mean(df, "v", p_lo=0.9, p_hi=0.1)
+
+
+def test_winsorized_approx_twin_and_plan(spark):
+    """The percentile_approx twin runs and agrees to sketch accuracy;
+    the exact form's plan joins the bounds back BROADCAST (the fact
+    side never shuffles for the robust metric)."""
+    from ghcn_d_etl_project_spark.operators.quality import winsorized_mean
+    from ghcn_d_etl_project_spark.plans._util import t as tt
+    from tests.conftest import SF_DIR
+
+    o = tt(spark, SF_DIR, "orders")
+    exact = winsorized_mean(o, "o_totalprice", group_cols=["o_orderpriority"])
+    approx = winsorized_mean(
+        o, "o_totalprice", group_cols=["o_orderpriority"], exact=False
+    )
+    e = {r["o_orderpriority"]: r for r in exact.collect()}
+    a = {r["o_orderpriority"]: r for r in approx.collect()}
+    for k in e:
+        assert a[k]["winsorized_mean"] == pytest.approx(
+            e[k]["winsorized_mean"], rel=0.02
+        )
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -367,3 +367,109 @@ def test_poisson_weight_distribution_sanity(spark):
     assert abs(r["m"] - 1.0) < 0.03
     assert abs(r["p0"] - 0.3679) < 0.02
     assert r["mx"] <= 9
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_diff_ci (r10)
+# ---------------------------------------------------------------------------
+
+
+def _py_bootstrap_diff(rows_a, rows_b, replicates=24, alpha=0.05):
+    """Pure-Python replay: joint-replicate diff of arm means."""
+    import hashlib
+
+    from ghcn_d_etl_project_spark.operators.common import POISSON1_CDF
+
+    def weight(rid, b):
+        h = hashlib.md5(f"{rid}:boot:{b}".encode()).hexdigest()[:8]
+        return sum(1 for f in POISSON1_CDF if int(h, 16) / 4294967296.0 >= f)
+
+    diffs = []
+    for b in range(replicates):
+        wa = [(weight(rid, b), v) for rid, v in rows_a]
+        wb = [(weight(rid, b), v) for rid, v in rows_b]
+        ta, tb = sum(w for w, _ in wa), sum(w for w, _ in wb)
+        if ta == 0 or tb == 0:
+            return None, None
+        diffs.append(
+            sum(w * v for w, v in wa) / ta - sum(w * v for w, v in wb) / tb
+        )
+    diffs.sort()
+
+    def interp(p):
+        i = p * (replicates - 1)
+        lo, frac = int(i), i - int(i)
+        if lo + 1 >= replicates:
+            return diffs[lo]
+        return diffs[lo] + (diffs[lo + 1] - diffs[lo]) * frac
+
+    return interp(alpha / 2), interp(1 - alpha / 2)
+
+
+def _diff_df(spark, rows_a, rows_b):
+    rows = [(i, 0, float(v)) for i, v in rows_a] + [
+        (i, 1, float(v)) for i, v in rows_b
+    ]
+    return spark.createDataFrame(rows, "id long, arm int, v double")
+
+
+def test_bootstrap_diff_matches_python_replay(spark):
+    from ghcn_d_etl_project_spark.operators.common import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    rows_a = [(i, 20 + (i * 7) % 30) for i in range(1, 201)]
+    rows_b = [(i, 10 + (i * 11) % 30) for i in range(1001, 1201)]
+    df = _diff_df(spark, rows_a, rows_b)
+    r = poisson_bootstrap_diff_ci(df, "v", "id", "arm", 0, 1).collect()[0]
+    lo, hi = _py_bootstrap_diff(rows_a, rows_b)
+    assert r["ci_lo"] == pytest.approx(lo, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(hi, abs=1e-6)
+    assert r["n_a"] == 200 and r["n_b"] == 200
+    assert r["diff"] == pytest.approx(r["mean_a"] - r["mean_b"], abs=2e-6)
+    # planted ~+10 uplift: the CI must exclude 0 (deterministic draws
+    # make this an exact assertion, not a probabilistic one)
+    assert r["ci_lo"] > 0
+
+
+def test_bootstrap_diff_null_uplift_straddles_zero(spark):
+    from ghcn_d_etl_project_spark.operators.common import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    # identical value-generating process in both arms
+    rows_a = [(i, (i * 13) % 50) for i in range(1, 401)]
+    rows_b = [(i, (i * 13) % 50) for i in range(2001, 2401)]
+    r = poisson_bootstrap_diff_ci(
+        _diff_df(spark, rows_a, rows_b), "v", "id", "arm", 0, 1
+    ).collect()[0]
+    assert r["ci_lo"] < 0 < r["ci_hi"]
+
+
+def test_bootstrap_diff_empty_arm_and_validation(spark):
+    from ghcn_d_etl_project_spark.operators.common import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    df = _diff_df(spark, [(1, 5), (2, 6)], [])
+    r = poisson_bootstrap_diff_ci(df, "v", "id", "arm", 0, 1).collect()[0]
+    assert r["n_b"] == 0
+    assert r["ci_lo"] is None and r["ci_hi"] is None
+    with pytest.raises(ValueError, match="replicates"):
+        poisson_bootstrap_diff_ci(df, "v", "id", "arm", 0, 1, replicates=1)
+
+
+def test_bootstrap_diff_partitioning_invariance(spark):
+    from ghcn_d_etl_project_spark.operators.common import (
+        poisson_bootstrap_diff_ci,
+    )
+
+    rows_a = [(i, (i * 3) % 20) for i in range(1, 151)]
+    rows_b = [(i, (i * 5) % 20) for i in range(501, 651)]
+    outs = []
+    for parts in (1, 9):
+        df = _diff_df(spark, rows_a, rows_b).repartition(parts)
+        outs.append(
+            tuple(poisson_bootstrap_diff_ci(df, "v", "id", "arm", 0, 1).collect()[0])
+        )
+    assert outs[0] == outs[1]
