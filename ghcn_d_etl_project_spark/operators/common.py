@@ -496,3 +496,98 @@ def poisson_bootstrap_diff_ci(
         F.when(ok, F.round(interp(1 - alpha / 2), round_digits)).alias("ci_hi"),
         F.lit(replicates).cast("long").alias("replicates"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    id_col: str,
+    target_total: int,
+    temperature: float = 1.0,
+    n_buckets: int = 10_000,
+    salt: str = "mix",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-smoothed domain mixing — the pre-training data-mix
+    step: given per-domain sizes ``c_d`` (tokens, chars, docs — any
+    additive weight), sample each domain at the rate that hits a total
+    budget under the mixture ``p_d ∝ c_d^T``. ``T=1`` keeps natural
+    proportions, ``T=0`` equalizes domains, the usual ``T≈0.5-0.7``
+    upsamples the tail without drowning the head [multilingual-mix
+    convention, Conneau & Lample 2019].
+
+    Scale shape: ONE per-domain aggregate (map-side combined, |domains|
+    rows), driver-free rate computation on that tiny frame, broadcast
+    join back, and the keep decision is the house md5 bucket per row —
+    no shuffle of the fact, no sampling pass, deterministic on any
+    engine/partitioning/re-run (``stratified_keep``'s contract, with a
+    finer 1/n_buckets rate grain and a DATA-DERIVED rate instead of a
+    caller-supplied one).
+
+    Cross-engine parity: ``c_d`` are exact BIGINTs; the smoothed terms
+    ``c_d^T`` are doubles QUANTIZED to DECIMAL(28,12) before the
+    normalizing sum (float addition order would otherwise leak into
+    every share); rates are single double expressions; the keep
+    threshold is ``floor(rate * n_buckets)`` compared against the md5
+    bucket. Domains larger than their target get ``rate < 1``
+    (downsampled); smaller ones cap at ``rate = 1`` — this operator
+    never duplicates rows, so an under-budget mix under-delivers
+    rather than silently repeating data (epoch-level upsampling is the
+    trainer's job; the ``mix_share`` column says what it should be).
+
+    Output: one row per input row — (id, domain, weight, mix_share,
+    rate, keep 0/1). NULL ids/domains/weights are excluded.
+    """
+    if target_total <= 0:
+        raise ValueError(f"target_total must be > 0, got {target_total}")
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    dom = F.col(domain_col)
+    w = F.col(weight_col).cast("long")
+    base = df.filter(
+        dom.isNotNull() & w.isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"), dom.alias("domain"), w.alias("weight")
+    )
+    per_dom = base.groupBy("domain").agg(
+        F.sum("weight").cast("long").alias("__c")
+    )
+    term = F.pow(F.col("__c").cast("double"), F.lit(float(temperature))).cast(
+        "decimal(28,12)"
+    )
+    terms = per_dom.select("domain", "__c", term.alias("__t"))
+    total = terms.agg(
+        F.sum("__t").alias("__tt")
+    ).select(F.col("__tt").alias("__t_total"))
+    share = F.col("__t").cast("double") / F.col("__t_total").cast("double")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(float(target_total)) / F.col("__c").cast("double"),
+    )
+    plan = terms.crossJoin(F.broadcast(total)).select(
+        "domain",
+        F.round(share, round_digits).alias("mix_share"),
+        F.round(rate, round_digits).alias("rate"),
+        F.floor(rate * F.lit(n_buckets)).cast("long").alias("__thr"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    return base.join(F.broadcast(plan), "domain").select(
+        "id",
+        "domain",
+        "weight",
+        "mix_share",
+        "rate",
+        (bucket < F.col("__thr")).cast("long").alias("keep"),
+    )

@@ -517,3 +517,86 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         group_cols=["o_orderpriority"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed domain mixing (r10): the pre-training data mix
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+), d AS (
+  SELECT lang, SUM(w) AS c FROM base GROUP BY 1
+), t AS (
+  SELECT lang, c,
+         CAST(POW(CAST(c AS DOUBLE), 0.5) AS DECIMAL(28,12)) AS term
+  FROM d
+), tot AS (
+  SELECT SUM(term) AS tt FROM t
+), p AS (
+  SELECT lang, c,
+         CAST(term AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+         LEAST(1.0, (CAST(term AS DOUBLE) / CAST(tt AS DOUBLE)) * 60000.0
+                    / CAST(c AS DOUBLE)) AS rate
+  FROM t, tot
+), k AS (
+  SELECT b.lang, b.w, p.share, p.rate,
+         CASE WHEN (CAST(concat('0x', substr(md5(concat(
+                      CAST(b.doc_id AS VARCHAR), ':mix')), 1, 8))
+                    AS BIGINT) % 10000)
+                   < CAST(FLOOR(p.rate * 10000) AS BIGINT)
+              THEN 1 ELSE 0 END AS keep
+  FROM base b JOIN p ON b.lang = p.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS total_chars,
+       ROUND(share, 6) AS mix_share,
+       ROUND(rate, 6) AS rate,
+       CAST(SUM(keep) AS BIGINT) AS kept_docs,
+       CAST(SUM(w * keep) AS BIGINT) AS kept_chars
+FROM k GROUP BY lang, share, rate
+"""
+
+
+@register(
+    "temperature_mix_docs",
+    oracle=_MIX_ORACLE,
+    tags=("sampling", "llm", "mixing"),
+    late=True,
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=0.5 temperature mix of the document corpus by language toward
+    a 60k-char budget (``operators/common.py:temperature_mix``) — the
+    pre-training data-mix step that upsamples tail languages without
+    drowning the head. One per-domain aggregate, DECIMAL-quantized
+    smoothed terms (float sum order never leaks into the shares),
+    broadcast rate plan, md5 keep decision per row with zero fact
+    shuffle — and the deterministic draws are what let a SAMPLING
+    policy carry a full value-hash oracle, kept counts and all."""
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    out = temperature_mix(
+        t(spark, sf_dir, "documents"),
+        "lang",
+        "n_chars",
+        "doc_id",
+        target_total=60_000,
+        temperature=0.5,
+    )
+    return out.groupBy(
+        F.col("domain").alias("lang"), "mix_share", "rate"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("weight").cast("long").alias("total_chars"),
+        F.sum("keep").cast("long").alias("kept_docs"),
+        F.sum(F.col("weight") * F.col("keep")).cast("long").alias(
+            "kept_chars"
+        ),
+    ).select(
+        "lang", "n_docs", "total_chars", "mix_share", "rate",
+        "kept_docs", "kept_chars",
+    )

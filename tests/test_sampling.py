@@ -473,3 +473,121 @@ def test_bootstrap_diff_partitioning_invariance(spark):
             tuple(poisson_bootstrap_diff_ci(df, "v", "id", "arm", 0, 1).collect()[0])
         )
     assert outs[0] == outs[1]
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix (r10)
+# ---------------------------------------------------------------------------
+
+
+def _mix_df(spark, spec):
+    """spec: {domain: [(id, weight), ...]}"""
+    rows = [(i, d, w) for d, pairs in spec.items() for i, w in pairs]
+    return spark.createDataFrame(rows, "id long, dom string, w long")
+
+
+def test_mix_t1_uniform_rate(spark):
+    """T=1 keeps natural proportions: every domain gets the SAME rate
+    total_target / total_weight."""
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    spec = {
+        "big": [(i, 10) for i in range(1, 101)],     # 1000
+        "small": [(i, 10) for i in range(201, 221)],  # 200
+    }
+    out = temperature_mix(
+        _mix_df(spark, spec), "dom", "w", "id",
+        target_total=600, temperature=1.0,
+    )
+    rates = dict(out.select("domain", "rate").distinct().collect())
+    assert rates["big"] == rates["small"] == round(600 / 1200, 6)
+
+
+def test_mix_t0_equalizes_and_caps(spark):
+    """T=0 gives every domain an equal share; a tail domain whose
+    target exceeds its size caps at rate 1 (never duplicates)."""
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    spec = {
+        "big": [(i, 100) for i in range(1, 101)],   # 10000
+        "tiny": [(i, 10) for i in range(501, 511)],  # 100
+    }
+    out = temperature_mix(
+        _mix_df(spark, spec), "dom", "w", "id",
+        target_total=1000, temperature=0.0,
+    )
+    got = {r["domain"]: r for r in out.select(
+        "domain", "mix_share", "rate").distinct().collect()}
+    assert got["big"]["mix_share"] == got["tiny"]["mix_share"] == 0.5
+    # tiny's target (500) > its size (100) -> capped at 1.0
+    assert got["tiny"]["rate"] == 1.0
+    assert got["big"]["rate"] == round(500 / 10000, 6)
+
+
+def test_mix_lower_temperature_upsamples_tail(spark):
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    spec = {
+        "head": [(i, 50) for i in range(1, 201)],
+        "tail": [(i, 50) for i in range(1001, 1021)],
+    }
+    df = _mix_df(spark, spec)
+
+    def tail_share(temp):
+        out = temperature_mix(df, "dom", "w", "id",
+                              target_total=2000, temperature=temp)
+        return dict(out.select("domain", "mix_share").distinct().collect())[
+            "tail"
+        ]
+
+    assert tail_share(0.3) > tail_share(0.7) > tail_share(1.0)
+
+
+def test_mix_matches_python_replay(spark):
+    """Full md5 replay: keep decisions, kept counts, shares, rates."""
+    import hashlib
+
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    spec = {
+        "a": [(i, 5 + i % 20) for i in range(1, 301)],
+        "b": [(i, 3 + i % 9) for i in range(1001, 1101)],
+        "c": [(i, 40) for i in range(2001, 2011)],
+    }
+    df = _mix_df(spark, spec)
+    out = temperature_mix(df, "dom", "w", "id",
+                          target_total=1500, temperature=0.5).collect()
+
+    from decimal import Decimal
+    c = {d: sum(w for _, w in pairs) for d, pairs in spec.items()}
+    terms = {d: Decimal(repr(v ** 0.5)).quantize(Decimal("1e-12"))
+             for d, v in c.items()}
+    tt = sum(terms.values())
+    share = {d: float(terms[d]) / float(tt) for d in c}
+    rate = {d: min(1.0, share[d] * 1500.0 / c[d]) for d in c}
+
+    def keep(rid, d):
+        h = hashlib.md5(f"{rid}:mix".encode()).hexdigest()[:8]
+        return int(int(h, 16) % 10000 < int(rate[d] * 10000))
+
+    expect = {(i, d): keep(i, d) for d, pairs in spec.items()
+              for i, _ in pairs}
+    assert len(out) == sum(len(p) for p in spec.values())
+    for r in out:
+        assert r["keep"] == expect[(r["id"], r["domain"])], r
+        assert r["rate"] == round(rate[r["domain"]], 6)
+        assert r["mix_share"] == round(share[r["domain"]], 6)
+
+
+def test_mix_null_exclusion_and_validation(spark):
+    from ghcn_d_etl_project_spark.operators.common import temperature_mix
+
+    rows = [(1, "a", 10), (2, None, 5), (None, "a", 5), (3, "a", None)]
+    df = spark.createDataFrame(rows, "id long, dom string, w long")
+    out = temperature_mix(df, "dom", "w", "id", target_total=100)
+    assert [r["id"] for r in out.collect()] == [1]
+    with pytest.raises(ValueError, match="target_total"):
+        temperature_mix(df, "dom", "w", "id", target_total=0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, "dom", "w", "id", target_total=10,
+                        temperature=-1)
