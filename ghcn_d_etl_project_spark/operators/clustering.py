@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lloyd", "label_centroids"]
+__all__ = ["kmeans_lloyd", "label_centroids", "nearest_centroid"]
 
 
 def _as_double(col: str):
@@ -226,4 +226,82 @@ def label_centroids(
             F.col("s").cast("double")
             / (F.lit(float(scale)) * F.col("n").cast("double"))
         ).alias("centroid"),
+    )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest class centroid — the
+    nearest-centroid classifier / cluster-purity readout that closes
+    the loop on :func:`label_centroids` (train prototypes, then score
+    assignment quality or classify new vectors).
+
+    ``centroids`` is the LONG-format (label, dim, centroid) frame
+    :func:`label_centroids` emits; labels must be integer-castable
+    (the deterministic tie-break orders on them). The k x d table is
+    collected (the same bounded-probe posture as k-means seeds) and
+    embedded as PLAN LITERALS, so assignment is a shuffle-free
+    UDF-free projection: per label one ``zip_with`` + fold over the
+    vector — k folds per row, `mapInPandas`-free, whole-stage codegen.
+
+    Parity recipe (what makes an argmin value-hashable): each
+    per-dimension squared difference is quantized to DECIMAL(28,12)
+    BEFORE the fold sum, so the distance is exact and associative on
+    any engine; the argmin is an ``array_max`` over
+    (-dist2, -label) structs — smallest distance, then smallest label
+    on ties, never a float comparison of two differently-accumulated
+    sums. Output: input rows + ``pred_label`` (long) + ``dist2``
+    (double, the exact decimal cast). NULL ids/vectors are excluded.
+    """
+    rows = centroids.select(
+        F.col("label").cast("long").alias("l"),
+        F.col("dim").cast("int").alias("d"),
+        F.col("centroid").cast("double").alias("c"),
+    ).collect()
+    if not rows:
+        raise ValueError("centroids frame is empty")
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["l"]), {})[int(r["d"])] = float(r["c"])
+    if dim is None:
+        dim = 1 + max(max(d.keys()) for d in by_label.values())
+    for lbl, comp in by_label.items():
+        if set(comp.keys()) != set(range(dim)):
+            raise ValueError(
+                f"centroid for label {lbl} is missing dimensions "
+                f"(expected 0..{dim - 1})"
+            )
+
+    v = _as_double(vec_col)
+    dec = "decimal(28,12)"
+
+    def dist2(comp: dict[int, float]) -> Column:
+        lits = F.array(*[F.lit(comp[i]) for i in range(dim)])
+        sq = F.zip_with(v, lits, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(
+            sq,
+            F.lit(0).cast(dec),
+            lambda acc, x: (acc + x.cast(dec)).cast(dec),
+        )
+
+    cands = [
+        F.struct(
+            (-dist2(comp)).alias("negd"),
+            F.lit(-lbl).alias("negl"),
+            F.lit(lbl).cast("long").alias("label"),
+        )
+        for lbl, comp in sorted(by_label.items())
+    ]
+    best = F.array_max(F.array(*cands))
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        "*",
+        best["label"].alias("pred_label"),
+        (-best["negd"]).cast("double").alias("dist2"),
     )

@@ -1705,3 +1705,92 @@ def bootstrap_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
         1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (r10): the experiment-validity gate
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH per_user AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+), armed AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             ':ab')), 1, 4))
+              AS INTEGER) % 2 AS arm
+  FROM per_user
+), s AS (
+  SELECT CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b
+  FROM armed
+)
+SELECT n_a, n_b,
+       ROUND(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
+         AS observed_share,
+       ROUND((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+             * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+             / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+             + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+             * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) * 0.5)
+             / (CAST(n_a + n_b AS DOUBLE) * 0.5), 6) AS chi2,
+       CAST(CASE WHEN (CAST(n_a AS DOUBLE)
+                       - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      * (CAST(n_a AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      / (CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      + (CAST(n_b AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      * (CAST(n_b AS DOUBLE)
+                         - CAST(n_a + n_b AS DOUBLE) * 0.5)
+                      / (CAST(n_a + n_b AS DOUBLE) * 0.5) > 3.841459
+            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM s
+"""
+
+
+@register(
+    "srm_check_events",
+    oracle=_SRM_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,
+)
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate for the md5 A/B split: chi-square
+    goodness-of-fit of the observed arm counts against the designed
+    50/50, flagged at the 0.05 critical value (3.841459) — the
+    experiment-VALIDITY check that must pass before any readout
+    (`ab_proportions_events`, `bootstrap_uplift_events`) is trusted: a
+    mismatched ratio means assignment or logging is broken and every
+    downstream statistic is biased [Fabijan et al. 2019]. One distinct
+    collapse + one conditional aggregate; chi2 is a single double
+    expression over exact BIGINTs."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    s = u.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("long").alias("n_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    exp = n * F.lit(0.5)
+    chi2 = (n_a - exp) * (n_a - exp) / exp + (n_b - exp) * (n_b - exp) / exp
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(n_a / n, 6).alias("observed_share"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(3.841459)).cast("long").alias("srm_flag"),
+    )

@@ -1087,3 +1087,72 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id",
         "truncate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid confusion matrix (r10): the prototype-classifier readout
+# ---------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+x AS (
+  SELECT label, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS fp
+  FROM e, UNNEST(generate_series(1, 64)) AS s(i)
+),
+cent AS (
+  SELECT CAST(label AS BIGINT) AS clabel, dim,
+         CAST(SUM(fp) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE))
+           AS c
+  FROM x GROUP BY 1, 2
+),
+d AS (
+  SELECT v.vec_id, CAST(v.label AS BIGINT) AS true_label, ct.clabel,
+         SUM(CAST((CAST(v.embedding[ct.dim + 1] AS DOUBLE) - ct.c)
+                  * (CAST(v.embedding[ct.dim + 1] AS DOUBLE) - ct.c)
+                  AS DECIMAL(28,12))) AS d2
+  FROM e v, cent ct
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, true_label, clabel AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, clabel ASC) AS rn
+  FROM d
+)
+SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@register(
+    "nearest_centroid_confusion",
+    oracle=_NEAREST_ORACLE,
+    tags=("llm", "ml", "embeddings"),
+    late=True,
+)
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the embeddings table
+    (``operators/clustering.py:nearest_centroid`` on
+    ``label_centroids`` prototypes) — the class-separability readout:
+    how often a vector's nearest class prototype IS its own class.
+    The k x d centroid table is a bounded collect embedded as plan
+    literals, so assignment is a shuffle-free UDF-free projection (one
+    DECIMAL-quantized zip_with fold per label); the argmin is a struct
+    array_max with smallest-label tie-break — exact arithmetic end to
+    end, which is what lets an argmin-valued query hash-match the
+    oracle's opposite (explode + ROW_NUMBER) formulation."""
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        label_centroids,
+        nearest_centroid,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    cents = label_centroids(emb, "label", "embedding")
+    assigned = nearest_centroid(emb, "vec_id", "embedding", cents, dim=64)
+    return assigned.groupBy(
+        F.col("label").cast("long").alias("true_label"), "pred_label"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))

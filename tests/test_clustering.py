@@ -309,3 +309,91 @@ def test_mmr_validation(spark):
         mmr_rerank(df, "qid", "cand", "rel", "vec", k=0)
     with pytest.raises(ValueError):
         mmr_rerank(df, "qid", "cand", "rel", "vec", lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# nearest_centroid (r10)
+# ---------------------------------------------------------------------------
+
+
+def _centroids_df(spark, rows):
+    return spark.createDataFrame(rows, "label int, dim int, centroid double")
+
+
+def test_nearest_centroid_hand_case_and_ties(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import nearest_centroid
+
+    cents = _centroids_df(
+        spark,
+        [(0, 0, 0.0), (0, 1, 0.0), (1, 0, 10.0), (1, 1, 0.0)],
+    )
+    rows = [
+        (1, [1.0, 0.0]),    # near label 0
+        (2, [9.0, 1.0]),    # near label 1
+        (3, [5.0, 0.0]),    # exactly halfway -> smallest label wins
+        (4, None),          # excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {r["id"]: (r["pred_label"], r["dist2"])
+           for r in nearest_centroid(df, "id", "vec", cents).collect()}
+    assert got[1][0] == 0 and got[1][1] == pytest.approx(1.0, abs=1e-9)
+    assert got[2][0] == 1 and got[2][1] == pytest.approx(2.0, abs=1e-9)
+    assert got[3][0] == 0 and got[3][1] == pytest.approx(25.0, abs=1e-9)
+    assert 4 not in got
+
+
+def test_nearest_centroid_round_trips_label_centroids(spark):
+    """Well-separated blobs: assigning each vector to the prototypes
+    computed FROM its own labels must reproduce the labels exactly
+    (diagonal confusion)."""
+    import random
+
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        label_centroids,
+        nearest_centroid,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        lbl = i % 3
+        center = [0.0, 0.0, 0.0]
+        center[lbl] = 10.0
+        rows.append(
+            (i, lbl, [c + rng.uniform(-0.5, 0.5) for c in center])
+        )
+    df = spark.createDataFrame(rows, "id long, label int, vec array<double>")
+    cents = label_centroids(df, "label", "vec")
+    out = nearest_centroid(df, "id", "vec", cents).collect()
+    assert len(out) == 120
+    assert all(r["pred_label"] == r["label"] for r in out)
+
+
+def test_nearest_centroid_validation(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import nearest_centroid
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        nearest_centroid(
+            df, "id", "vec",
+            _centroids_df(spark, []).filter("label IS NOT NULL"),
+        )
+    # label 1 missing dim 1 of 2
+    broken = _centroids_df(spark, [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)])
+    with pytest.raises(ValueError, match="missing dimensions"):
+        nearest_centroid(df, "id", "vec", broken)
+
+
+def test_nearest_centroid_shuffle_free_plan(spark):
+    """Assignment must be a pure projection: no Exchange introduced by
+    the classifier itself (plan-literal centroids, no join)."""
+    from ghcn_d_etl_project_spark.operators.clustering import nearest_centroid
+
+    cents = _centroids_df(spark, [(0, 0, 0.0), (1, 0, 5.0)])
+    df = spark.createDataFrame(
+        [(i, [float(i % 7)]) for i in range(50)], "id long, vec array<double>"
+    )
+    out = nearest_centroid(df, "id", "vec", cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]

@@ -430,3 +430,66 @@ def test_gini_boundary_values(spark):
     n = 50
     g = _py_gini([1] * (n - 1) + [10_000_000])
     assert g == pytest.approx(1 - 1 / n, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# srm_check_events (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_srm_chi2_recomputes_from_emitted_counts(spark):
+    """The emitted chi2/share/flag must equal a direct recomputation
+    from the emitted counts. (At sf0.001 there are only 15 distinct
+    users and the md5 split happens to give 3/12 — the flag correctly
+    FIRES there, which is the statistic doing its job on a tiny
+    sample, so split health is asserted separately at real n.)"""
+    from ghcn_d_etl_project_spark.plans import all_queries
+    from tests.conftest import SF_DIR
+
+    r = all_queries()["srm_check_events"].fn(spark, SF_DIR).collect()[0]
+    n_a, n_b = r["n_a"], r["n_b"]
+    n = n_a + n_b
+    exp = n * 0.5
+    chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    assert r["chi2"] == round(chi2, 6)
+    assert r["observed_share"] == round(n_a / n, 6)
+    assert r["srm_flag"] == int(chi2 > 3.841459)
+
+
+def test_srm_md5_split_is_healthy_at_scale(spark):
+    """The house md5 50/50 split must NOT trip SRM at real sample
+    sizes (a biased assigner would indict every experiment readout
+    built on it): 10k sequential ids through the identical arm
+    expression."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(1, 10_001)
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    r = ids.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).alias("n_b"),
+    ).collect()[0]
+    n_a, n_b = r["n_a"], r["n_b"]
+    exp = (n_a + n_b) * 0.5
+    chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    assert chi2 <= 3.841459, (n_a, n_b, chi2)
+
+
+def test_srm_flag_fires_on_planted_imbalance():
+    """The decision rule itself: a 60/40 split at n=1000 is far past
+    the 0.05 critical value."""
+    n_a, n_b = 600, 400
+    exp = (n_a + n_b) * 0.5
+    chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    assert chi2 == 40.0 and chi2 > 3.841459
