@@ -1794,3 +1794,115 @@ def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > F.lit(3.841459)).cast("long").alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size (r10): the magnitude readout behind the z-test
+# ---------------------------------------------------------------------------
+
+_COHENS_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), armed AS (
+  SELECT CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                                             ':ab')), 1, 4))
+              AS INTEGER) % 2 AS arm,
+         CAST(score AS DECIMAL(24,2)) AS x
+  FROM u
+), s AS (
+  SELECT CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN arm = 0 THEN x * x END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x * x END) AS DOUBLE) AS qb
+  FROM armed
+), f AS (
+  SELECT n_a, n_b,
+         sa / CAST(n_a AS DOUBLE) AS mean_a,
+         sb / CAST(n_b AS DOUBLE) AS mean_b,
+         (qa - sa * sa / CAST(n_a AS DOUBLE)
+          + qb - sb * sb / CAST(n_b AS DOUBLE))
+           / CAST(n_a + n_b - 2 AS DOUBLE) AS pooled_var
+  FROM s
+)
+SELECT n_a, n_b,
+       ROUND(mean_a, 6) AS mean_a,
+       ROUND(mean_b, 6) AS mean_b,
+       ROUND(sqrt(pooled_var), 6) AS pooled_sd,
+       CASE WHEN pooled_var > 0 THEN
+         ROUND((mean_a - mean_b) / sqrt(pooled_var), 6) END AS cohens_d
+FROM f
+"""
+
+
+@register(
+    "cohens_d_events",
+    oracle=_COHENS_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,
+)
+def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between the md5 A/B arms on
+    user engagement — the MAGNITUDE readout that completes the
+    experiment stack (the z-test says "real?", d says "big enough to
+    matter": 0.2/0.5/0.8 small/medium/large). Pooled-SD form over
+    exact DECIMAL moments (sum, sum-of-squares — the ``standardize``
+    recipe, accumulation-order-free), one per-user collapse + one
+    single-row conditional aggregate; d is one double expression over
+    the exact moments, NULL when the pooled variance is 0."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    xd = F.col("score").cast("decimal(24,2)")
+    s = u.select(arm.alias("arm"), xd.alias("x")).agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast("double").alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qb"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = F.col("sa") / n_a.cast("double")
+    mean_b = F.col("sb") / n_b.cast("double")
+    pooled_var = (
+        F.col("qa")
+        - F.col("sa") * F.col("sa") / n_a.cast("double")
+        + F.col("qb")
+        - F.col("sb") * F.col("sb") / n_b.cast("double")
+    ) / (n_a + n_b - 2).cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(F.sqrt(pooled_var), 6).alias("pooled_sd"),
+        F.when(
+            pooled_var > 0, F.round((mean_a - mean_b) / F.sqrt(pooled_var), 6)
+        ).alias("cohens_d"),
+    )

