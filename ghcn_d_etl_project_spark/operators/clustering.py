@@ -36,7 +36,7 @@ convention that never loses a cell).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmeans_lloyd", "label_centroids", "nearest_centroid"]

@@ -155,10 +155,15 @@ def percentile_features(
         ).alias(cume_col),
     ]
     if tile_col is not None:
-        # exact ceil(n_tiles * cum / N) in BIGINT — no float boundary
+        # exact ceil(n_tiles * cum / N) in BIGINT — true integer `div`,
+        # not floor(double / double): Spark's `/` on longs is DOUBLE
+        # division, whose quotient rounds at ~1e15-row numerators and
+        # could then floor to the wrong tile (the DuckDB oracle uses
+        # integer `//`). `div` keeps the whole boundary in BIGINT.
         out_cols.append(
-            F.floor(
-                (F.lit(int(n_tiles)) * F.col("__cum") + big_n - 1) / big_n
+            F.expr(
+                f"(CAST({int(n_tiles)} AS BIGINT) * __cum + __N_total - 1)"
+                " div __N_total"
             )
             .cast("long")
             .alias(tile_col)

@@ -95,26 +95,33 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    # Wedge a->b, a->c (b != c) closed by an oriented edge between b and
-    # c in EITHER orientation (the closing edge's direction depends on
-    # its own endpoints' degrees, not the wedge apex's).
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # Wedge a->b, a->c with b < c, closed by an oriented edge between b
+    # and c in EITHER orientation (the closing edge's direction depends
+    # on its own endpoints' degrees, not the wedge apex's). Phrasing
+    # "either orientation" as an OR of two equality pairs plans a real
+    # CartesianProduct (Catalyst cannot hash-join a disjunction) —
+    # |wedges| x |edges| pair tests, the one scale-killer r10's audit
+    # found. Instead: project the oriented edges onto their CANONICAL
+    # (least, greatest) key — exact because ``oriented`` holds each
+    # undirected edge in exactly one orientation, so the projection is
+    # a bijection — and close the (b < c)-ordered wedge with ONE
+    # composite-key equi-join, which Catalyst hash-joins.
+    closers = oriented.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    )
     tri = (
         e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")))
-        .join(
-            e3,
-            (
-                (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b"))
-            )
-            | (
-                (F.col("e3.a") == F.col("e2.b")) & (F.col("e3.b") == F.col("e1.b"))
-            ),
-        )
         .select(
             F.col("e1.a").alias("x"),
             F.col("e1.b").alias("y"),
             F.col("e2.b").alias("z"),
         )
+        .join(
+            closers,
+            (F.col("y") == F.col("lo")) & (F.col("z") == F.col("hi")),
+        )
+        .select("x", "y", "z")
     )
     corners = (
         tri.select(F.col("x").alias("node"))

@@ -1094,12 +1094,14 @@ def mann_whitney_u(
     stats = cums.agg(
         F.sum("cnt").cast("long").alias("n"),
         F.sum("cnt_a").cast("long").alias("n_a"),
+        # Cast BEFORE multiplying (mirrors ties_t below): the per-term
+        # product is ~2n^2 for a heavy tie group, which silently wraps in
+        # non-ANSI BIGINT past ~2^31.5 rows — the decimal accumulator
+        # alone would not save an already-wrapped term.
         F.sum(
-            (
-                F.col("cnt_a")
-                * (2 * below + F.col("cnt") + 1)
-            ).cast("decimal(38,0)")
-        ).alias("r2a"),
+            F.col("cnt_a").cast("decimal(38,0)")
+            * (2 * below + F.col("cnt") + 1)
+        ).cast("decimal(38,0)").alias("r2a"),
         F.sum(
             (
                 F.col("cnt").cast("decimal(38,0)")
@@ -1115,14 +1117,17 @@ def mann_whitney_u(
     n = F.col("n").cast("double")
     n_a = F.col("n_a")
     n_b = F.col("n") - F.col("n_a")
+    # Double-first casts: nA(nA+1) and nA*nB in BIGINT wrap past ~2^31.5
+    # rows; as double products they only round (these feed double
+    # expressions anyway — the exact-integer path is r2a above).
+    na_d = n_a.cast("double")
+    nb_d = n_b.cast("double")
     # U_A = R_A - nA(nA+1)/2, via the exact doubled rank sum
-    u_a = (
-        F.col("r2a").cast("double") - (n_a * (n_a + 1)).cast("double")
-    ) / F.lit(2.0)
-    u_b = (n_a * n_b).cast("double") - u_a
-    mu = (n_a * n_b).cast("double") / F.lit(2.0)
+    u_a = (F.col("r2a").cast("double") - na_d * (na_d + 1)) / F.lit(2.0)
+    u_b = na_d * nb_d - u_a
+    mu = na_d * nb_d / F.lit(2.0)
     tie_adj = (n + 1) - F.col("ties_t").cast("double") / (n * (n - 1))
-    sigma = F.sqrt((n_a * n_b).cast("double") / F.lit(12.0) * tie_adj)
+    sigma = F.sqrt(na_d * nb_d / F.lit(12.0) * tie_adj)
     return stats.select(
         n_a.cast("long").alias("n_a"),
         n_b.cast("long").alias("n_b"),
@@ -1130,7 +1135,7 @@ def mann_whitney_u(
         u_b.alias("u_b"),
         F.when(
             (n_a > 0) & (n_b > 0),
-            F.round(u_a / (n_a * n_b).cast("double"), round_digits),
+            F.round(u_a / (na_d * nb_d), round_digits),
         ).alias("cles"),
         F.col("n_tied_values"),
         F.when(

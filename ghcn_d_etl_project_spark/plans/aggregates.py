@@ -166,7 +166,12 @@ GROUP BY ROLLUP(o_orderpriority)
 """
 
 
-@register("table_profile", oracle=_TABLE_PROFILE_ORACLE, tags=("agg",))
+@register(
+    "table_profile",
+    oracle=_TABLE_PROFILE_ORACLE,
+    tags=("agg",),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency table (A11, reference ``02_bronze_processing.py:65``) +
     exact distinct counts (A9) + global min/max/avg statistics (A10) in

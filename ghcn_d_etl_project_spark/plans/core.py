@@ -283,6 +283,7 @@ FROM nation_orders
     "sql_cte_revenue",
     oracle=_SQL_CTE.format(orders="orders", customer="customer", nation="nation"),
     tags=("sql", "join", "agg"),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
 )
 def sql_cte_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry path: identical ANSI text runs on both engines

@@ -1024,7 +1024,6 @@ FROM f
     "mannwhitney_orders",
     oracle=_MWU_ORACLE,
     tags=("quality", "stats", "experiment"),
-    late=True,
 )
 def mannwhitney_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between urgent and low-priority order prices
@@ -1089,7 +1088,6 @@ FROM s
     "cusum_drift_orders",
     oracle=_CUSUM_ORACLE,
     tags=("quality", "drift", "timeseries"),
-    late=True,
 )
 def cusum_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change detection on daily revenue
@@ -1661,7 +1659,6 @@ FROM f
     "bootstrap_uplift_events",
     oracle=_uplift_oracle(),
     tags=("curation", "experiment", "stats"),
-    late=True,
 )
 def bootstrap_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% bootstrap CI on the A-minus-B difference in mean user
@@ -1752,7 +1749,6 @@ FROM s
     "srm_check_events",
     oracle=_SRM_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,
 )
 def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch gate for the md5 A/B split: chi-square
@@ -1843,7 +1839,6 @@ FROM f
     "cohens_d_events",
     oracle=_COHENS_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,
 )
 def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d standardized effect size between the md5 A/B arms on

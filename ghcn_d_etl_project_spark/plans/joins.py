@@ -28,7 +28,12 @@ LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
 """
 
 
-@register("dim_enrich_join", oracle=_DIM_ENRICH_ORACLE, tags=("join",))
+@register(
+    "dim_enrich_join",
+    oracle=_DIM_ENRICH_ORACLE,
+    tags=("join",),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop broadcast dimension enrichment (J1): the reference's
     stations join (``silver_processor.py:116-119``) generalized. Both dims
@@ -243,7 +248,13 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
 """
 
 
-@register("asof_join_events", oracle=_ASOF_ORACLE, tags=("join", "temporal"), bench=True)
+@register(
+    "asof_join_events",
+    oracle=_ASOF_ORACLE,
+    tags=("join", "temporal"),
+    bench=True,
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each error event picks the latest preceding
     purchase by the same user. Implemented as the union-and-fill pattern

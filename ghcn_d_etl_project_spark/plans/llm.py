@@ -106,7 +106,12 @@ WHERE CAST(i.n_inter AS DOUBLE) / (s1.set_size + s2.set_size - i.n_inter) >= 0.5
 """
 
 
-@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
+    tags=("llm", "dedup"),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-4-gram Jaccard near-dup pairs (threshold 0.5) via a
     shingle inverted-index self-join — the exact verifier; at 100 TB this
@@ -372,7 +377,12 @@ FROM toks k LEFT JOIN agg a ON k.doc_id = a.doc_id
 """
 
 
-@register("repetition_profile", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
+@register(
+    "repetition_profile",
+    oracle=_REPETITION_ORACLE,
+    tags=("llm", "text"),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, table
     A1): duplicate-line fraction (pure per-row array exprs, no shuffle)
@@ -666,7 +676,12 @@ WHERE len(toks[start : start + 31]) > 0
 """
 
 
-@register("doc_chunks", oracle=_CHUNK_ORACLE, tags=("llm", "text"))
+@register(
+    "doc_chunks",
+    oracle=_CHUNK_ORACLE,
+    tags=("llm", "text"),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (32-token chunks, stride 24 =
     8-token overlap) — the context-window prep step of a training
@@ -1132,7 +1147,6 @@ FROM best WHERE rn = 1 GROUP BY 1, 2
     "nearest_centroid_confusion",
     oracle=_NEAREST_ORACLE,
     tags=("llm", "ml", "embeddings"),
-    late=True,
 )
 def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid confusion matrix over the embeddings table

@@ -76,7 +76,12 @@ FROM pivoted
 )
 
 
-@register("quality_score_rows", oracle=_SCORE_ORACLE, tags=("quality",))
+@register(
+    "quality_score_rows",
+    oracle=_SCORE_ORACLE,
+    tags=("quality",),
+    late=True,  # r11 rotation: 7 rounds green in the hard window
+)
 def quality_score_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quality score (Q1): non-null fraction of the 5 pivoted
     event columns, x0.8 penalty when an error coexists with a purchase —
@@ -743,7 +748,6 @@ FROM j GROUP BY 1
     "winsorized_mean_orders",
     oracle=_WINSOR_ORACLE,
     tags=("quality", "stats", "robust"),
-    late=True,
 )
 def winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%/95% winsorized and trimmed mean order price per priority

@@ -566,7 +566,6 @@ FROM k GROUP BY lang, share, rate
     "temperature_mix_docs",
     oracle=_MIX_ORACLE,
     tags=("sampling", "llm", "mixing"),
-    late=True,
 )
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T=0.5 temperature mix of the document corpus by language toward

@@ -74,6 +74,55 @@ COLD_SCAN_ALLOWLIST: dict[str, str] = {
     # entries look like "star_join_wide: scans 9 distinct dims once each")
 }
 
+# JOIN-SHAPE CEILINGS (round 11): r10's audit found a real
+# CartesianProduct sitting in a committed PLANS.json unremarked
+# (copurchase_triangles' OR-disjunction close join — |wedges| x |edges|
+# pair tests at scale). The cold-scan ceiling was the only automatic
+# plan gate; now the two pair-explosion join strategies are gated too.
+#
+# CartesianProduct: ceiling ZERO. There is no benign cartesian in this
+# engine — every "compare against a scalar" pattern broadcasts a
+# one-row aggregate (which plans a BroadcastNestedLoopJoin, below), and
+# every all-pairs semantics (skyline, similarity) has a banded/bounded
+# rewrite. A new cartesian is a bug or needs a written reason here.
+CARTESIAN_CEILING = 0
+CARTESIAN_ALLOWLIST: dict[str, str] = {}
+
+# BroadcastNestedLoopJoin: allowlist BY NAME. Every entry below is a
+# ONE-ROW build side — a global aggregate (total count, max date, chi2
+# denominator, KS statistic...) cross-joined onto the fact, so the
+# "nested loop" is a single O(n) probe pass, not a pair explosion.
+# Counts > 1 are the same one-row broadcast reprinted through chained
+# passes / join-back lineage, not distinct loops. A query NOT listed
+# here whose plan grows a BNLJ fails the snapshot run and the test.
+_ONE_ROW = "one-row global-aggregate broadcast (scalar cross join)"
+BNLJ_ALLOWLIST: dict[str, str] = {
+    "bitmap_prune_join_revenue": _ONE_ROW + " — bitmap build summary",
+    "bm25_search_docs": _ONE_ROW + " — corpus N/avgdl row",
+    "categorical_association": _ONE_ROW + " — chi2 grand totals, x5 passes",
+    "charlm_quality_docs": _ONE_ROW + " — corpus char-lm normalizer, x2",
+    "column_stats_outliers": _ONE_ROW + " — exact quantile anchor row",
+    "cuped_adjusted_events": _ONE_ROW + " — theta/means row",
+    "decile_lift_events": _ONE_ROW + " — global base-rate row",
+    "equidepth_hist_orders": _ONE_ROW + " — total-count row",
+    "event_copurchase": _ONE_ROW + " — basket-universe count",
+    "expectations_orders": _ONE_ROW + " — suite total row",
+    "histogram_bins": _ONE_ROW + " — min/max/width row",
+    "key_containment_orders": _ONE_ROW + " — per-side key counts, x2",
+    "ks_drift_orders": _ONE_ROW + " — KS sup-distance row",
+    "lorenz_deciles_customers": _ONE_ROW + " — grand-total revenue row",
+    "percentile_feature_orders": _ONE_ROW + " — N_total row",
+    "pmi_cooccurrence_docs": _ONE_ROW + " — corpus totals, x5 reprints",
+    "rfm_segments": _ONE_ROW + " — 3 chained percentile passes' N_total "
+    "rows, reprinted via join-back lineage (86 textual occurrences, all "
+    "single-row build sides)",
+    "skew_report_lineitem": _ONE_ROW + " — table-total row",
+    "survival_km_events": _ONE_ROW + " — risk-set base row",
+    "temperature_mix_docs": _ONE_ROW + " — domain-rate normalizer row",
+    "tfidf_top_terms": _ONE_ROW + " — doc-count row",
+    "zorder_layout_audit": _ONE_ROW + " — layout summary row",
+}
+
 
 def check_cold_scans(name: str, report: dict) -> str | None:
     """Ceiling violation message, or None when the query is fine."""
@@ -84,6 +133,25 @@ def check_cold_scans(name: str, report: dict) -> str | None:
         f"{name}: {cold} cold FileScans > ceiling {COLD_SCAN_CEILING} — "
         f"a rescan bug (persist the substrate) or an allowlist entry"
     )
+
+
+def check_join_shapes(name: str, report: dict) -> list[str]:
+    """Cartesian/BNLJ ceiling violations (empty when the query is fine)."""
+    msgs = []
+    cart = report.get("cartesian_products", 0)
+    if cart > CARTESIAN_CEILING and name not in CARTESIAN_ALLOWLIST:
+        msgs.append(
+            f"{name}: {cart} CartesianProduct(s) — pair explosion at scale; "
+            f"rewrite as equi-join(s) (see graphalgo triangle close, r11) "
+            f"or allowlist with a reason"
+        )
+    if report.get("nested_loop_joins", 0) > 0 and name not in BNLJ_ALLOWLIST:
+        msgs.append(
+            f"{name}: BroadcastNestedLoopJoin not in BNLJ_ALLOWLIST — "
+            f"if the build side is a one-row scalar, allowlist it with a "
+            f"reason; otherwise rewrite as an equi-join"
+        )
+    return msgs
 
 
 _NORMALIZERS = (
@@ -141,13 +209,16 @@ def main() -> None:
         for m in [check_cold_scans(n, p["report"])]
         if m
     ]
+    for n, p in plans.items():
+        if "report" in p:
+            ceiling.extend(check_join_shapes(n, p["report"]))
     n_bench = sum(1 for p in plans.values() if "plan" in p)
     print(
         f"snapshotted {len(plans)} query plans ({n_bench} with full text) "
         f"-> {args.out}"
     )
     if ceiling:
-        print("COLD-SCAN CEILING VIOLATIONS:")
+        print("PLAN CEILING VIOLATIONS (cold scans / cartesians / BNLJs):")
         for m in ceiling:
             print(" ", m)
     if errs:

@@ -39,7 +39,13 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 from ghcn_d_etl_project_spark.plans import all_queries
 from ghcn_d_etl_project_spark.utils.plancheck import plan_report
-from plan_snapshot import COLD_SCAN_ALLOWLIST, COLD_SCAN_CEILING  # noqa: E402
+from plan_snapshot import (  # noqa: E402
+    BNLJ_ALLOWLIST,
+    CARTESIAN_ALLOWLIST,
+    CARTESIAN_CEILING,
+    COLD_SCAN_ALLOWLIST,
+    COLD_SCAN_CEILING,
+)
 from tests.conftest import SF_DIR
 
 PLANS = REPO / "PLANS.json"
@@ -113,3 +119,39 @@ def test_cold_scan_ceiling():
         f"cold FileScans > {COLD_SCAN_CEILING} (persist the substrate or "
         f"allowlist with a reason in scripts/plan_snapshot.py): {offenders}"
     )
+
+
+def test_cartesian_and_bnlj_ceilings():
+    """No committed plan may contain a CartesianProduct (ceiling 0 — r10
+    proved one can sit in the artifact unremarked: copurchase_triangles'
+    OR-disjunction close join), and every BroadcastNestedLoopJoin must be
+    allowlisted BY NAME with a reason (the legitimate ones are all
+    one-row global-aggregate broadcasts — O(n) scalar probes, not pair
+    explosions). Runs on the committed artifact; the drift test pins the
+    live plans equal to it. The allowlists must also not rot: every
+    entry must still name a registry query whose plan still has a BNLJ."""
+    committed = _committed()
+    cart_offenders, bnlj_offenders = {}, {}
+    for name, entry in committed.items():
+        rep = entry.get("report", {})
+        cart = rep.get("cartesian_products", 0)
+        if cart > CARTESIAN_CEILING and name not in CARTESIAN_ALLOWLIST:
+            cart_offenders[name] = cart
+        if rep.get("nested_loop_joins", 0) > 0 and name not in BNLJ_ALLOWLIST:
+            bnlj_offenders[name] = rep["nested_loop_joins"]
+    assert not cart_offenders, (
+        f"CartesianProduct in committed plan (pair explosion at scale — "
+        f"rewrite as equi-joins or allowlist with a reason): {cart_offenders}"
+    )
+    assert not bnlj_offenders, (
+        f"unlisted BroadcastNestedLoopJoin (one-row scalar broadcasts get "
+        f"an allowlist entry with a reason; anything else is a rewrite): "
+        f"{bnlj_offenders}"
+    )
+    stale = {
+        n
+        for n in BNLJ_ALLOWLIST
+        if committed.get(n, {}).get("report", {}).get("nested_loop_joins", 0)
+        == 0
+    }
+    assert not stale, f"BNLJ_ALLOWLIST entries with no BNLJ anymore: {stale}"
