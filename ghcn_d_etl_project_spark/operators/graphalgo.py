@@ -64,7 +64,8 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     Degree-oriented wedge counting (module docstring): each triangle is
     found exactly once at its lowest-(degree, id) vertex, then credited
     to all three corners. Nodes in no triangle are absent (join the
-    degree table if zeros are needed).
+    degree table if zeros are needed;
+    :func:`clustering_coefficients` does exactly that).
 
     The canonical edge set and the oriented edge set are persist-marked
     (same persist-once-substrate pattern as MinHash shingles): the
@@ -74,6 +75,14 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     times inside one action.
     """
     und = _undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    return _triangle_counts_canonical(und)
+
+
+def _triangle_counts_canonical(und: DataFrame) -> DataFrame:
+    """Triangle counts over an ALREADY-canonical persisted edge set
+    ``(u < v, distinct)`` — the shared core of :func:`triangle_counts`
+    and :func:`clustering_coefficients` (which reuses its own ``und``
+    for the degree table instead of re-canonicalizing)."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -130,6 +139,129 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str, dst: str, round_digits: int = 6
+) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``(node, deg, n_triangles, lcc)`` with
+    ``lcc = 2*T(v) / (deg(v) * (deg(v)-1))`` and 0.0 for degree-<2
+    nodes — the standard "how clique-like is this node's
+    neighborhood" readout over :func:`triangle_counts`. EVERY node of
+    the graph appears (zero triangles included), unlike the raw
+    triangle query.
+
+    Scale shape: one canonical edge substrate (persisted once here and
+    reused for BOTH the degree aggregate and the triangle core —
+    :func:`_triangle_counts_canonical` — so the caller's upstream edge
+    derivation runs once), then a single equi-join of the two
+    node-sized tables. The division is one double expression over
+    exact BIGINTs, rounded — value-hashable cross-engine.
+    """
+    und = _undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = _triangle_counts_canonical(und)
+    d = F.col("deg").cast("double")
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            n_tri.alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(2.0 * n_tri.cast("double") / (d * (d - 1.0)), round_digits),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def adamic_adar_scores(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    min_common: int = 2,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected graph:
+    non-adjacent node pairs scored by
+    ``AA(x,y) = sum over common neighbors w of 1/ln(deg(w))`` —
+    the classic "which edge forms next" heuristic (Adamic & Adar 2003).
+    Output ``(node1, node2, common_neighbors, aa_fp, aa_score)`` with
+    ``node1 < node2``, restricted to pairs with at least ``min_common``
+    common neighbors (the useful prediction mass; also the output
+    bound).
+
+    Engine-parity recipe (the PageRank convention): each neighbor's
+    irrational ``1/ln(deg)`` is quantized ONCE at the node-sized degree
+    table — ``floor(scale / ln(deg))`` as BIGINT — so every pair's
+    score is an exact integer sum regardless of accumulation order;
+    ``aa_score`` is the double view. A common neighbor has deg >= 2 by
+    construction (it touches both endpoints), so ln(deg) > 0 always.
+
+    Scale shape: wedge enumeration through the common neighbor is the
+    sum(deg^2) self-join on the hub column — the honest cost of exact
+    AA (every common neighbor must be SEEN; no orientation trick
+    applies because the wedge is credited to its endpoints, not its
+    apex). Skew posture at 100 TB: cap hub degree upstream or switch
+    to a sampled estimator; this operator states the exact semantics.
+    Adjacent pairs are removed with an anti-join on the canonical edge
+    set (never NOT EXISTS on the fact).
+    """
+    und = _undirected(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    directed = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # quantized 1/ln(deg) lives on the node-sized table, computed once.
+    # deg >= 2 filter BEFORE the division: a degree-1 node can never be
+    # a wedge apex (it has one neighbor), but ANSI mode evaluates
+    # scale/ln(1) on its row anyway — filter first, not try_divide.
+    wdeg = deg.filter(F.col("deg") >= 2).select(
+        F.col("u").alias("w"),
+        F.floor(F.lit(float(scale)) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("inv_ln_fp"),
+    )
+    nbrs = directed.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    a, b = nbrs.alias("a"), nbrs.alias("b")
+    wedges = a.join(
+        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.w").alias("w"),
+        F.col("a.x").alias("node1"),
+        F.col("b.x").alias("node2"),
+    )
+    scored = (
+        wedges.join(wdeg, "w")
+        .groupBy("node1", "node2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("inv_ln_fp").cast("long").alias("aa_fp"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    non_adjacent = scored.join(
+        und,
+        (scored["node1"] == und["u"]) & (scored["node2"] == und["v"]),
+        "left_anti",
+    )
+    return non_adjacent.select(
+        "node1",
+        "node2",
+        "common_neighbors",
+        "aa_fp",
+        (F.col("aa_fp").cast("double") / F.lit(float(scale))).alias("aa_score"),
     )
 
 

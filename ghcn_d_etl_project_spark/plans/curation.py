@@ -1901,3 +1901,451 @@ def cohens_d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             pooled_var > 0, F.round((mean_a - mean_b) / F.sqrt(pooled_var), 6)
         ).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect / power readout (r11)
+# ---------------------------------------------------------------------------
+
+_MDE_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+armed AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 4)) AS INTEGER) % 2 AS arm,
+         CAST(score AS DECIMAL(24,2)) AS x
+  FROM u
+),
+s AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN arm = 0 THEN x * x END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x * x END) AS DOUBLE) AS qb
+  FROM armed
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
+       round(sqrt((qa - sa * sa / n_a) / (n_a - 1)), 6) AS sd_a,
+       round(sqrt((qb - sb * sb / n_b) / (n_b - 1)), 6) AS sd_b,
+       round(2.801585
+             * sqrt((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                    + (qb - sb * sb / n_b) / (n_b - 1) / n_b), 6) AS mde_abs,
+       round(2.801585
+             * sqrt((qa - sa * sa / n_a) / (n_a - 1) / n_a
+                    + (qb - sb * sb / n_b) / (n_b - 1) / n_b)
+             / (sa / n_a), 6) AS mde_rel
+FROM s
+"""
+
+
+@register(
+    "mde_power_events",
+    oracle=_MDE_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,  # new in r11
+)
+def mde_power_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the running A/B setup on user
+    engagement at 80% power / 5% two-sided alpha — the "is this
+    experiment even big enough" readout a platform computes BEFORE
+    peeking at uplift: MDE = (z_{0.975} + z_{0.8}) * SE(diff) with the
+    constant 2.801585 = 1.959964 + 0.841621 folded to literal form
+    (both engines see the same literal; no inverse-normal at runtime).
+    Same per-user collapse + single-row conditional aggregate as
+    ``cohens_d_events``; arm variances via exact DECIMAL moments,
+    Welch (unpooled) SE."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    xd = F.col("score").cast("decimal(24,2)")
+    s = u.select(arm.alias("arm"), xd.alias("x")).agg(
+        F.count(F.when(F.col("arm") == 0, F.lit(1))).cast("long").alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast("double").alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qb"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    var_a = (F.col("qa") - F.col("sa") * F.col("sa") / n_a) / (n_a - 1)
+    var_b = (F.col("qb") - F.col("sb") * F.col("sb") / n_b) / (n_b - 1)
+    se = F.sqrt(var_a / n_a + var_b / n_b)
+    mde = F.lit(2.801585) * se
+    return s.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(F.col("sa") / n_a, 6).alias("mean_a"),
+        F.round(F.col("sb") / n_b, 6).alias("mean_b"),
+        F.round(F.sqrt(var_a), 6).alias("sd_a"),
+        F.round(F.sqrt(var_b), 6).alias("sd_b"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / (F.col("sa") / n_a), 6).alias("mde_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR across per-metric A/B z-tests (r11)
+# ---------------------------------------------------------------------------
+
+# One z-test per event_type (did-user-do-it conversion, md5 arms), then
+# the BH step-up at alpha = 0.05. The normal tail 1 - Phi(|z|) is the
+# Abramowitz-Stegun 7.1.26 polynomial written with IDENTICAL literal
+# structure in both engines (+,-,*,/ and sqrt are correctly-rounded
+# IEEE, so z is bit-identical; exp() is the one library call, its ulp
+# absorbed by round-to-6).
+_BH_ORACLE = """
+WITH uc AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+armed AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 4)) AS INTEGER) % 2 AS arm,
+         CAST(cnt AS DECIMAL(24,2)) AS x
+  FROM uc
+),
+tot AS (
+  SELECT COUNT(CASE WHEN arm = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN arm = 1 THEN 1 END) AS n_b
+  FROM (
+    SELECT DISTINCT user_id,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                    1, 4)) AS INTEGER) % 2 AS arm
+    FROM events WHERE user_id IS NOT NULL
+  )
+),
+per AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE CAST(0 AS DECIMAL(24,2)) END)
+              AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE CAST(0 AS DECIMAL(24,2)) END)
+              AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN arm = 0 THEN x * x
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN arm = 1 THEN x * x
+                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE) AS qb
+  FROM armed GROUP BY 1
+),
+zt AS (
+  SELECT p.event_type, t.n_a, t.n_b, p.sa, p.sb,
+         (p.sa / t.n_a - p.sb / t.n_b)
+         / sqrt((p.qa - p.sa * p.sa / t.n_a) / (t.n_a - 1) / t.n_a
+                + (p.qb - p.sb * p.sb / t.n_b) / (t.n_b - 1) / t.n_b) AS z
+  FROM per p, tot t
+  WHERE (p.qa - p.sa * p.sa / t.n_a) / (t.n_a - 1) / t.n_a
+        + (p.qb - p.sb * p.sb / t.n_b) / (t.n_b - 1) / t.n_b > 0
+),
+pv AS (
+  SELECT *,
+         2.0 * (exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002)
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                * 1.330274429))))) AS p_raw
+  FROM zt
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_raw, event_type) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM pv
+),
+flagged AS (
+  SELECT *,
+         MAX(CASE WHEN p_raw <= 0.05 * bh_rank / m THEN bh_rank ELSE 0 END)
+           OVER () AS k_star
+  FROM ranked
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
+       round(z, 6) AS z_stat, round(p_raw, 6) AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       round(0.05 * bh_rank / m, 6) AS bh_crit,
+       CAST(CASE WHEN bh_rank <= k_star THEN 1 ELSE 0 END AS BIGINT)
+         AS significant
+FROM flagged
+"""
+
+
+@register(
+    "bh_fdr_events",
+    oracle=_BH_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,  # new in r11
+)
+def bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across the experiment's per-metric
+    readouts: one Welch z-test per event_type on the per-user event
+    COUNT between the md5 arms (binary did-it conversion is degenerate
+    on this corpus — every user triggers every type — so the mean-count
+    metric is the honest multi-metric family), p-values via the
+    Abramowitz-Stegun 7.1.26 normal-tail polynomial written with
+    identical literal structure in both engines (+,-,*,/,sqrt are
+    correctly-rounded IEEE so z is bit-identical; exp()'s ulp is
+    absorbed by round-to-6), then the BH step-up at alpha=0.05:
+    ``significant`` marks ranks <= k* = max{k : p_(k) <= alpha*k/m}.
+    The ranking window is GLOBAL but over the METRIC table (one row per
+    event_type — bounded by the schema, not the data); the data-sized
+    work is one (user, type) collapse + conditional aggregates. Users
+    with no events of a type count as zeros via the all-user arm
+    totals. Metrics with zero Welch variance are excluded identically
+    in both engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    arm_of = lambda c: (  # noqa: E731 — local recipe alias
+        F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(":ab"))), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    uc = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    armed = uc.select(
+        "event_type",
+        arm_of(F.col("user_id")).alias("arm"),
+        F.col("cnt").cast("decimal(24,2)").alias("x"),
+    )
+    per = armed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast("double").alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qb"),
+    )
+    tot = (
+        e.select("user_id")
+        .distinct()
+        .select(arm_of(F.col("user_id")).alias("arm"))
+        .agg(
+            F.count(F.when(F.col("arm") == 0, F.lit(1)))
+            .cast("long")
+            .alias("n_a"),
+            F.count(F.when(F.col("arm") == 1, F.lit(1)))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    welch = (
+        (F.col("qa") - F.col("sa") * F.col("sa") / n_a) / (n_a - 1) / n_a
+        + (F.col("qb") - F.col("sb") * F.col("sb") / n_b) / (n_b - 1) / n_b
+    )
+    z = (F.col("sa") / n_a - F.col("sb") / n_b) / F.sqrt(welch)
+    zt = j.filter(welch > 0).withColumn("z", z)
+    az = F.abs(F.col("z"))
+    k = 1.0 / (1.0 + 0.2316419 * az)
+    poly = k * (
+        0.319381530
+        + k
+        * (-0.356563782 + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429)))
+    )
+    p_raw = 2.0 * (F.exp(-az * az / 2.0) / 2.5066282746310002) * poly
+    pv = zt.withColumn("p_raw", p_raw)
+    w_rank = Window.orderBy("p_raw", "event_type")
+    w_all = Window.partitionBy()
+    ranked = pv.withColumn(
+        "bh_rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("m", F.count(F.lit(1)).over(w_all))
+    crit = F.lit(0.05) * F.col("bh_rank") / F.col("m")
+    flagged = ranked.withColumn(
+        "k_star",
+        F.max(
+            F.when(F.col("p_raw") <= crit, F.col("bh_rank")).otherwise(F.lit(0))
+        ).over(w_all),
+    )
+    return flagged.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("sa") / n_a, 6).alias("mean_a"),
+        F.round(F.col("sb") / n_b, 6).alias("mean_b"),
+        F.round("z", 6).alias("z_stat"),
+        F.round("p_raw", 6).alias("p_value"),
+        "bh_rank",
+        F.round(crit, 6).alias("bh_crit"),
+        F.when(F.col("bh_rank") <= F.col("k_star"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-bucket jackknife SE for a ratio metric (r11)
+# ---------------------------------------------------------------------------
+
+_JK_ORACLE = """
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || ':jk'),
+                                  1, 4)) AS INTEGER) % 20 AS bucket,
+         CAST(o_totalprice AS DECIMAL(24,2)) AS price
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+per AS (
+  SELECT bucket, COUNT(*) AS n_i, SUM(price) AS s_i
+  FROM b GROUP BY 1
+),
+loo AS (
+  SELECT bucket, n_i, s_i,
+         SUM(n_i) OVER () AS n_tot, SUM(s_i) OVER () AS s_tot,
+         COUNT(*) OVER () AS n_buckets
+  FROM per
+),
+theta AS (
+  SELECT *,
+         CAST(round(CAST(s_tot - s_i AS DOUBLE)
+                    / CAST(n_tot - n_i AS DOUBLE), 9)
+              AS DECIMAL(24,9)) AS tq
+  FROM loo
+),
+dev AS (
+  SELECT n_buckets, n_tot, s_tot,
+         CAST(n_buckets * tq - SUM(tq) OVER () AS DECIMAL(18,9)) AS a
+  FROM theta
+),
+agg AS (
+  SELECT MAX(n_buckets) AS nb, MAX(n_tot) AS n_tot, MAX(s_tot) AS s_tot,
+         SUM(a * a) AS sum_a2
+  FROM dev
+)
+SELECT CAST(nb AS BIGINT) AS n_buckets,
+       CAST(n_tot AS BIGINT) AS n_orders,
+       round(CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS theta_hat,
+       round(sqrt(CAST(sum_a2 AS DOUBLE) * (nb - 1.0)
+                  / (CAST(nb AS DOUBLE) * nb * nb)), 6) AS jk_se,
+       round(CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+             - 1.959964 * sqrt(CAST(sum_a2 AS DOUBLE) * (nb - 1.0)
+                               / (CAST(nb AS DOUBLE) * nb * nb)), 6) AS ci_lo,
+       round(CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+             + 1.959964 * sqrt(CAST(sum_a2 AS DOUBLE) * (nb - 1.0)
+                               / (CAST(nb AS DOUBLE) * nb * nb)), 6) AS ci_hi
+FROM agg
+"""
+
+
+@register(
+    "jackknife_ratio_orders",
+    oracle=_JK_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,  # new in r11
+)
+def jackknife_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for mean order value —
+    THE estimator platforms use for ratio metrics whose per-unit values
+    are dependent (clicks/user, revenue/order): 20 deterministic md5
+    buckets, each leave-one-out ratio theta_i = (S-s_i)/(N-n_i), and
+    SE = sqrt((B-1)/B * sum((theta_i - theta_bar)^2)). Scale shape: ONE
+    data-sized aggregation to 20 bucket rows (map-side combined); every
+    window below it runs on the BUCKET table (B rows, a constant).
+    Parity recipe: bucket sums are exact DECIMAL, each irrational
+    theta_i is one identical IEEE division quantized ONCE to
+    DECIMAL(24,9), and the deviation algebra (B*theta_i - sum(theta))
+    stays in exact decimals until the final sqrt — so a
+    variance-of-floats statistic value-hashes cross-engine."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("o_orderkey").cast("string"), F.lit(":jk"))
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 20
+    )
+    per = o.select(
+        bucket.alias("bucket"),
+        F.col("o_totalprice").cast("decimal(24,2)").alias("price"),
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("price").alias("s_i")
+    )
+    w_all = Window.partitionBy()
+    loo = per.select(
+        "bucket",
+        "n_i",
+        "s_i",
+        F.sum("n_i").over(w_all).alias("n_tot"),
+        F.sum("s_i").over(w_all).alias("s_tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_buckets"),
+    )
+    theta = loo.withColumn(
+        "tq",
+        F.round(
+            (F.col("s_tot") - F.col("s_i")).cast("double")
+            / (F.col("n_tot") - F.col("n_i")).cast("double"),
+            9,
+        ).cast("decimal(24,9)"),
+    )
+    dev = theta.select(
+        "n_buckets",
+        "n_tot",
+        "s_tot",
+        (F.col("n_buckets") * F.col("tq") - F.sum("tq").over(w_all))
+        .cast("decimal(18,9)")
+        .alias("a"),
+    )
+    agg = dev.agg(
+        F.max("n_buckets").alias("nb"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("s_tot").alias("s_tot"),
+        F.sum(F.col("a") * F.col("a")).alias("sum_a2"),
+    )
+    nb_d = F.col("nb").cast("double")
+    theta_hat = F.col("s_tot").cast("double") / F.col("n_tot").cast("double")
+    se = F.sqrt(
+        F.col("sum_a2").cast("double") * (F.col("nb") - F.lit(1.0))
+        / (nb_d * F.col("nb") * F.col("nb"))
+    )
+    return agg.select(
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.col("n_tot").cast("long").alias("n_orders"),
+        F.round(theta_hat, 6).alias("theta_hat"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(theta_hat - F.lit(1.959964) * se, 6).alias("ci_lo"),
+        F.round(theta_hat + F.lit(1.959964) * se, 6).alias("ci_hi"),
+    )

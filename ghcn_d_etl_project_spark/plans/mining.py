@@ -143,6 +143,148 @@ def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Co-purchase graph: local clustering coefficient (r11)
+# ---------------------------------------------------------------------------
+
+_LCC_ORACLE = f"""
+WITH e AS ({_COPURCHASE_EDGES}),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcount AS (SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY 1)
+SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         round(2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+               / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tcount t USING (node)
+"""
+
+
+@register(
+    "clustering_coeff_parts",
+    oracle=_LCC_ORACLE,
+    tags=("mining", "graph", "persists"),
+    late=True,  # new in r11 — stays late until the next rotation settles
+)
+def clustering_coeff_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of every part in the co-purchase
+    graph (``operators/graphalgo.py:clustering_coefficients``):
+    2T/(deg*(deg-1)), zero-triangle nodes included — the per-node
+    "how clique-like" readout that complements the raw triangle
+    counts. One persisted canonical edge substrate feeds both the
+    degree aggregate and the triangle core; the triangle close is the
+    r11 canonical-key equi-join (no cartesian — the plan gate pins
+    it)."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import (
+        clustering_coefficients,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    out = clustering_coefficients(edges, "u", "v")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        "n_triangles",
+        "lcc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph: Adamic-Adar link prediction (r11)
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = f"""
+WITH e AS ({_COPURCHASE_EDGES}),
+dirs AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u AS w, COUNT(*) AS deg FROM dirs GROUP BY 1),
+wfp AS (
+  SELECT w, CAST(FLOOR(1000000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+         AS inv_ln_fp
+  FROM deg
+),
+wed AS (
+  SELECT a.u AS w, a.v AS x, b.v AS y
+  FROM dirs a JOIN dirs b ON a.u = b.u AND a.v < b.v
+),
+sc AS (
+  SELECT x AS node1, y AS node2, COUNT(*) AS cn, SUM(inv_ln_fp) AS aa_fp
+  FROM wed JOIN wfp USING (w) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT CAST(node1 AS BIGINT) AS node1, CAST(node2 AS BIGINT) AS node2,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       CAST(aa_fp AS BIGINT) AS aa_fp,
+       CAST(aa_fp AS DOUBLE) / 1000000000.0 AS aa_score
+FROM sc s
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.node1 AND e.v = s.node2)
+"""
+
+
+@register(
+    "adamic_adar_parts",
+    oracle=_AA_ORACLE,
+    tags=("mining", "graph", "persists"),
+    late=True,  # new in r11
+)
+def adamic_adar_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph
+    (``operators/graphalgo.py:adamic_adar_scores``): non-adjacent part
+    pairs with >= 2 common neighbors, scored by sum(1/ln(deg(w))) over
+    common neighbors w — "which co-purchase edge forms next". The
+    irrational per-neighbor weight is quantized ONCE at the node-sized
+    degree table (floor(1e9/ln(deg)) BIGINT), so pair scores are exact
+    integer sums — the PageRank fixed-point convention that lets a
+    float-weighted graph score value-hash cross-engine. Adjacent pairs
+    are removed by anti-join (the oracle states the NOT EXISTS the
+    anti-join replaces)."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import adamic_adar_scores
+
+    li = t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.p") < F.col("c.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    out = adamic_adar_scores(edges, "u", "v", min_common=2)
+    return out.select(
+        F.col("node1").cast("long").alias("node1"),
+        F.col("node2").cast("long").alias("node2"),
+        "common_neighbors",
+        "aa_fp",
+        "aa_score",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Co-purchase graph: deterministic fixed-point PageRank, 3 iterations
 # ---------------------------------------------------------------------------
 

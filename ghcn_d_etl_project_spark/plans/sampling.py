@@ -599,3 +599,65 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_docs", "total_chars", "mix_share", "rate",
         "kept_docs", "kept_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size per domain under length weighting (r11)
+# ---------------------------------------------------------------------------
+
+_ESS_ORACLE = """
+WITH d AS (
+  SELECT lang, CAST(n_chars AS DECIMAL(38,0)) AS w
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+),
+per AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(w) AS sw, SUM(w * w) AS sw2
+  FROM d GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sw AS BIGINT) AS total_chars,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 4)
+         AS ess,
+       round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+             / n_docs, 6) AS ess_ratio
+FROM per
+"""
+
+
+@register(
+    "ess_balance_docs",
+    oracle=_ESS_ORACLE,
+    tags=("sampling", "llm", "mixing"),
+    late=True,  # new in r11
+)
+def ess_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per language under length (char)
+    weighting: ESS = (sum w)^2 / sum(w^2) — the diagnostic that tells a
+    mixing pipeline how many EFFECTIVE documents a domain contributes
+    when examples are token-weighted (a domain of one giant doc has
+    ESS ~ 1 however many bytes it brings; ess_ratio = ESS/n flags
+    domains whose weight mass is concentrated). ONE map-side-combined
+    aggregate; weights cast to DECIMAL(38,0) BEFORE squaring so the
+    sums are exact at any corpus size (BIGINT w^2 wraps past ~3e9-char
+    docs x many rows), division in double rounded on both engines."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    w = F.col("n_chars").cast("decimal(38,0)")
+    per = d.select("lang", w.alias("w")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sw2"),
+    )
+    swd = F.col("sw").cast("double")
+    ess = swd * swd / F.col("sw2").cast("double")
+    return per.select(
+        "lang",
+        "n_docs",
+        F.col("sw").cast("long").alias("total_chars"),
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
+    )

@@ -97,6 +97,8 @@ CARTESIAN_ALLOWLIST: dict[str, str] = {}
 # here whose plan grows a BNLJ fails the snapshot run and the test.
 _ONE_ROW = "one-row global-aggregate broadcast (scalar cross join)"
 BNLJ_ALLOWLIST: dict[str, str] = {
+    "bh_fdr_events": _ONE_ROW + " — arm-totals row onto the metric table",
+    "bigram_perplexity_docs": _ONE_ROW + " — vocab-size row onto the model",
     "bitmap_prune_join_revenue": _ONE_ROW + " — bitmap build summary",
     "bm25_search_docs": _ONE_ROW + " — corpus N/avgdl row",
     "categorical_association": _ONE_ROW + " — chi2 grand totals, x5 passes",

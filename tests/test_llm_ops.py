@@ -768,3 +768,41 @@ def test_pmi_validation(spark):
         word_cooccurrence_pmi(df, "doc_id", "text", max_df_ratio=1.5)
     with pytest.raises(ValueError):
         word_cooccurrence_pmi(df, "doc_id", "text", min_df=0)
+
+
+def test_word_bigram_surprisal_hand_case(spark):
+    """One doc 'a b a b': bigrams (a,b)x2, (b,a)x1; add-one model with
+    V=2 next words gives P(b|a)=3/4, P(a|b)=2/3; avg_logp is their
+    quantized-log mean. Exact-decimal path makes this reproducible."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_surprisal,
+    )
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = word_bigram_surprisal(df).collect()[0]
+    lp_ab = round(math.log(3 / 4), 6)
+    lp_ba = round(math.log(2 / 3), 6)
+    want = round((2 * lp_ab + lp_ba) / 3, 6)
+    assert r.n_bigrams == 3
+    assert r.avg_logp == want
+    assert r.ppl == round(math.exp(-(2 * lp_ab + lp_ba) / 3), 4)
+
+
+def test_word_bigram_surprisal_ranks_gibberish_worse(spark):
+    """Docs built from the corpus's own frequent transitions score
+    higher (less negative avg_logp) than a doc of never-repeated
+    transitions — the filter property the perplexity score exists
+    for."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_surprisal,
+    )
+
+    rows = [(i, "the cat sat on the mat and the cat ran") for i in range(5)]
+    rows.append((99, "zq wv xk jm qp vb kz mw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp for r in word_bigram_surprisal(df).collect()}
+    assert got[99] < got[0], (
+        f"gibberish should be more surprising: {got[99]} vs {got[0]}"
+    )

@@ -529,3 +529,73 @@ def test_cohens_d_matches_python_reference(spark):
     ) / (s["na"] + s["nb"] - 2)
     d = (s["sa"] / s["na"] - s["sb"] / s["nb"]) / math.sqrt(pooled)
     assert d == pytest.approx(-3 / math.sqrt(4 / 3), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_lcc_hand_graph(spark):
+    """K4 + pendant: K4 vertices 1-3 have deg 3 and 3 triangles ->
+    lcc = 2*3/(3*2) = 1.0; vertex 4 has deg 4 (pendant attached), still
+    3 triangles -> 2*3/(4*3) = 0.5; pendant vertex 5 has deg 1 ->
+    lcc = 0.0 and MUST appear (zeros included, unlike triangle_counts)."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import (
+        clustering_coefficients,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {
+        r.node: (r.deg, r.n_triangles, r.lcc)
+        for r in clustering_coefficients(df, "u", "v").collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (4, 3, 0.5),
+        5: (1, 0, 0.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    non-adjacent pairs; each has BOTH other vertices as common
+    neighbors (cn=2), every node has deg 2, so
+    aa_fp = 2 * floor(1e9/ln(2)) exactly."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.graphalgo import adamic_adar_scores
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    rows = {
+        (r.node1, r.node2): (r.common_neighbors, r.aa_fp)
+        for r in adamic_adar_scores(df, "u", "v", min_common=2).collect()
+    }
+    term = math.floor(1e9 / math.log(2.0))
+    assert rows == {(1, 3): (2, 2 * term), (2, 4): (2, 2 * term)}
+
+
+def test_adamic_adar_excludes_adjacent_and_degree_one(spark):
+    """Triangle 1-2-3 with pendant 4 on node 1: all triangle pairs are
+    adjacent (excluded); (3,4)/(2,4) share only common neighbor 1 ->
+    cn=1 < min_common=2 -> empty. Also proves the deg-1 pendant never
+    reaches the 1/ln(deg) division (ANSI divide-by-zero guard)."""
+    from ghcn_d_etl_project_spark.operators.graphalgo import adamic_adar_scores
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "u int, v int")
+    assert adamic_adar_scores(df, "u", "v", min_common=2).count() == 0
+    got = {
+        (r.node1, r.node2): r.common_neighbors
+        for r in adamic_adar_scores(df, "u", "v", min_common=1).collect()
+    }
+    assert got == {(2, 4): 1, (3, 4): 1}
