@@ -77,3 +77,67 @@ def ngram_overlap(
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def contamination_fraction(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    eval_text: str,
+    n: int = 8,
+    flag_threshold: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-corpus-document contamination RATE: the fraction of the
+    document's distinct word n-grams that appear anywhere in the eval
+    set — the number a decontamination policy actually thresholds on
+    (pair counts from :func:`ngram_overlap` say WHO collides; this says
+    HOW MUCH of each document is benchmark material, separating a
+    quoted sentence from a wholesale copy).
+
+    Output: ``(doc_id, n_grams, n_contaminated, contaminated_frac,
+    flagged)`` — one row per corpus document with at least one n-gram
+    (docs shorter than ``n`` tokens have no n-grams and are absent; a
+    policy treats them as clean by construction).
+
+    Scale shape: the eval side collapses to its DISTINCT n-gram SET
+    (benchmarks are small — broadcasts), and the corpus side is ONE
+    explode + ONE broadcast left join + ONE per-doc aggregate: the
+    hit count and the total ride the same pass, so the fact is
+    scanned once and never shuffled except for the per-doc collapse
+    (map-side combined, keyed by the unskewed doc id).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("doc_id"),
+        F.explode(word_ngrams(corpus_text, n)).alias("gram"),
+    )
+    ev = (
+        eval_set.select(F.explode(word_ngrams(eval_text, n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        c.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )
+    frac = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_grams").cast("double"),
+        round_digits,
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        frac.alias("contaminated_frac"),
+        F.when(frac >= flag_threshold, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged"),
+    )

@@ -2349,3 +2349,134 @@ def jackknife_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta_hat - F.lit(1.959964) * se, 6).alias("ci_lo"),
         F.round(theta_hat + F.lit(1.959964) * se, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects across the A/B arms (r11)
+# ---------------------------------------------------------------------------
+
+_QTE_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+armed AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                                  1, 4)) AS INTEGER) % 2 AS arm,
+         CAST(score AS DOUBLE) AS x
+  FROM u
+),
+s AS (
+  SELECT quantile_cont(x, 0.1) FILTER (WHERE arm = 0) AS qa1,
+         quantile_cont(x, 0.1) FILTER (WHERE arm = 1) AS qb1,
+         quantile_cont(x, 0.2) FILTER (WHERE arm = 0) AS qa2,
+         quantile_cont(x, 0.2) FILTER (WHERE arm = 1) AS qb2,
+         quantile_cont(x, 0.3) FILTER (WHERE arm = 0) AS qa3,
+         quantile_cont(x, 0.3) FILTER (WHERE arm = 1) AS qb3,
+         quantile_cont(x, 0.4) FILTER (WHERE arm = 0) AS qa4,
+         quantile_cont(x, 0.4) FILTER (WHERE arm = 1) AS qb4,
+         quantile_cont(x, 0.5) FILTER (WHERE arm = 0) AS qa5,
+         quantile_cont(x, 0.5) FILTER (WHERE arm = 1) AS qb5,
+         quantile_cont(x, 0.6) FILTER (WHERE arm = 0) AS qa6,
+         quantile_cont(x, 0.6) FILTER (WHERE arm = 1) AS qb6,
+         quantile_cont(x, 0.7) FILTER (WHERE arm = 0) AS qa7,
+         quantile_cont(x, 0.7) FILTER (WHERE arm = 1) AS qb7,
+         quantile_cont(x, 0.8) FILTER (WHERE arm = 0) AS qa8,
+         quantile_cont(x, 0.8) FILTER (WHERE arm = 1) AS qb8,
+         quantile_cont(x, 0.9) FILTER (WHERE arm = 0) AS qa9,
+         quantile_cont(x, 0.9) FILTER (WHERE arm = 1) AS qb9
+  FROM armed
+),
+q AS (
+  SELECT 1 AS d, qa1 AS qa, qb1 AS qb FROM s
+  UNION ALL SELECT 2 AS d, qa2 AS qa, qb2 AS qb FROM s
+  UNION ALL SELECT 3 AS d, qa3 AS qa, qb3 AS qb FROM s
+  UNION ALL SELECT 4 AS d, qa4 AS qa, qb4 AS qb FROM s
+  UNION ALL SELECT 5 AS d, qa5 AS qa, qb5 AS qb FROM s
+  UNION ALL SELECT 6 AS d, qa6 AS qa, qb6 AS qb FROM s
+  UNION ALL SELECT 7 AS d, qa7 AS qa, qb7 AS qb FROM s
+  UNION ALL SELECT 8 AS d, qa8 AS qa, qb8 AS qb FROM s
+  UNION ALL SELECT 9 AS d, qa9 AS qa, qb9 AS qb FROM s
+)
+SELECT CAST(d AS BIGINT) AS decile,
+       round(qa, 6) AS q_a, round(qb, 6) AS q_b,
+       round(qa - qb, 6) AS qte
+FROM q
+"""
+
+
+@register(
+    "qte_deciles_events",
+    oracle=_QTE_ORACLE,
+    tags=("curation", "experiment", "stats"),
+    late=True,  # new in r11
+)
+def qte_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the A-minus-B engagement difference
+    at every decile of the per-user distribution — the readout that
+    catches effects the mean-based stack (z, d, CUPED) averages away
+    (a treatment that helps light users and hurts heavy users nets to
+    zero mean but shows a sign flip across deciles). ONE per-user
+    collapse, then ONE global aggregate evaluating all 18 exact
+    ``percentile`` measures (9 deciles x 2 arms as conditional
+    aggregates — null-skipping), stacked to 9 rows JVM-side; no
+    window, no second scan. Exact percentile buffers per group at
+    test SF; ``percentile_approx`` is the drop-in mergeable twin at
+    100 TB (the A14 anchor/twin convention). Both engines interpolate
+    the same continuous-quantile definition."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    armed = u.select(arm.alias("arm"), F.col("score").cast("double").alias("x"))
+    aggs = []
+    for d in range(1, 10):
+        p = d / 10.0
+        aggs.append(
+            F.expr(f"percentile(CASE WHEN arm = 0 THEN x END, {p}D)").alias(
+                f"qa_{d}"
+            )
+        )
+        aggs.append(
+            F.expr(f"percentile(CASE WHEN arm = 1 THEN x END, {p}D)").alias(
+                f"qb_{d}"
+            )
+        )
+    wide = armed.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("decile"),
+                F.col(f"qa_{d}").alias("qa"),
+                F.col(f"qb_{d}").alias("qb"),
+            )
+            for d in range(1, 10)
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.decile").alias("decile"),
+            F.round("r.qa", 6).alias("q_a"),
+            F.round("r.qb", 6).alias("q_b"),
+            F.round(F.col("r.qa") - F.col("r.qb"), 6).alias("qte"),
+        )
+    )

@@ -1349,3 +1349,86 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logp",
         "ppl",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document contamination fraction (r11): the decontam policy number
+# ---------------------------------------------------------------------------
+
+_CONTAM_FRAC_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ')
+           AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8 AND doc_id % 10 <> 0
+),
+eg AS (
+  SELECT DISTINCT
+         array_to_string(t[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ')
+           AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+  WHERE len(t) >= 8 AND doc_id % 10 = 0
+),
+per AS (
+  SELECT c.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_contaminated
+  FROM cg c LEFT JOIN eg e USING (gram)
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+         AS contaminated_frac,
+       CAST(CASE WHEN round(CAST(n_contaminated AS DOUBLE)
+                            / CAST(n_grams AS DOUBLE), 6) >= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM per
+"""
+
+
+@register(
+    "contamination_fraction_docs",
+    oracle=_CONTAM_FRAC_ORACLE,
+    tags=("llm", "decontam"),
+    late=True,  # new in r11
+)
+def contamination_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination rate against the simulated eval set
+    (every 10th doc): the fraction of each NON-eval document's distinct
+    8-grams that appear anywhere in the eval set, with the >= 5%
+    decontamination flag (``operators/contamination.py:
+    contamination_fraction``). ``contamination_check`` names the
+    colliding PAIRS; this is the number the drop/keep policy actually
+    thresholds — a quoted sentence vs a wholesale copy. Eval n-grams
+    collapse to a distinct broadcast set; the corpus side is one
+    explode + one broadcast left join + one per-doc aggregate (hit
+    count and total in the same pass)."""
+    from ghcn_d_etl_project_spark.operators.contamination import (
+        contamination_fraction,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = contamination_fraction(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        "text",
+        n=8,
+        flag_threshold=0.05,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "n_contaminated",
+        "contaminated_frac",
+        "flagged",
+    )

@@ -97,8 +97,9 @@ def all_queries() -> dict[str, Query]:
 
 
 # rows-only queries whose sf0.01 runtime dominates the tail (measured in
-# driver_sim: minhash 2.9s / simhash 3.8s / ann_lsh 7.1s / ann_ivf ~9s
-# vs <=0.4s typical)
+# driver_sim: minhash 2.9s / simhash 3.8s / ann_ivf ~9s vs <=0.4s
+# typical; ann_lsh dropped ~3x in the r11 rework but stays tail-listed —
+# still several times the typical row)
 _SLOW_TAIL = frozenset(
     {
         "minhash_lsh_dedup",
