@@ -640,7 +640,12 @@ def main() -> None:
     # process, uniformly ~1.35x slow — passed the static 6.5/1.8=3.6
     # threshold; against its own 11.33 reference it flags correctly,
     # while a clean run (7.36, 10.82) stays below the flag either way.
-    spin_ref = max([spin_start, spin_end, spin_base, *spin_mid])
+    # NOTE: mid samples are deliberately EXCLUDED from this reference —
+    # they run on a different thermal/turbo state, and one boosted
+    # mid-run idle moment (observed 12.3+ M it/s) would raise the bar
+    # enough to flag a genuinely clean 6.8 start probe (false positive
+    # observed r11). Mids are judged on their own line below.
+    spin_ref = max([spin_start, spin_end, spin_base])
     spin_mid_min = min(spin_mid) if spin_mid else None
     # mid samples run on a hot package (no turbo): judge them against
     # their own median + the static baseline floor, never the boosted

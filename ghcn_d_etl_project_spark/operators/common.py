@@ -336,13 +336,18 @@ def poisson_bootstrap_ci(
     quantization; weights are small ints), so each replicate mean is
     ONE double division and the whole CI reproduces bit-for-bit.
 
-    Scale shape: one groupBy carrying ``2B + 2`` aggregate expressions
-    (map-side combined — each partition collapses to one row per group
-    before the shuffle); the percentile interpolation then runs on a
-    B-length array per group row. Cost is B md5 calls per row —
-    linear, embarrassingly parallel, no extra shuffle; production runs
-    raise ``replicates`` into the hundreds by adding columns, never
-    passes.
+    Scale shape (r11 form): explode each row to its B+1 replicate
+    memberships (index -1 is the unweighted base pass), ONE groupBy on
+    (group, replicate) — map-side combined, so the shuffle carries
+    (groups x B) aggregate rows, never data — then a second tiny
+    aggregate collapses the B replicate means into the sorted array
+    the percentile interpolation reads. Total work is identical to
+    the previous 2B+2-wide single aggregate (each row still computes
+    B md5 draws), but the expression tree is CONSTANT-sized: the wide
+    form at B=24 built a ~500-node tree whose analysis/codegen cost
+    ~9s of wall per run at ANY data size — a plan-compile bottleneck,
+    not an execution one. Production raises ``replicates`` into the
+    hundreds by widening the explode range, never the plan.
 
     CI: percentile interpolation over the sorted replicate means at
     ``alpha/2`` and ``1 - alpha/2`` (linear between order statistics).
@@ -359,21 +364,48 @@ def poisson_bootstrap_ci(
     x = F.col(value_col)
     xd = x.cast(f"decimal(24,{scale})")
     base = df.filter(x.isNotNull() & F.col(id_col).isNotNull())
-    aggs = [
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(xd).alias("__sx"),
-    ]
-    for b in range(replicates):
-        w = poisson_weight(bootstrap_uniform(id_col, f"{salt}:{b}"))
-        aggs.append(F.sum(w * xd).alias(f"__s{b}"))
-        aggs.append(F.sum(w).cast("long").alias(f"__n{b}"))
-    stats = base.groupBy(*groups).agg(*aggs)
-
-    means = [
-        F.col(f"__s{b}").cast("double") / F.col(f"__n{b}").cast("double")
-        for b in range(replicates)
-    ]
-    arr = F.array_sort(F.array(*means))
+    # Replicate membership as DATA, not as plan width: __b = -1 is the
+    # unweighted base pass; 0..B-1 draw the identical md5 weight the
+    # wide form drew (same "id:salt:b" string, built columnar).
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    expl = base.select(
+        *groups,
+        id_str.alias("__id"),
+        xd.alias("__xd"),
+        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("__b"),
+    )
+    hex8 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("__id"), F.lit(":" + salt + ":"), F.col("__b").cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    u = F.conv(hex8, 16, 10).cast("long") / F.lit(4294967296.0)
+    w = F.when(F.col("__b") == -1, F.lit(1)).otherwise(poisson_weight(u))
+    per_rep = (
+        expl.select(*groups, "__b", w.alias("__w"), "__xd")
+        .groupBy(*groups, "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__xd")).alias("__s"),
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("__nb"),
+        )
+    )
+    mean_b = F.when(
+        F.col("__nb") > 0,
+        F.col("__s").cast("double") / F.col("__nb").cast("double"),
+    )
+    stats = per_rep.groupBy(*groups).agg(
+        F.max(F.when(F.col("__b") == -1, F.col("__nb"))).alias("n"),
+        F.max(F.when(F.col("__b") == -1, F.col("__s"))).alias("__sx"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__b") >= 0, mean_b))
+        ).alias("__arr"),
+        F.min(F.when(F.col("__b") >= 0, F.col("__nb"))).alias("__minw"),
+    )
+    arr = F.col("__arr")
 
     def interp(p: float) -> Column:
         i = p * (replicates - 1)
@@ -384,10 +416,10 @@ def poisson_bootstrap_ci(
         hi_el = F.element_at(arr, lo + 2)
         return lo_el + (hi_el - lo_el) * F.lit(frac)
 
-    ok = F.least(*[F.col(f"__n{b}") for b in range(replicates)]) > 0
+    ok = F.col("__minw") > 0
     return stats.select(
         *groups,
-        "n",
+        F.col("n").cast("long").alias("n"),
         F.round(F.col("__sx").cast("double") / F.col("n"), round_digits).alias(
             "point_est"
         ),
@@ -419,13 +451,16 @@ def poisson_bootstrap_diff_ci(
     replicate: diff_b = mean_A,b - mean_B,b, then percentiles of the B
     diffs).
 
-    Same scale shape and determinism as the one-arm form: one
-    row-returning aggregate carrying ``4B + 6`` conditional map-side-
-    combined expressions (weights from the identical md5 inverse-CDF
-    recipe, exact DECIMAL weighted sums), then sort + interpolation
-    over the B diffs. A significant uplift reads directly: the CI
-    excludes 0. NULL bounds when any replicate draws zero total weight
-    in either arm; rows with NULL value/id or an arm other than
+    Same determinism as the one-arm form, and the same r11 scale shape
+    (see there): replicate membership rides an explode (index -1 = the
+    unweighted base pass), the per-(replicate, arm) sums collapse in
+    ONE map-side-combined groupBy on the replicate index, and a second
+    tiny aggregate sorts the B joint diffs for interpolation — a
+    constant-size expression tree instead of the previous 4B+6-wide
+    aggregate whose analysis/codegen cost ~10s of wall at B=24
+    regardless of data size. A significant uplift reads directly: the
+    CI excludes 0. NULL bounds when any replicate draws zero total
+    weight in either arm; rows with NULL value/id or an arm other than
     ``arm_a``/``arm_b`` are excluded.
     """
     if replicates < 2:
@@ -438,35 +473,58 @@ def poisson_bootstrap_diff_ci(
     base = df.filter(
         x.isNotNull() & F.col(id_col).isNotNull() & arm.isin(arm_a, arm_b)
     )
-    is_a = arm == arm_a
-    aggs = [
-        F.count(F.when(is_a, F.lit(1))).cast("long").alias("n_a"),
-        F.count(F.when(~is_a, F.lit(1))).cast("long").alias("n_b"),
-        F.sum(F.when(is_a, xd)).alias("__sxa"),
-        F.sum(F.when(~is_a, xd)).alias("__sxb"),
-    ]
-    for b in range(replicates):
-        w = poisson_weight(bootstrap_uniform(id_col, f"{salt}:{b}"))
-        aggs.append(F.sum(F.when(is_a, w * xd)).alias(f"__sa{b}"))
-        aggs.append(
-            F.coalesce(F.sum(F.when(is_a, w)), F.lit(0))
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    expl = base.select(
+        (arm == arm_a).alias("__ia"),
+        id_str.alias("__id"),
+        xd.alias("__xd"),
+        F.explode(F.sequence(F.lit(-1), F.lit(replicates - 1))).alias("__b"),
+    )
+    hex8 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("__id"), F.lit(":" + salt + ":"), F.col("__b").cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    u = F.conv(hex8, 16, 10).cast("long") / F.lit(4294967296.0)
+    w = F.when(F.col("__b") == -1, F.lit(1)).otherwise(poisson_weight(u))
+    ia = F.col("__ia")
+    per_rep = (
+        expl.select("__ia", "__b", w.alias("__w"), "__xd")
+        .groupBy("__b")
+        .agg(
+            F.sum(F.when(ia, F.col("__w") * F.col("__xd"))).alias("__sa"),
+            F.coalesce(F.sum(F.when(ia, F.col("__w"))), F.lit(0))
             .cast("long")
-            .alias(f"__na{b}")
-        )
-        aggs.append(F.sum(F.when(~is_a, w * xd)).alias(f"__sb{b}"))
-        aggs.append(
-            F.coalesce(F.sum(F.when(~is_a, w)), F.lit(0))
+            .alias("__na"),
+            F.sum(F.when(~ia, F.col("__w") * F.col("__xd"))).alias("__sb"),
+            F.coalesce(F.sum(F.when(~ia, F.col("__w"))), F.lit(0))
             .cast("long")
-            .alias(f"__nb{b}")
+            .alias("__nb"),
         )
-    stats = base.agg(*aggs)
-
-    diffs = [
-        F.col(f"__sa{b}").cast("double") / F.col(f"__na{b}").cast("double")
-        - F.col(f"__sb{b}").cast("double") / F.col(f"__nb{b}").cast("double")
-        for b in range(replicates)
-    ]
-    arr = F.array_sort(F.array(*diffs))
+    )
+    diff_b = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__sa").cast("double") / F.col("__na").cast("double")
+        - F.col("__sb").cast("double") / F.col("__nb").cast("double"),
+    )
+    is_base = F.col("__b") == -1
+    stats = per_rep.agg(
+        F.max(F.when(is_base, F.col("__na"))).cast("long").alias("n_a"),
+        F.max(F.when(is_base, F.col("__nb"))).cast("long").alias("n_b"),
+        F.max(F.when(is_base, F.col("__sa"))).alias("__sxa"),
+        F.max(F.when(is_base, F.col("__sb"))).alias("__sxb"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__b") >= 0, diff_b))
+        ).alias("__arr"),
+        F.min(
+            F.when(F.col("__b") >= 0, F.least(F.col("__na"), F.col("__nb")))
+        ).alias("__minw"),
+    )
+    arr = F.col("__arr")
 
     def interp(p: float) -> Column:
         i = p * (replicates - 1)
@@ -477,13 +535,7 @@ def poisson_bootstrap_diff_ci(
         hi_el = F.element_at(arr, lo + 2)
         return lo_el + (hi_el - lo_el) * F.lit(frac)
 
-    ok = (
-        F.least(
-            *[F.col(f"__na{b}") for b in range(replicates)],
-            *[F.col(f"__nb{b}") for b in range(replicates)],
-        )
-        > 0
-    )
+    ok = F.col("__minw") > 0
     mean_a = F.col("__sxa").cast("double") / F.col("n_a").cast("double")
     mean_b = F.col("__sxb").cast("double") / F.col("n_b").cast("double")
     return stats.select(
