@@ -75,3 +75,88 @@ def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio flavor (r11): real WAV/PCM codec, SQL-replayable synth signal
+# ---------------------------------------------------------------------------
+
+# The synth PCM is pure arithmetic of the id (n = id%800+800 samples of
+# ((id*31 + i*7919) % 65536) - 32768), so DuckDB replays the DECODED
+# signal with generate_series and verifies the whole WAV-parse +
+# feature path value-for-value — a full hash oracle over an audio
+# decode, the audio analogue of media_metadata's byte/hash columns.
+_AUDIO_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 800 + 800 AS n
+  FROM documents WHERE doc_id IS NOT NULL
+),
+s AS (
+  SELECT doc_id, n, i,
+         ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+  FROM d, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS g(i)
+),
+lagged AS (
+  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s
+),
+agg AS (
+  SELECT doc_id, MAX(n) AS n, SUM(v * v) AS sumsq, MAX(ABS(v)) AS peak,
+         SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+       round(sqrt(CAST(sumsq AS DOUBLE) / n), 6) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(peak AS BIGINT) AS peak_abs
+FROM agg
+"""
+
+
+@register(
+    "audio_features_docs",
+    oracle=_AUDIO_FEATURES_ORACLE,
+    tags=("multimodal", "audio"),
+    late=True,  # new in r11
+)
+def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio screening features over REAL WAV payloads
+    (``operators/multimodal.py``: 16-bit mono PCM RIFF codec — a real
+    parser, not a stub): duration, RMS level, zero crossings, peak.
+    The synth signal is arithmetic of the id, so the oracle REPLAYS
+    the decoded samples in SQL — proving codec and feature math
+    end-to-end, the strongest check any multimodal column in this
+    engine carries. Arrow-batched mapInPandas (the documented
+    JVM-can't-express exception), int64 sums so a 30-minute clip
+    cannot overflow."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        audio_features,
+        synthesize_audio,
+    )
+
+    audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id")
+    return audio_features(audio)
+
+
+@register(
+    "audio_downsample",
+    oracle=None,  # output is WAV bytes — engine-specific serialization;
+    # decode-level equivalence pinned by the round-trip pytest
+    tags=("multimodal", "audio"),
+    late=True,  # new in r11
+)
+def audio_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x decimation of each WAV payload (every other sample, rate
+    halved, re-encoded as real WAV) — the screening-pipeline
+    pre-feature step; one-to-one mapInPandas over binary columns."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        downsample_audio,
+        synthesize_audio,
+    )
+
+    audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id")
+    return downsample_audio(audio, factor=2)

@@ -196,3 +196,76 @@ def test_non_bmp_payloads_keep_fake_path(spark):
     for r in out:
         assert len(r.content) == 32 * 32
         assert r.meta.format == "fake/raw"
+
+
+# ---------------------------------------------------------------------------
+# Audio flavor (r11): WAV codec + features
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_exact():
+    """encode -> decode is the identity on samples and rate, including
+    both int16 extremes."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rate, got = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert got == samples
+
+
+def test_wav_rejects_garbage():
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.multimodal import decode_wav
+
+    for bad in (b"", b"RIFFxxxx", b"\x00" * 100):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_features_hand_case(spark):
+    """A known 4-sample signal: RMS, zero crossings, peak, duration all
+    computable by hand."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    wav = encode_wav([100, -100, 100, -100], 1000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, content binary"
+    )
+    r = audio_features(df).collect()[0]
+    assert r.n_samples == 4
+    assert r.sample_rate == 1000
+    assert r.duration_ms == 4 * 1000 // 1000
+    assert r.rms == round(math.sqrt((4 * 100 * 100) / 4), 6) == 100.0
+    assert r.zero_crossings == 3
+    assert r.peak_abs == 100
+    assert r.n_bytes == 44 + 8
+
+
+def test_audio_downsample_halves(spark):
+    """Decimation by 2 keeps every other sample and halves the rate —
+    verified at the DECODE level (byte equality is not the contract)."""
+    from ghcn_d_etl_project_spark.operators.multimodal import (
+        decode_wav,
+        downsample_audio,
+        encode_wav,
+    )
+
+    samples = list(range(-50, 50))
+    wav = encode_wav(samples, 16000)
+    df = spark.createDataFrame(
+        [(7, bytearray(wav))], "doc_id long, content binary"
+    )
+    out = downsample_audio(df, factor=2).collect()[0]
+    rate, got = decode_wav(bytes(out.content))
+    assert rate == 8000
+    assert got == samples[::2]
