@@ -1073,12 +1073,67 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Per-DOC assignment oracle (r11): the packing_stats recursive CTE
+# extended to emit which sequence each step's doc entered — the state
+# at step rn knows it exactly (found index - 1, or len(rooms) for a new
+# / overlong sequence) — so even the full sequential FFD ASSIGNMENT now
+# carries a value-hash oracle, not just its summary. Same list-state
+# replay; see _PACKSTATS_ORACLE's notes (list_position returns 0 on
+# no-match, iterations bounded by docs/bucket at oracle SF).
+_PACK_ASSIGN_ORACLE = r"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                             ':pack')), 1, 8))
+              AS BIGINT) % 8 AS bucket
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+pos AS (
+  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket
+                                 ORDER BY n_tokens DESC, id) AS rn
+  FROM base b WHERE n_tokens > 0
+),
+ffd AS (
+  SELECT bucket, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS rooms,
+         CAST(NULL AS BIGINT) AS seq, 0::BIGINT AS trunc
+  FROM (SELECT DISTINCT bucket FROM pos)
+  UNION ALL
+  SELECT f.bucket, d.rn,
+    CASE
+      WHEN d.n_tokens > 256 THEN list_append(f.rooms, 0)
+      WHEN list_position(list_transform(f.rooms,
+                                        r -> r >= d.n_tokens), true) = 0
+        THEN list_append(f.rooms, 256 - d.n_tokens)
+      ELSE list_transform(f.rooms, (r, i) ->
+        CASE WHEN i = list_position(list_transform(f.rooms,
+                                        r2 -> r2 >= d.n_tokens), true)
+             THEN r - d.n_tokens ELSE r END)
+    END AS rooms,
+    CASE
+      WHEN d.n_tokens > 256 THEN len(f.rooms)
+      WHEN list_position(list_transform(f.rooms,
+                                        r -> r >= d.n_tokens), true) = 0
+        THEN len(f.rooms)
+      ELSE list_position(list_transform(f.rooms,
+                                        r -> r >= d.n_tokens), true) - 1
+    END AS seq,
+    CASE WHEN d.n_tokens > 256 THEN 1 ELSE 0 END AS trunc
+  FROM ffd f JOIN pos d ON d.bucket = f.bucket AND d.rn = f.rn + 1
+)
+SELECT p.id AS doc_id, p.n_tokens, p.bucket,
+       CAST(a.seq AS BIGINT) AS seq,
+       CAST(p.bucket * 4294967296 + a.seq AS BIGINT) AS seq_id,
+       CAST(a.trunc AS BIGINT) AS truncate
+FROM ffd a JOIN pos p ON a.bucket = p.bucket AND a.rn = p.rn
+"""
+
+
 @register(
     "pack_sequences_docs",
-    oracle=None,  # first-fit-decreasing is sequential within a bucket —
-    # each placement depends on all earlier ones; the assignment laws
-    # (exactly-once, budget ceiling, determinism, FFD waste bound) are
-    # pinned in tests/test_packing.py
+    oracle=_PACK_ASSIGN_ORACLE,
     tags=("llm", "shard", "packing"),
     late=True,
 )
