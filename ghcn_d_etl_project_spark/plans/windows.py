@@ -571,12 +571,39 @@ def interval_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full value-hash oracle (r11): no overflow-safe CLOSED-FORM window
+# formulation exists (the (1-a)^{-j} prefix factors blow up), but the
+# recurrence itself REPLAYS in a recursive CTE — one step per event
+# rank, all users advancing in the same iteration, depth = max events
+# per user (86 at the oracle SF). pandas' ewm(adjust=False) computes
+# literally (1-a)*y + a*x in doubles (verified bit-for-bit against the
+# manual recurrence), and DuckDB runs the identical IEEE ops, so the
+# smoothed values match to the last ulp before the 6dp rounding.
+_EWMA_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+         CAST(event_id AS BIGINT) AS event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, CAST(value AS DOUBLE) AS y FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, 0.7 * r.y + 0.3 * e.value
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       e.event_id, e.value, round(r.y, 6) AS value_ewma
+FROM r JOIN e USING (user_id, rn)
+"""
+
+
 @register(
     "ewma_events",
-    oracle=None,  # iterative recurrence: (1-a)^{-j} prefix factors
-    # overflow doubles after ~300 rows, so no overflow-safe pure-SQL
-    # formulation exists — pytest pins the recurrence exactly instead
+    oracle=_EWMA_ORACLE,
     tags=("window", "timeseries", "pandas"),
+    late=True,  # oracle added r11 — stays behind the settled 50-slot core
 )
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA smoothing of the event value series
