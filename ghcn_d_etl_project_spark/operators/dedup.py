@@ -472,3 +472,154 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jaccard-CONTAINMENT near-dup pairs: ``|A ∩ B| / min(|A|, |B|)``
+    over char n-gram sets — the asymmetric twin of
+    :func:`ngram_jaccard_pairs`. Containment catches the pair Jaccard
+    misses by construction: a short document quoted or embedded inside
+    a much longer one (Jaccard divides by the UNION, so a 10:1 length
+    ratio caps it at ~0.1 even for a verbatim inclusion; containment
+    divides by the smaller set, so verbatim inclusion scores 1.0
+    regardless of the ratio). Broder's (1997) resemblance/containment
+    distinction; Dolma/RefinedWeb-style pipelines run both.
+
+    Same inverted-index substrate and scale posture as the Jaccard
+    verifier (``shingle_index`` equi-self-join — exact verifier on
+    bounded data, re-ranker behind MinHash-LSH blocking at scale).
+
+    Output: (doc1, doc2, n_inter, size1, size2, containment) with
+    doc1 < doc2 and containment >= ``threshold``.
+    """
+    idx = shingle_index(df, id_col, text_col, n=n)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("set_size").alias("size1"))
+    sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("set_size").alias("size2"))
+    return (
+        inter.join(sz1, "doc1")
+        .join(sz2, "doc2")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least("size1", "size2"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc1",
+            "doc2",
+            "n_inter",
+            "size1",
+            "size2",
+            F.round("containment", round_digits).alias("containment"),
+        )
+    )
+
+
+def cross_source_neardup_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source duplication audit over exact near-dup pairs: for each
+    source, how many of its documents participate in a near-dup pair at
+    all, and how many are near-dupped ACROSS sources. Cross-source
+    duplication is the governance signal corpus mixing decisions need —
+    two "independent" sources that are largely mirrors of each other
+    silently double their weight in any per-source mixing recipe
+    (``temperature_mix``), and deduping within sources only leaves that
+    bias intact.
+
+    Built on the exact n-gram Jaccard verifier (same substrate as
+    :func:`ngram_jaccard_pairs`; at scale the pair list comes from the
+    banded MinHash-LSH path instead — the audit aggregation is
+    identical either way). The doc->source enrichment joins the
+    pair list (bounded by the threshold) back to the corpus slice on
+    the doc id — an equi-join on a unique key; the per-source rollup is
+    one map-side-combined groupBy.
+
+    Output: (source, n_docs, n_neardup_docs, n_cross_docs,
+    neardup_rate, cross_rate), counts BIGINT, rates one double
+    division rounded — hash-exact cross-engine.
+    """
+    # persist-once substrates: the pair list feeds both sides of the
+    # participation union, and the (doc, source) slice is read three
+    # times (two pair enrichments + the per-source denominator) —
+    # without the marks the corpus re-scans ~13x in one action (caught
+    # by the plan-snapshot cold-scan ceiling when this query landed)
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    ).persist()
+    src = df.select(
+        F.col(id_col).alias("doc"), F.col(source_col).alias("source")
+    ).persist()
+    enriched = (
+        pairs.join(
+            src.select(F.col("doc").alias("doc1"), F.col("source").alias("src1")),
+            "doc1",
+        )
+        .join(
+            src.select(F.col("doc").alias("doc2"), F.col("source").alias("src2")),
+            "doc2",
+        )
+    )
+    # doc-grain participation: one row per (doc, side) then distinct
+    # per doc with a cross-source flag OR-ed over its pairs
+    part = (
+        enriched.select(
+            F.col("doc1").alias("doc"),
+            (F.col("src1") != F.col("src2")).cast("int").alias("is_cross"),
+        )
+        .unionByName(
+            enriched.select(
+                F.col("doc2").alias("doc"),
+                (F.col("src1") != F.col("src2")).cast("int").alias("is_cross"),
+            )
+        )
+        .groupBy("doc")
+        .agg(F.max("is_cross").alias("is_cross"))
+    )
+    audit = src.join(part, "doc", "left").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_cross").isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_neardup_docs"),
+        F.sum(F.coalesce(F.col("is_cross"), F.lit(0)))
+        .cast("long")
+        .alias("n_cross_docs"),
+    )
+    return audit.select(
+        "source",
+        "n_docs",
+        "n_neardup_docs",
+        "n_cross_docs",
+        F.round(
+            F.col("n_neardup_docs").cast("double") / F.col("n_docs"),
+            round_digits,
+        ).alias("neardup_rate"),
+        F.round(
+            F.col("n_cross_docs").cast("double") / F.col("n_docs"),
+            round_digits,
+        ).alias("cross_rate"),
+    )

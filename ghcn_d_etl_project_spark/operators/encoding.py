@@ -27,9 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "curriculum_buckets",
     "feature_hash",
     "isotonic_fit",
+    "isotonic_fit_counts",
     "percentile_features",
+    "quantile_normalize",
     "standardize",
     "target_encode_loo",
 ]
@@ -411,3 +414,228 @@ def isotonic_fit(
         return res[group_cols + ["x", "y_iso", "x_weight"]]
 
     return base.groupBy(*group_cols).applyInPandas(pava, schema=out_schema)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups (batch-effect correction,
+    Bolstad et al. 2003): map each row's value onto the POOLED empirical
+    distribution at the row's within-group quantile position, so every
+    group ends up with the same marginal distribution. The corpus use:
+    quality/length scores from different sources are not comparable
+    (one crawler's "score 0.7" is another's "0.3"); normalizing to the
+    pooled distribution makes one global threshold meaningful across
+    sources.
+
+    Exact integer recipe (hash-stable cross-engine, no float quantile):
+    within-group rank ``r`` of ``n_g`` rows maps to pooled order
+    statistic index ``ceil(r * N / n_g)`` (BIGINT ``div`` arithmetic),
+    and the normalized value is the pooled ``idx``-th smallest value.
+
+    Scale design — no global row_number over the fact table anywhere:
+
+      * within-group rank: window PARTITIONed by group (per-group
+        parallel sort; salt/range-partition a pathologically hot group
+        before calling, same caveat as every per-key window here);
+      * per-group sizes and the total N: bounded aggregates joined
+        back by broadcast (N is a one-row broadcast — the benign
+        scalar-BNLJ pattern in the plan-gate allowlist);
+      * pooled order statistics WITHOUT a single-partition sort: group
+        by VALUE (map-side combined), distributed prefix-sum of the
+        counts via ``prefix.global_cumsum``, then each value's rank
+        range [cum-cnt+1, cum] explodes to one (idx, value) row per
+        pooled rank — corpus-sized but perfectly parallel — and the
+        final mapping is a plain EQUI-join on idx.
+
+    Output: (id, group, value, qnorm) — qnorm has ``value_col``'s type.
+    """
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(value_col).alias("value"),
+    )
+    sizes = base.groupBy("group").agg(F.count(F.lit(1)).alias("__ng"))
+    total = base.agg(F.count(F.lit(1)).alias("__n"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group").orderBy("value", "id")
+    ranked = (
+        base.withColumn("__r", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(sizes), "group")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__idx",
+            F.expr("(__r * __n + __ng - 1) div __ng"),
+        )
+    )
+    vc = base.groupBy("value").agg(F.count(F.lit(1)).alias("__cnt"))
+    pooled = (
+        global_cumsum(
+            vc, "value", "__cnt", out_col="__cum", bucket_width=bucket_width
+        )
+        .select(
+            F.col("value").alias("qnorm"),
+            F.explode(
+                F.sequence(
+                    F.col("__cum") - F.col("__cnt") + 1, F.col("__cum")
+                )
+            ).alias("__idx"),
+        )
+    )
+    return ranked.join(pooled, "__idx").select("id", "group", "value", "qnorm")
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    id_col: str,
+    difficulty_col: str,
+    group_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum bucketing for training-data ordering (Bengio et al.
+    2009): rank every row within its group by a difficulty proxy, then
+    cut each group's ranking into ``n_buckets`` equal-depth buckets —
+    bucket b holds the b-th difficulty slice of EVERY group, so
+    training in bucket order is an easy-to-hard curriculum that stays
+    group-balanced throughout (no "all of source A first" degeneracy).
+
+    The bucket id is the whole curriculum coordinate: a total training
+    order needs NO global sort at any scale — write bucket-partitioned
+    shards (``sources/writers.write_partitioned``) and read buckets in
+    order; within a bucket, order is deliberately unspecified (shuffle
+    freely). ``bucket = (n_buckets * (r - 1)) div n_g`` in exact BIGINT
+    arithmetic; per-group ranks come from a group-PARTITIONed window
+    (parallel per-group sorts), group sizes broadcast back.
+
+    Output: (id, group, difficulty, within_rank, bucket) — all ranks
+    and buckets BIGINT, hash-exact cross-engine.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(difficulty_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(difficulty_col).alias("difficulty"),
+    )
+    sizes = base.groupBy("group").agg(F.count(F.lit(1)).alias("__ng"))
+    w = Window.partitionBy("group").orderBy("difficulty", "id")
+    return (
+        base.withColumn("__r", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(sizes), "group")
+        .select(
+            "id",
+            "group",
+            "difficulty",
+            F.col("__r").alias("within_rank"),
+            F.expr(f"(CAST({int(n_buckets)} AS BIGINT) * (__r - 1)) div __ng")
+            .alias("bucket"),
+        )
+    )
+
+
+def isotonic_fit_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    num_col: str,
+    den_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`isotonic_fit` specialized to COUNT-RATIO targets
+    (y = successes/trials per x — the calibration-curve case), in EXACT
+    integer arithmetic end to end: pools carry (numerator, denominator)
+    BIGINT sums, the PAVA violation test compares pool means by integer
+    cross-multiplication (``n1*d2 > n2*d1`` — Python ints, no overflow,
+    no float ever enters a pool decision), and each output value is ONE
+    double division of two exact integers.
+
+    Why this exists alongside the general float/weight form: exact
+    integer pools make the fit's VALUES engine-reproducible, which is
+    what lets a sequential algorithm carry a full value-hash SQL oracle
+    — the min-max theorem (Barlow et al. 1972) restates PAVA's output
+    non-sequentially as ``ŷ_i = max_{s<=i} min_{t>=i} avg(y[s..t])``,
+    each range average the same single division of exact prefix-sum
+    integers, and IEEE rounding is monotone so double min/max equals
+    the rounded rational min/max. The general form can't promise this:
+    its pool means are iterated float combines whose low bits depend on
+    merge order.
+
+    Same scale contract as the general form: feed PRE-AGGREGATED per-x
+    counts (one shuffle on the group keys, per-group state = distinct-x
+    table). Output: ``(group_cols..., x, y_iso double, x_weight
+    double)`` with ``y_iso = pooled_num / pooled_den`` and ``x_weight``
+    = that x's input denominator.
+    """
+    import pandas as pd
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    base = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+    ).select(
+        *[F.col(c) for c in group_cols],
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(num_col).cast("long").alias("__num"),
+        F.col(den_col).cast("long").alias("__den"),
+    )
+    out_schema = ", ".join(
+        [f"{c} {base.schema[c].dataType.simpleString()}" for c in group_cols]
+        + ["x double", "y_iso double", "x_weight double"]
+    )
+
+    def pava_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pdf.groupby("__x", as_index=False)
+            .agg(num=("__num", "sum"), den=("__den", "sum"))
+            .sort_values("__x")
+            .reset_index(drop=True)
+        )
+        xs = g["__x"].tolist()
+        nums = [int(v) for v in g["num"]]
+        dens = [int(v) for v in g["den"]]
+        pn: list[int] = []  # pool numerators
+        pdn: list[int] = []  # pool denominators
+        cnts: list[int] = []
+        for i in range(len(xs)):
+            pn.append(nums[i])
+            pdn.append(dens[i])
+            cnts.append(1)
+            # violation test in exact integers: mean_prev > mean_last
+            while len(pn) > 1 and pn[-2] * pdn[-1] > pn[-1] * pdn[-2]:
+                n2, d2, c2 = pn.pop(), pdn.pop(), cnts.pop()
+                pn[-1] += n2
+                pdn[-1] += d2
+                cnts[-1] += c2
+        y_iso: list[float] = []
+        for n, d, c in zip(pn, pdn, cnts):
+            y_iso.extend([round(n / d, round_digits)] * c)
+        res = pd.DataFrame(
+            {"x": xs, "y_iso": y_iso, "x_weight": [float(d) for d in dens]}
+        )
+        for c in group_cols:
+            res.insert(0, c, pdf[c].iloc[0])
+        return res[group_cols + ["x", "y_iso", "x_weight"]]
+
+    return base.groupBy(*group_cols).applyInPandas(
+        pava_counts, schema=out_schema
+    )

@@ -585,3 +585,132 @@ def word_cooccurrence_pmi(
             "npmi"
         ),
     )
+
+
+def skipgram_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram (windowed) co-occurrence counts — the training-pair
+    substrate of word2vec/GloVe-style embedding pipelines (Mikolov et
+    al. 2013): every unordered word pair whose positions in the same
+    document are at most ``window`` apart, with the number of such
+    position pairs as the count.
+
+    This is the POSITIONAL twin of document-level PMI
+    (:func:`word_cooccurrence_pmi`): PMI counts docs where two words
+    BOTH appear; skip-grams count how often they appear NEAR each
+    other, which is what an embedding objective actually consumes.
+
+    Scale design — the context join is a pure EQUI-join with fan-out
+    exactly ``window`` per token, never per-doc-quadratic: each token
+    at position p emits probe rows for positions p+1..p+window
+    (``explode(sequence(...))``), and the join matches (doc, position)
+    exactly. The naive range-join formulation (``a.doc = b.doc AND
+    b.pos BETWEEN a.pos+1 AND a.pos+window``) hash-joins on the doc id
+    alone and materializes ALL token pairs of a doc before filtering —
+    per-doc-quadratic, the shape that dies on long documents. Counts
+    aggregate with map-side combine on the (w1, w2) pair key.
+
+    Output: (w1, w2, n_pairs BIGINT) with ``n_pairs >= min_count``,
+    pair key canonicalized ``w1 <= w2`` — all-integer, hash-exact
+    against a SQL oracle.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = docs.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+    toks = base.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("pos", "w"),
+    )
+    probe = toks.select(
+        "__doc",
+        F.col("w").alias("__wa"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos"),
+    )
+    pairs = probe.join(toks, ["__doc", "pos"]).select(
+        F.least("__wa", "w").alias("w1"),
+        F.greatest("__wa", "w").alias("w2"),
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+
+
+def vocab_oov(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Frequency-cut vocabulary construction + per-document OOV rate —
+    the tokenizer-coverage audit every corpus runs before committing
+    to a vocabulary: build the top-``vocab_size`` word list by corpus
+    frequency (ties broken lexicographically, fully deterministic),
+    then score every document by the fraction of its tokens that fall
+    outside it. High-OOV documents are the ones a fixed vocabulary
+    would shred into bytes/unknowns.
+
+    Scale design: the corpus tokenization aggregates to WORD grain
+    first (map-side combined groupBy — the only corpus-sized shuffle),
+    so the top-V selection window runs over the VOCABULARY table, not
+    the corpus; vocabulary tables are bounded by language, not data
+    size (even web-scale corpora stay ~1e7 distinct alpha words — a
+    single-partition window over that summary is the same bounded
+    pattern as ``prefix.global_cumsum``'s bucket-offset window). The
+    per-doc scoring join streams tokens against the broadcast top-V
+    list; the fact side never shuffles on a word key.
+
+    Output: (doc_id, n_tok, n_oov, oov_rate) — counts BIGINT, rate one
+    double division rounded, hash-exact cross-engine.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    from pyspark.sql import Window
+
+    base = docs.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+    tok = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("__cnt"))
+    vocab = (
+        counts.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__cnt").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("__rk") <= vocab_size)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    scored = tok.join(F.broadcast(vocab), "w", "left")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum(
+            F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("oov_rate"),
+    )

@@ -1518,24 +1518,73 @@ def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PAVA replayed NON-sequentially via the min-max theorem (Barlow 1972):
+# y_iso(i) = max_{s<=i} min_{t>=i} avg(y over bins s..t). Range averages
+# are single divisions of exact prefix-sum BIGINTs, and IEEE rounding is
+# monotone, so double min/max equals the rounded rational min/max — the
+# oracle's values are bit-identical to the counts-mode operator's
+# single-division pool means. Bin count is score-domain-bounded (~25),
+# so the s x i x t triple enumeration is trivially small.
+_ISOTONIC_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+bins AS (
+  SELECT score AS x, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY score
+),
+ord AS (
+  SELECT x, n, c, row_number() OVER (ORDER BY x) AS i FROM bins
+),
+pre AS (
+  SELECT i, x, n, c,
+         SUM(n) OVER (ORDER BY i) AS cn,
+         SUM(c) OVER (ORDER BY i) AS cc
+  FROM ord
+),
+rng AS (
+  SELECT s.i AS s, t.i AS t,
+         t.cc - COALESCE(sp.cc, 0) AS rc,
+         t.cn - COALESCE(sp.cn, 0) AS rn
+  FROM pre s
+  JOIN pre t ON t.i >= s.i
+  LEFT JOIN pre sp ON sp.i = s.i - 1
+),
+mins AS (
+  SELECT r.s, p.i, MIN(CAST(r.rc AS DOUBLE) / r.rn) AS mn
+  FROM rng r JOIN pre p ON r.s <= p.i AND r.t >= p.i
+  GROUP BY r.s, p.i
+),
+iso AS (SELECT i, MAX(mn) AS y_iso FROM mins GROUP BY i)
+SELECT CAST(p.x AS BIGINT) AS score,
+       round(iso.y_iso, 6) AS calibrated_rate,
+       CAST(p.n AS BIGINT) AS n_users
+FROM pre p JOIN iso ON p.i = iso.i
+"""
+
+
 @register(
     "isotonic_calibration_events",
-    oracle=None,  # PAVA pooling is sequential in x — each pool decision
-    # depends on every earlier one; semantics pinned by the hand-case /
-    # monotone / mean-preservation / fixed-point pytest suite instead
+    oracle=_ISOTONIC_ORACLE,
     tags=("curation", "experiment", "ml"),
     late=True,
 )
 def isotonic_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve: observed conversion rate per engagement-score
     value, made monotone by isotonic regression
-    (``operators/encoding.py:isotonic_fit`` — PAVA, Zadrozny & Elkan
+    (``operators/encoding.py:isotonic_fit_counts`` — PAVA in exact
+    integer (successes, trials) arithmetic, Zadrozny & Elkan
     2002). The input to PAVA is the PRE-AGGREGATED (score, rate,
     n_users) table — the map-side-combined per-user collapse plus one
     per-score aggregate — so the sequential fit runs over distinct
     score values, never raw events; weights carry the per-score user
     counts so sparse scores don't distort the pools."""
-    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit
+    from ghcn_d_etl_project_spark.operators.encoding import (
+        isotonic_fit_counts,
+    )
 
     e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     u = e.groupBy("user_id").agg(
@@ -1549,15 +1598,15 @@ def isotonic_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv"),
     )
     per_score = u.groupBy("score").agg(
-        F.count(F.lit(1)).cast("double").alias("n_users"),
-        (F.sum("conv") / F.count(F.lit(1))).alias("rate"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
     )
-    out = isotonic_fit(
+    out = isotonic_fit_counts(
         per_score.withColumn("__all", F.lit("all")),
         ["__all"],
         "score",
-        "rate",
-        weight_col="n_users",
+        "n_conv",
+        "n_users",
     )
     return out.select(
         F.col("x").cast("long").alias("score"),

@@ -1487,3 +1487,334 @@ def contamination_fraction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated_frac",
         "flagged",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram window co-occurrence (extension, r11): embedding training pairs
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[CAST(i AS INTEGER)] AS w
+  FROM d, UNNEST(generate_series(1, len(ws))) s(i)
+),
+probe AS (
+  SELECT doc_id, w AS wa, pos + CAST(j AS BIGINT) AS pos
+  FROM tok, UNNEST(generate_series(1, 4)) t(j)
+)
+SELECT least(p.wa, b.w) AS w1, greatest(p.wa, b.w) AS w2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM probe p JOIN tok b ON p.doc_id = b.doc_id AND p.pos = b.pos
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
+
+
+@register(
+    "skipgram_pairs_docs",
+    oracle=_SKIPGRAM_ORACLE,
+    tags=("llm", "text", "mining"),
+    late=True,
+)
+def skipgram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window 4, min count 5) — the
+    positional word-pair substrate word2vec/GloVe training consumes
+    (``operators/textops.py:skipgram_counts``). The context join is a
+    pure (doc, position) EQUI-join with fan-out exactly ``window`` per
+    token (each token explodes its next-4 positions), never the
+    per-doc-quadratic doc-id-only hash join a naive BETWEEN range
+    formulation plans; pair counts aggregate map-side on the (w1, w2)
+    key. All-BIGINT output, bit-exact against the oracle."""
+    from ghcn_d_etl_project_spark.operators.textops import skipgram_counts
+
+    return skipgram_counts(
+        t(spark, sf_dir, "documents"), "doc_id", "text", window=4, min_count=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction + OOV audit (extension, r11)
+# ---------------------------------------------------------------------------
+
+_VOCAB_OOV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+counts AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (
+  SELECT w, 1 AS in_vocab FROM (
+    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM counts
+  ) WHERE rk <= 20
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (w)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "vocab_oov_docs",
+    oracle=_VOCAB_OOV_ORACLE,
+    tags=("llm", "text", "quality"),
+    late=True,
+)
+def vocab_oov_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequency-cut vocabulary + per-document OOV rate
+    (``operators/textops.py:vocab_oov``) — the tokenizer-coverage audit
+    run before committing to a vocabulary. The top-V window runs over
+    the word-grain AGGREGATE (vocabulary-bounded, not corpus-bounded);
+    scoring is one broadcast left join + per-doc aggregate. (vocab_size
+    20 < the synthetic corpus's 31 distinct words, so the OOV tail is
+    non-degenerate at every SF.)"""
+    from ghcn_d_etl_project_spark.operators.textops import vocab_oov
+
+    return vocab_oov(
+        t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup (extension, r11): the asymmetric Jaccard twin
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH docs AS (SELECT doc_id, lower(text) AS txt FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(txt, CAST(i AS INTEGER), 4) AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(length(txt) - 3, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc1, i.doc2, i.n_inter,
+       s1.set_size AS size1, s2.set_size AS size2,
+       round(CAST(i.n_inter AS DOUBLE) / least(s1.set_size, s2.set_size), 6)
+         AS containment
+FROM inter i
+JOIN sizes s1 ON i.doc1 = s1.doc_id
+JOIN sizes s2 ON i.doc2 = s2.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / least(s1.set_size, s2.set_size) >= 0.8
+"""
+
+
+@register(
+    "containment_neardup_docs",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("llm", "dedup"),
+    late=True,
+)
+def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-4-gram Jaccard-CONTAINMENT pairs at >= 0.8
+    (``operators/dedup.py:containment_pairs``): |A ∩ B| / min(|A|,|B|)
+    catches short-doc-quoted-inside-long-doc duplication that symmetric
+    Jaccard structurally caps below threshold (union-normalized). Same
+    inverted-index substrate as ngram_jaccard_pairs — exact verifier on
+    bounded data, LSH re-ranker at 100 TB."""
+    from ghcn_d_etl_project_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=4, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit (extension, r11): corpus governance
+# ---------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = """
+WITH docs AS (SELECT doc_id, lower(text) AS txt, source FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(txt, CAST(i AS INTEGER), 4) AS shingle
+  FROM docs, UNNEST(generate_series(1, greatest(length(txt) - 3, 0))) AS u(i)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT i.doc1, i.doc2
+  FROM inter i
+  JOIN sizes s1 ON i.doc1 = s1.doc_id
+  JOIN sizes s2 ON i.doc2 = s2.doc_id
+  WHERE CAST(i.n_inter AS DOUBLE) / (s1.set_size + s2.set_size - i.n_inter)
+        >= 0.5
+),
+part AS (
+  SELECT doc, MAX(is_cross) AS is_cross FROM (
+    SELECT p.doc1 AS doc,
+           CASE WHEN d1.source <> d2.source THEN 1 ELSE 0 END AS is_cross
+    FROM pairs p JOIN docs d1 ON p.doc1 = d1.doc_id
+                 JOIN docs d2 ON p.doc2 = d2.doc_id
+    UNION ALL
+    SELECT p.doc2 AS doc,
+           CASE WHEN d1.source <> d2.source THEN 1 ELSE 0 END AS is_cross
+    FROM pairs p JOIN docs d1 ON p.doc1 = d1.doc_id
+                 JOIN docs d2 ON p.doc2 = d2.doc_id
+  ) GROUP BY doc
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN part.is_cross IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neardup_docs,
+       CAST(SUM(COALESCE(part.is_cross, 0)) AS BIGINT) AS n_cross_docs,
+       round(CAST(SUM(CASE WHEN part.is_cross IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS neardup_rate,
+       round(CAST(SUM(COALESCE(part.is_cross, 0)) AS DOUBLE) / COUNT(*), 6)
+         AS cross_rate
+FROM docs d LEFT JOIN part ON d.doc_id = part.doc
+GROUP BY d.source
+"""
+
+
+@register(
+    "cross_source_dup_audit",
+    oracle=_CROSS_SOURCE_ORACLE,
+    tags=("llm", "dedup", "governance", "persists"),
+    late=True,
+)
+def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup participation audit
+    (``operators/dedup.py:cross_source_neardup_audit``): how many of
+    each source's docs near-dup at all, and how many near-dup ACROSS
+    sources — the governance number corpus mixing needs (two sources
+    that mirror each other silently double their weight in any
+    per-source mix like temperature_mix). Built on the exact Jaccard
+    verifier here; identical rollup applies to the banded LSH pair list
+    at 100 TB."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        cross_source_neardup_audit,
+    )
+
+    return cross_source_neardup_audit(
+        t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        n=4, threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (extension, r11): batch correction
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS n FROM d),
+s AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ng
+  FROM d
+),
+pooled AS (
+  SELECT n_chars AS qnorm,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS idx
+  FROM d
+)
+SELECT s.doc_id, s.source, s.n_chars,
+       CAST(p.qnorm AS BIGINT) AS qnorm_chars
+FROM s CROSS JOIN tot
+JOIN pooled p ON p.idx = (s.r * tot.n + s.ng - 1) // s.ng
+"""
+
+
+@register(
+    "quantile_normalize_docs",
+    oracle=_QNORM_ORACLE,
+    tags=("llm", "features", "governance"),
+    late=True,
+)
+def quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize doc length across sources
+    (``operators/encoding.py:quantile_normalize``, Bolstad et al. 2003):
+    each doc's n_chars maps to the POOLED order statistic at its
+    within-source quantile position (exact ceil(r*N/ng) BIGINT index —
+    no float quantiles), making one global length/quality threshold
+    meaningful across heterogeneous sources. Pooled order statistics
+    come from value-grain counts + the distributed prefix-sum
+    (prefix.global_cumsum) + a rank-range explode — no single-partition
+    sort of the fact table anywhere; the final mapping is an equi-join
+    on the rank index."""
+    from ghcn_d_etl_project_spark.operators.encoding import quantile_normalize
+
+    out = quantile_normalize(
+        t(spark, sf_dir, "documents"),
+        "doc_id", "n_chars", "source",
+        bucket_width=64.0,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("group").alias("source"),
+        F.col("value").alias("n_chars"),
+        F.col("qnorm").cast("long").alias("qnorm_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing (extension, r11): training-data ordering
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+),
+s AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS r,
+         COUNT(*) OVER (PARTITION BY source) AS ng
+  FROM d
+)
+SELECT doc_id, source, n_chars,
+       CAST(r AS BIGINT) AS within_rank,
+       CAST((10 * (r - 1)) // ng AS BIGINT) AS bucket
+FROM s
+"""
+
+
+@register(
+    "curriculum_docs",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("llm", "sampling", "ordering"),
+    late=True,
+)
+def curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth curriculum buckets per source
+    (``operators/encoding.py:curriculum_buckets``, Bengio et al. 2009):
+    rank docs within each source by a difficulty proxy (length), cut
+    into 10 buckets — bucket b holds the b-th difficulty slice of EVERY
+    source, so bucket-ascending training is an easy-to-hard curriculum
+    that stays source-balanced. The bucket id is the whole curriculum
+    coordinate: shards are written bucket-partitioned and read in
+    bucket order — a total training order with NO global sort at any
+    scale."""
+    from ghcn_d_etl_project_spark.operators.encoding import curriculum_buckets
+
+    out = curriculum_buckets(
+        t(spark, sf_dir, "documents"),
+        "doc_id", "n_chars", "source",
+        n_buckets=10,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("group").alias("source"),
+        F.col("difficulty").alias("n_chars"),
+        "within_rank",
+        "bucket",
+    )

@@ -623,11 +623,49 @@ def bfs_hops_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_KCORE_ORACLE = """
+WITH RECURSIVE
+b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+e0 AS (
+  SELECT a.p AS u, c.p AS v
+  FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+-- peel round r+1 = round-r edges restricted to deg>=3 endpoints; the
+-- recursive term fires only while a sub-3 node exists, so the LAST
+-- emitted round is the fixpoint (DuckDB's recurring table holds only
+-- the previous iteration's rows, which is exactly the current edge set)
+peel AS (
+  SELECT 0 AS r, u, v FROM e0
+  UNION ALL
+  SELECT e.r + 1, e.u, e.v
+  FROM peel e
+  JOIN (SELECT node FROM (SELECT u AS node FROM peel UNION ALL SELECT v FROM peel)
+        GROUP BY node HAVING COUNT(*) >= 3) ka ON e.u = ka.node
+  JOIN (SELECT node FROM (SELECT u AS node FROM peel UNION ALL SELECT v FROM peel)
+        GROUP BY node HAVING COUNT(*) >= 3) kb ON e.v = kb.node
+  WHERE EXISTS (
+    SELECT 1 FROM (SELECT u AS node FROM peel UNION ALL SELECT v FROM peel)
+    GROUP BY node HAVING COUNT(*) < 3)
+),
+last AS (SELECT u, v FROM peel WHERE r = (SELECT MAX(r) FROM peel)),
+degs AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM last UNION ALL SELECT v FROM last)
+  GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(degree AS BIGINT) AS degree
+FROM degs
+-- empty-core guard: if the last emitted round is not a true fixpoint
+-- (possible only when the k-core is empty and the final filtered set
+-- vanished), return nothing — matching the operator's empty return
+WHERE NOT EXISTS (SELECT 1 FROM degs WHERE degree < 3)
+"""
+
+
 @register(
     "kcore_parts",
-    oracle=None,  # data-dependent fixpoint iteration count — aggregates
-    # inside a recursive CTE's recursive term are not SQL-expressible;
-    # semantics pinned by the brute-force-peel parity pytest instead
+    oracle=_KCORE_ORACLE,
     tags=("mining", "graph", "persists"),
     late=True,
 )
@@ -636,9 +674,14 @@ def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/graphalgo.py:kcore``): iterative peeling to the
     fixpoint — per round one degree aggregate + two node-set
     semi-joins (AQE picks broadcast as the survivor set shrinks); the
-    driver sees one survivor count per round, never data. Rows-only
-    (fixpoint depth is data-dependent); the operator is cross-checked
-    against a pure-python reference peel in ``test_graph.py``."""
+    driver sees one survivor count per round, never data. FULL
+    value-hash oracle since r11: DuckDB 1.0 allows aggregates over the
+    recursive reference, so the oracle replays the peel as a recursive
+    CTE (round counter + changed-guard — the set-valued fixpoint is
+    deterministic, so depth needs no bound) — upgrading the r9
+    "aggregates in a recursive term are not SQL-expressible" rows-only
+    rationale, which DuckDB 1.0 obsoleted. Cross-checked against a
+    pure-python reference peel in ``test_graph.py``."""
     from ghcn_d_etl_project_spark.operators.graphalgo import kcore
 
     li = t(spark, sf_dir, "lineitem")

@@ -115,6 +115,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "lorenz_deciles_customers": _ONE_ROW + " — grand-total revenue row",
     "percentile_feature_orders": _ONE_ROW + " — N_total row",
     "pmi_cooccurrence_docs": _ONE_ROW + " — corpus totals, x5 reprints",
+    "quantile_normalize_docs": _ONE_ROW + " — pooled total-N row onto the "
+    "ranked fact (the per-source sizes and the pooled rank map are both "
+    "hash equi-joins)",
     "rfm_segments": _ONE_ROW + " — 3 chained percentile passes' N_total "
     "rows, reprinted via join-back lineage (86 textual occurrences, all "
     "single-row build sides)",

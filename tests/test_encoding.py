@@ -333,3 +333,106 @@ def test_pava_validation(spark):
     df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, x double, y double")
     with _p.raises(ValueError):
         isotonic_fit(df, [], "x", "y")
+
+
+def test_pava_counts_matches_general_form(spark):
+    """The exact-integer counts PAVA must agree with the general
+    float/weight form on the same rate data (same rationals, different
+    arithmetic paths) to well past the 6-digit rounding grain."""
+    from ghcn_d_etl_project_spark.operators.encoding import (
+        isotonic_fit,
+        isotonic_fit_counts,
+    )
+
+    rows = [
+        ("g", float(x), c, n)
+        for x, (c, n) in enumerate(
+            [(2, 10), (1, 8), (5, 9), (3, 12), (9, 10), (6, 7), (7, 7)]
+        )
+    ]
+    counts_df = spark.createDataFrame(
+        rows, "g string, x double, c long, n long"
+    )
+    general_df = counts_df.selectExpr(
+        "g", "x", "CAST(c AS DOUBLE)/n AS y", "CAST(n AS DOUBLE) AS w"
+    )
+    a = {
+        r["x"]: r["y_iso"]
+        for r in isotonic_fit_counts(
+            counts_df, ["g"], "x", "c", "n"
+        ).collect()
+    }
+    b = {
+        r["x"]: r["y_iso"]
+        for r in isotonic_fit(
+            general_df, ["g"], "x", "y", weight_col="w"
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for x in a:
+        assert abs(a[x] - b[x]) < 1e-9, (x, a[x], b[x])
+
+
+def test_pava_counts_minimax_parity(spark):
+    """Counts PAVA equals the min-max theorem's non-sequential form
+    computed with exact Fractions — the identity the SQL oracle rides."""
+    from fractions import Fraction
+
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit_counts
+
+    cs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    ns = [7, 5, 8, 6, 9, 11, 5, 8, 7, 6]
+    df = spark.createDataFrame(
+        [("g", float(i), c, n) for i, (c, n) in enumerate(zip(cs, ns))],
+        "g string, x double, c long, n long",
+    )
+    got = {
+        int(r["x"]): r["y_iso"]
+        for r in isotonic_fit_counts(df, ["g"], "x", "c", "n").collect()
+    }
+    m = len(cs)
+    pc = [0] * (m + 1)
+    pn = [0] * (m + 1)
+    for i in range(m):
+        pc[i + 1] = pc[i] + cs[i]
+        pn[i + 1] = pn[i] + ns[i]
+    for i in range(m):
+        mm = max(
+            min(
+                Fraction(pc[t + 1] - pc[s], pn[t + 1] - pn[s])
+                for t in range(i, m)
+            )
+            for s in range(i + 1)
+        )
+        assert got[i] == round(mm.numerator / mm.denominator, 6)
+
+
+def test_pava_counts_monotone_and_mean_preserving(spark):
+    """Output is monotone non-decreasing in x and preserves the total
+    success mass: sum(y_iso * den) == sum(num) exactly in rationals."""
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit_counts
+
+    cs = [9, 2, 8, 1, 7, 0, 5]
+    ns = [10, 9, 10, 8, 9, 7, 8]
+    df = spark.createDataFrame(
+        [("g", float(i), c, n) for i, (c, n) in enumerate(zip(cs, ns))],
+        "g string, x double, c long, n long",
+    )
+    rows = sorted(
+        isotonic_fit_counts(df, ["g"], "x", "c", "n", round_digits=12).collect(),
+        key=lambda r: r["x"],
+    )
+    ys = [r["y_iso"] for r in rows]
+    assert ys == sorted(ys)
+    mass = sum(r["y_iso"] * r["x_weight"] for r in rows)
+    assert abs(mass - sum(cs)) < 1e-6
+
+
+def test_pava_counts_validation(spark):
+    import pytest as _p
+
+    from ghcn_d_etl_project_spark.operators.encoding import isotonic_fit_counts
+
+    df = spark.createDataFrame([("g", 1.0, 1, 2)], "g string, x double, c long, n long")
+    with _p.raises(ValueError):
+        isotonic_fit_counts(df, [], "x", "c", "n")

@@ -165,6 +165,7 @@ def test_coverage_md_names_resolve():
     from ghcn_d_etl_project_spark.operators import (
         cdc,
         common as common_ops,
+        encoding as encoding_ops,
         incremental,
         joins as join_ops,
         prefix as prefix_ops,
@@ -176,7 +177,7 @@ def test_coverage_md_names_resolve():
 
     resolvable = (
         ghcn_mod, readers, writers, cdc, sessions, incremental, common_ops,
-        skew, join_ops, prefix_ops,
+        skew, join_ops, prefix_ops, encoding_ops,
     )
     helpers = {"late"}
     for tok in sorted(cited - names):
