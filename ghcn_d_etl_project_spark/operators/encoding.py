@@ -476,8 +476,14 @@ def quantile_normalize(
         .join(F.broadcast(sizes), "group")
         .crossJoin(F.broadcast(total))
         .withColumn(
+            # cast BEFORE multiplying: r*N in BIGINT wraps silently in
+            # non-ANSI mode past r*N ~ 2^63 (N = 1e10 rows puts the
+            # product there at r ~ 1e9); DECIMAL(38,0) holds it exactly
+            # and `div` returns the BIGINT quotient (<= N, never wide)
             "__idx",
-            F.expr("(__r * __n + __ng - 1) div __ng"),
+            F.expr(
+                "(CAST(__r AS DECIMAL(38,0)) * __n + __ng - 1) div __ng"
+            ),
         )
     )
     vc = base.groupBy("value").agg(F.count(F.lit(1)).alias("__cnt"))

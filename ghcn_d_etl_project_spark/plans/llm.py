@@ -1729,7 +1729,9 @@ pooled AS (
 SELECT s.doc_id, s.source, s.n_chars,
        CAST(p.qnorm AS BIGINT) AS qnorm_chars
 FROM s CROSS JOIN tot
-JOIN pooled p ON p.idx = (s.r * tot.n + s.ng - 1) // s.ng
+JOIN pooled p
+  ON p.idx = CAST((CAST(s.r AS HUGEINT) * tot.n + s.ng - 1) // s.ng
+                  AS BIGINT)
 """
 
 
@@ -1817,4 +1819,436 @@ def curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("difficulty").alias("n_chars"),
         "within_rank",
         "bucket",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span dedup profile (extension, r11): Lee et al. 2021
+# ---------------------------------------------------------------------------
+
+_SPAN_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS gram
+  FROM base, UNNEST(generate_series(1, greatest(length(text) - 39, 0))) s(i)
+),
+dfreq AS (SELECT gram, COUNT(DISTINCT doc_id) AS dfn FROM pos GROUP BY gram),
+agg AS (
+  SELECT b.doc_id,
+         COUNT(p.gram) AS n_spans,
+         SUM(CASE WHEN f.dfn >= 2 THEN 1 ELSE 0 END) AS n_rep
+  FROM base b
+  LEFT JOIN pos p ON b.doc_id = p.doc_id
+  LEFT JOIN dfreq f ON p.gram = f.gram
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_rep, 0) AS BIGINT) AS n_repeated,
+       CASE WHEN n_spans > 0
+            THEN round(CAST(n_rep AS DOUBLE) / n_spans, 6) END
+         AS repeated_frac,
+       CASE WHEN n_spans > 0
+            THEN CAST(n_rep AS DOUBLE) / n_spans >= 0.5 END AS flagged
+FROM agg
+"""
+
+
+@register(
+    "span_dedup_profile_docs",
+    oracle=_SPAN_DEDUP_ORACLE,
+    tags=("llm", "dedup", "quality"),
+    late=True,
+)
+def span_dedup_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span coverage at char-40-gram grain
+    (``operators/dedup.py:span_dedup_profile``, Lee et al. 2021 exact-
+    substring dedup): fraction of a doc's span POSITIONS whose span
+    appears in >= 2 docs, with the >= 50% removal flag. The paper's
+    suffix array is single-machine; the distributed restatement is
+    position-grams + one distinct-doc df aggregate + one equi-join —
+    linear, no pair term (the df table replaces pairwise comparison).
+    At 100 TB the gram key is xxhash64(span); at oracle scale the raw
+    string keeps it engine-portable."""
+    from ghcn_d_etl_project_spark.operators.dedup import span_dedup_profile
+
+    return span_dedup_profile(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=40,
+        flag_threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source datasheet rollup (extension, r11): the dataset card numbers
+# ---------------------------------------------------------------------------
+
+_DATASHEET_ORACLE = r"""
+WITH by_lang AS (
+  SELECT source, lang, COUNT(*) AS cnt FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, lang DESC) AS rk
+    FROM by_lang
+  ) WHERE rk = 1
+),
+base AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+         SUM(n_chars) AS total_chars,
+         COUNT(n_chars) AS n_chars_obs,
+         COUNT(DISTINCT lang) AS n_langs,
+         SUM(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT)) AS total_ws_tokens
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY source
+)
+SELECT b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.n_null_text AS BIGINT) AS n_null_text,
+       CAST(b.total_chars AS BIGINT) AS total_chars,
+       CASE WHEN b.n_chars_obs > 0
+            THEN round(CAST(b.total_chars AS DOUBLE) / b.n_chars_obs, 6)
+       END AS mean_chars,
+       CAST(b.n_langs AS BIGINT) AS n_langs,
+       t.top_lang,
+       CAST(b.total_ws_tokens AS BIGINT) AS total_ws_tokens
+FROM base b LEFT JOIN top_lang t ON b.source = t.source
+"""
+
+
+@register(
+    "source_datasheet_docs",
+    oracle=_DATASHEET_ORACLE,
+    tags=("llm", "governance", "profile"),
+    late=True,
+)
+def source_datasheet_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup (Gebru et al. 2021 "Datasheets
+    for Datasets" — the release-gate numbers): doc/null counts, char
+    totals and means, language count, dominant language, whitespace
+    token totals. ONE map-side-combined groupBy(source) over the corpus
+    plus one (source, lang)-grain aggregate for the dominant language —
+    argmax via max(struct(cnt, lang)) with the deterministic
+    bigger-count-then-lexicographically-last tie-break the oracle
+    restates as ROW_NUMBER. The fact table shuffles once, on source."""
+    from ghcn_d_etl_project_spark.operators.textops import token_count
+
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    by_lang = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = by_lang.groupBy("source").agg(
+        F.max(F.struct(F.col("cnt"), F.col("lang"))).alias("__m")
+    ).select("source", F.col("__m.lang").alias("top_lang"))
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count("n_chars").alias("__n_chars_obs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum(token_count("text")).cast("long").alias("total_ws_tokens"),
+    )
+    return base.join(F.broadcast(top), "source", "left").select(
+        "source",
+        "n_docs",
+        "n_null_text",
+        "total_chars",
+        F.when(
+            F.col("__n_chars_obs") > 0,
+            F.round(
+                F.col("total_chars").cast("double") / F.col("__n_chars_obs"),
+                6,
+            ),
+        ).alias("mean_chars"),
+        "n_langs",
+        "top_lang",
+        "total_ws_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: NDCG@10 / MRR / P@10 of the embedding space
+# (extension, r11) — label-relevance eval over the exact cosine ranking
+# ---------------------------------------------------------------------------
+
+# DCG position discounts 1/log2(rank+1) and their prefix sums (ideal
+# DCG@10), pre-rounded to 12 decimals and FOLDED TO LITERALS shared by
+# the Spark expression and the oracle — no cross-engine log2 in either
+# plan (the bh_fdr z-constant pattern), and DECIMAL sums make the
+# per-query accumulation order-independent.
+_NDCG_DISC = [
+    "1.0", "0.630929753571", "0.5", "0.430676558073", "0.386852807235",
+    "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318",
+]
+_NDCG_IDCG = [
+    "1.0", "1.630929753571", "2.130929753571", "2.561606311644",
+    "2.948459118879", "3.304666305987", "3.637999639320",
+    "3.953464516106", "4.254494511770", "4.543559338088",
+]
+
+_DISC_CASE_SQL = "CASE rank " + " ".join(
+    f"WHEN {i + 1} THEN CAST({d} AS DECIMAL(18,12))"
+    for i, d in enumerate(_NDCG_DISC)
+) + " END"
+_IDCG_CASE_SQL = "CASE least(n_rel, 10) " + " ".join(
+    f"WHEN {i + 1} THEN CAST({p} AS DECIMAL(18,12))"
+    for i, p in enumerate(_NDCG_IDCG)
+) + " END"
+
+_NDCG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT qid, nid,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos_sim DESC, nid) AS BIGINT)
+           AS rank
+  FROM pairs QUALIFY rank <= 10
+),
+lab AS (SELECT vec_id, label FROM v WHERE label IS NOT NULL),
+rel AS (
+  SELECT t.qid, ql.label AS qlabel, t.rank,
+         CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS is_rel
+  FROM topk t
+  JOIN lab ql ON t.qid = ql.vec_id
+  JOIN lab nl ON t.nid = nl.vec_id
+),
+per_q AS (
+  SELECT qid, qlabel,
+         SUM(CASE WHEN is_rel = 1 THEN {_DISC_CASE_SQL}
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg_dec,
+         MIN(CASE WHEN is_rel = 1 THEN rank END) AS first_rel_rank,
+         SUM(is_rel) AS n_rel_top10
+  FROM rel GROUP BY qid, qlabel
+),
+cnts AS (SELECT label, COUNT(*) AS cnt FROM lab GROUP BY label)
+SELECT p.qid,
+       CAST(c.cnt - 1 AS BIGINT) AS n_rel,
+       CAST(p.n_rel_top10 AS BIGINT) AS n_rel_top10,
+       CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+       round(CAST(p.dcg_dec AS DOUBLE), 6) AS dcg10,
+       CASE WHEN c.cnt - 1 > 0 THEN
+         round(CAST(p.dcg_dec AS DOUBLE)
+               / CAST((SELECT {_IDCG_CASE_SQL}
+                       FROM (SELECT c.cnt - 1 AS n_rel)) AS DOUBLE), 6)
+       END AS ndcg10,
+       CASE WHEN p.first_rel_rank IS NOT NULL
+            THEN round(1.0 / p.first_rel_rank, 6) END AS mrr10,
+       round(CAST(p.n_rel_top10 AS DOUBLE) / 10.0, 6) AS p_at_10
+FROM per_q p JOIN cnts c ON p.qlabel = c.label
+"""
+
+
+@register(
+    "ndcg_label_topk",
+    oracle=_NDCG_ORACLE,
+    tags=("llm", "similarity", "eval"),
+    late=True,
+)
+def ndcg_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space retrieval quality per query vector: NDCG@10, MRR
+    and precision@10 over the EXACT cosine top-10 ranking with same-
+    label relevance — the eval-harness readout (Järvelin & Kekäläinen
+    2002) that turns the ANN/cosine stack into a measurable retrieval
+    system. Reuses the cosine_topk operator (rounded-score ranking with
+    nid tie-break = engine-reproducible order); DCG discounts and ideal
+    prefix sums are pre-rounded LITERALS shared with the oracle (no
+    cross-engine log2), summed as DECIMAL so the <= 10-term accumulation
+    is order-free; IDCG truncates at min(corpus_relevant, 10), label
+    counts broadcast back. NULL ndcg when a query's label is unique
+    (no relevant neighbor exists), NULL mrr when none retrieved."""
+    from ghcn_d_etl_project_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    topk = cosine_topk(emb, "vec_id", "embedding", k=10)
+    lab = emb.filter(
+        F.col("label").isNotNull() & F.col("vec_id").isNotNull()
+    ).select("vec_id", "label")
+    qlab = lab.select(F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"))
+    nlab = lab.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"))
+    disc = "CASE rank " + " ".join(
+        f"WHEN {i + 1} THEN CAST({d} AS DECIMAL(18,12))"
+        for i, d in enumerate(_NDCG_DISC)
+    ) + " END"
+    j = (
+        topk.join(qlab, "qid")
+        .join(nlab, "nid")
+        .withColumn("is_rel", (F.col("qlabel") == F.col("nlabel")).cast("int"))
+        .withColumn("__disc", F.expr(disc))
+    )
+    per_q = j.groupBy("qid", "qlabel").agg(
+        F.sum(
+            F.when(F.col("is_rel") == 1, F.col("__disc")).otherwise(
+                F.lit(0).cast("decimal(18,12)")
+            )
+        ).alias("dcg_dec"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum("is_rel").cast("long").alias("n_rel_top10"),
+    )
+    cnts = lab.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    idcg = "CASE least(n_rel, 10) " + " ".join(
+        f"WHEN {i + 1} THEN CAST({p} AS DECIMAL(18,12))"
+        for i, p in enumerate(_NDCG_IDCG)
+    ) + " END"
+    out = (
+        per_q.join(
+            F.broadcast(cnts.select(F.col("label").alias("qlabel"), "cnt")),
+            "qlabel",
+        )
+        .withColumn("n_rel", (F.col("cnt") - 1).cast("long"))
+        .withColumn("__idcg", F.expr(idcg))
+    )
+    return out.select(
+        "qid",
+        "n_rel",
+        "n_rel_top10",
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        F.round(F.col("dcg_dec").cast("double"), 6).alias("dcg10"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("dcg_dec").cast("double") / F.col("__idcg").cast("double"),
+                6,
+            ),
+        ).alias("ndcg10"),
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6),
+        ).alias("mrr10"),
+        F.round(F.col("n_rel_top10").cast("double") / F.lit(10.0), 6).alias(
+            "p_at_10"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holdout calibration / reliability table (extension, r11)
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+           AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+armed AS (
+  SELECT score, conv,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':calib'),
+                                  1, 4)) AS INTEGER) % 2 AS half
+  FROM u
+),
+s AS (
+  SELECT score,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_fit,
+         SUM(CASE WHEN half = 0 THEN conv ELSE 0 END) AS c_fit,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_eval,
+         SUM(CASE WHEN half = 1 THEN conv ELSE 0 END) AS c_eval
+  FROM armed GROUP BY score
+)
+SELECT CAST(score AS BIGINT) AS score,
+       CAST(n_fit AS BIGINT) AS n_fit,
+       CAST(c_fit AS BIGINT) AS conv_fit,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       CAST(c_eval AS BIGINT) AS conv_eval,
+       CASE WHEN n_fit > 0
+            THEN round(CAST(c_fit AS DOUBLE) / n_fit, 6) END AS pred_rate,
+       CASE WHEN n_eval > 0
+            THEN round(CAST(c_eval AS DOUBLE) / n_eval, 6) END AS acc_rate,
+       CASE WHEN n_fit > 0 AND n_eval > 0
+            THEN round(abs(CAST(c_fit AS DOUBLE) / n_fit
+                           - CAST(c_eval AS DOUBLE) / n_eval), 6)
+       END AS abs_gap
+FROM s
+"""
+
+
+@register(
+    "calibration_holdout_events",
+    oracle=_CALIB_ORACLE,
+    tags=("curation", "experiment", "eval"),
+    late=True,
+)
+def calibration_holdout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table with a REAL holdout (the reliability-diagram
+    substrate behind ECE, Guo et al. 2017): users md5-split into a FIT
+    half (whose per-score conversion rate is the 'model prediction')
+    and an EVAL half (whose realized rate it is scored against) —
+    without the holdout, prediction and outcome are the same number by
+    construction and every gap is zero. One per-user collapse, one
+    per-score conditional aggregate; ECE = SUM(n_eval*abs_gap)/
+    SUM(n_eval) over the rows. NULL verdicts where a half is empty at
+    a score (nothing fitted / nothing to score)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":calib"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    armed = u.select("score", "conv", half.alias("half"))
+    s = armed.groupBy("score").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_fit"),
+        F.sum(F.when(F.col("half") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_fit"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("half") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_eval"),
+    )
+    pred = F.col("conv_fit").cast("double") / F.col("n_fit")
+    acc = F.col("conv_eval").cast("double") / F.col("n_eval")
+    return s.select(
+        F.col("score").cast("long").alias("score"),
+        "n_fit",
+        "conv_fit",
+        "n_eval",
+        "conv_eval",
+        F.when(F.col("n_fit") > 0, F.round(pred, 6)).alias("pred_rate"),
+        F.when(F.col("n_eval") > 0, F.round(acc, 6)).alias("acc_rate"),
+        F.when(
+            (F.col("n_fit") > 0) & (F.col("n_eval") > 0),
+            F.round(F.abs(pred - acc), 6),
+        ).alias("abs_gap"),
     )

@@ -190,3 +190,181 @@ def test_curriculum_monotone_in_difficulty(spark):
     )
     buckets = [r.bucket for r in out]
     assert buckets == sorted(buckets)
+
+
+def test_span_dedup_profile_python_reference(spark):
+    """Positional span profile equals a brute-force python reference on
+    a small corpus with a planted shared block."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: shared + " unique tail one two three four five six seven",
+        2: "prefix words here then " + shared,
+        3: "completely different content with nothing shared at all ok",
+    }
+    k = 40
+    df = spark.createDataFrame(
+        list(texts.items()), "id long, txt string"
+    )
+    from ghcn_d_etl_project_spark.operators.dedup import span_dedup_profile
+
+    got = {
+        r.doc_id: (r.n_spans, r.n_repeated, r.repeated_frac)
+        for r in span_dedup_profile(df, "id", "txt", k=k).collect()
+    }
+    grams = {
+        d: [t[i : i + k] for i in range(len(t) - k + 1)]
+        for d, t in texts.items()
+    }
+    dfreq: dict[str, set[int]] = {}
+    for d, gs in grams.items():
+        for g in gs:
+            dfreq.setdefault(g, set()).add(d)
+    for d, gs in grams.items():
+        n_rep = sum(1 for g in gs if len(dfreq[g]) >= 2)
+        assert got[d][0] == len(gs)
+        assert got[d][1] == n_rep, (d, got[d], n_rep)
+        assert got[d][2] == round(n_rep / len(gs), 6)
+    assert got[3][1] == 0
+
+
+def test_span_dedup_profile_short_doc_null(spark):
+    """Docs shorter than k emit n_spans=0 with NULL fraction and flag —
+    'nothing to profile' is distinct from 'all unique'."""
+    from ghcn_d_etl_project_spark.operators.dedup import span_dedup_profile
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 80)], "id long, txt string"
+    )
+    got = {r.doc_id: r for r in span_dedup_profile(df, "id", "txt", k=40).collect()}
+    assert got[1].n_spans == 0
+    assert got[1].repeated_frac is None and got[1].flagged is None
+    assert got[2].n_spans == 41 and got[2].n_repeated == 0
+
+
+def test_source_datasheet_hand_case(spark):
+    """Counts, means, and the bigger-count-then-lexicographically-last
+    top-lang tie-break."""
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "d e", "fr", "s1", 3),
+        (3, None, "fr", "s1", None),
+        (4, "x", "de", "s2", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # fr has 2 docs in s1 (a null-text row still carries lang), en has
+    # 1 -> fr wins by count; the argmax construction mirrors the
+    # registered source_datasheet_docs plan
+    d = df.filter(F.col("source").isNotNull())
+    by_lang = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = by_lang.groupBy("source").agg(
+        F.max(F.struct(F.col("cnt"), F.col("lang"))).alias("m")
+    ).select("source", F.col("m.lang").alias("top_lang"))
+    got = {r.source: r.top_lang for r in top.collect()}
+    assert got == {"s1": "fr", "s2": "de"}
+    # tie case: equal counts -> lexicographically LAST lang
+    tie = spark.createDataFrame(
+        [("s", "en", 2), ("s", "fr", 2)], "source string, lang string, cnt long"
+    )
+    t2 = tie.groupBy("source").agg(
+        F.max(F.struct(F.col("cnt"), F.col("lang"))).alias("m")
+    ).select(F.col("m.lang").alias("top_lang"))
+    assert t2.first().top_lang == "fr"
+
+
+def test_ndcg_python_reference(spark):
+    """NDCG@10/MRR/P@10 against an exact python reference on a small
+    labeled vector set with a hand-checkable neighborhood structure."""
+    import math
+
+    vecs = {
+        1: ([1.0, 0.0, 0.0], "a"),
+        2: ([0.9, 0.1, 0.0], "a"),
+        3: ([0.0, 1.0, 0.0], "b"),
+        4: ([0.1, 0.9, 0.0], "b"),
+        5: ([0.0, 0.0, 1.0], "a"),
+    }
+    df = spark.createDataFrame(
+        [(k, v, l) for k, (v, l) in vecs.items()],
+        "vec_id long, embedding array<double>, label string",
+    )
+    from ghcn_d_etl_project_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F2
+
+    topk = cosine_topk(df, "vec_id", "embedding", k=10)
+    rows = topk.collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return round(num / den, 6)
+
+    # python reference ranking: (rounded cos desc, nid asc)
+    for q, (qv, _) in vecs.items():
+        ref = sorted(
+            ((cos(qv, nv), n) for n, (nv, _) in vecs.items() if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        got = sorted(
+            [(r.rank, r.nid) for r in rows if r.qid == q]
+        )
+        assert [n for _, n in got] == [n for _, n in ref], (q, got, ref)
+
+    # NDCG invariants via the registered query shape on the same data:
+    lab = df.select("vec_id", "label")
+    qlab = lab.select(F2.col("vec_id").alias("qid"), F2.col("label").alias("ql"))
+    nlab = lab.select(F2.col("vec_id").alias("nid"), F2.col("label").alias("nl"))
+    j = topk.join(qlab, "qid").join(nlab, "nid")
+    rel = {(r.qid, r.rank): int(r.ql == r.nl) for r in j.collect()}
+    disc = [1 / math.log2(i + 1) for i in range(1, 11)]
+    for q in vecs:
+        rels = [rel[(q, i)] for i in sorted(r for (qq, r) in rel if qq == q)]
+        dcg = sum(rv * disc[i] for i, rv in enumerate(rels))
+        n_rel = sum(1 for n, (_, l) in vecs.items() if n != q and l == vecs[q][1])
+        idcg = sum(disc[: min(n_rel, 10)])
+        if n_rel:
+            assert 0.0 <= dcg / idcg <= 1.0 + 1e-12
+
+
+def test_calibration_holdout_split_replay(spark):
+    """The fit/eval md5 split must replay exactly in python (hashlib) —
+    the engine-portability contract behind the oracle — and per-score
+    counts must sum back to the per-user collapse."""
+    import hashlib
+
+    rows = []
+    for uid in range(1, 61):
+        n_clicks = uid % 5
+        rows += [(uid, "click")] * n_clicks
+        if uid % 3 == 0:
+            rows.append((uid, "purchase"))
+        rows.append((uid, "view"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from pyspark.sql import functions as F2
+
+    u = df.groupBy("user_id").agg(
+        F2.sum(
+            F2.when(F2.col("event_type").isin("view", "click"), 1).otherwise(0)
+        ).cast("long").alias("score"),
+        F2.max(
+            F2.when(F2.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    half_expr = (
+        F2.conv(
+            F2.substring(
+                F2.md5(F2.concat(F2.col("user_id").cast("string"), F2.lit(":calib"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int") % 2
+    )
+    got = {r.user_id: r.half for r in u.select("user_id", half_expr.alias("half")).collect()}
+    for uid in range(1, 61):
+        expect = int(hashlib.md5(f"{uid}:calib".encode()).hexdigest()[:4], 16) % 2
+        assert got[uid] == expect, uid
