@@ -643,3 +643,76 @@ def temperature_mix(
         "rate",
         (bucket < F.col("__thr")).cast("long").alias("keep"),
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    rate_col: str,
+    n_buckets: int = 10_000,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic epoch-level upsampling — the row-DUPLICATION half
+    of the data-mix contract that :func:`temperature_mix` deliberately
+    leaves to the consumer: expand each row to ``floor(rate)`` full
+    copies plus one more with probability ``frac(rate)``, so the
+    expanded corpus hits the mix's target in EXPECTATION per row and
+    exactly per md5 stratum. ``rate`` comes from the mix plan
+    (``share * target / c_domain``, UNCAPPED — a tail domain at rate
+    2.3 yields 2 guaranteed epochs + a 30% third); rate < 1 degrades
+    to pure downsampling (0 or 1 copies), so one operator covers both
+    directions of the mix.
+
+    The fractional decision is the house md5 bucket of (id, salt) —
+    engine-portable, partitioning/re-run invariant, and decorrelated
+    from the mix's own keep decision by the salt. Expansion is a pure
+    projection + ``explode(sequence(1, n_copies))``: ZERO shuffles,
+    fan-out exactly ``rate`` per row; downstream shuffles see the
+    expanded rows, which is the point (shard assignment and packing
+    must observe every epoch copy, not a weight column they'd each
+    have to re-expand).
+
+    Output: one row per COPY — input row's (id, rate) plus
+    ``n_copies`` (its row's total) and ``copy_idx`` (1-based).
+    Rows with NULL id/rate are excluded; negative rates raise at
+    execution (a negative epoch count is always an upstream bug).
+    """
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(rate_col).isNotNull()
+    )
+    rate = F.col(rate_col).cast("double")
+    guarded = F.when(
+        rate < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("epoch_upsample: negative rate for id "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(rate)
+    n_full = F.floor(guarded).cast("long")
+    frac_thr = F.floor((guarded - n_full) * F.lit(n_buckets)).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":" + salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    expanded = base.withColumn(
+        "n_copies",
+        (n_full + (bucket < frac_thr).cast("long")).alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    return expanded.withColumn(
+        "copy_idx",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))),
+    )

@@ -661,3 +661,96 @@ def ess_balance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess, 4).alias("ess"),
         F.round(ess / F.col("n_docs").cast("double"), 6).alias("ess_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling (r11): the duplication half of the data-mix contract
+# ---------------------------------------------------------------------------
+
+_EPOCH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL
+), d AS (
+  SELECT lang, SUM(w) AS c FROM base GROUP BY 1
+), t AS (
+  SELECT lang, c,
+         CAST(POW(CAST(c AS DOUBLE), 0.5) AS DECIMAL(28,12)) AS term
+  FROM d
+), tot AS (
+  SELECT SUM(term) AS tt FROM t
+), p AS (
+  SELECT lang,
+         ROUND((CAST(term AS DOUBLE) / CAST(tt AS DOUBLE)) * 250000.0
+               / CAST(c AS DOUBLE), 6) AS rate
+  FROM t, tot
+), j AS (
+  SELECT b.doc_id, b.lang, p.rate,
+         CAST(FLOOR(p.rate) AS BIGINT) AS n_full,
+         CAST(FLOOR((p.rate - FLOOR(p.rate)) * 10000) AS BIGINT) AS thr,
+         CAST(concat('0x', substr(md5(concat(CAST(b.doc_id AS VARCHAR),
+                                             ':epoch')), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM base b JOIN p USING (lang)
+), e AS (
+  SELECT doc_id, lang, rate,
+         n_full + CASE WHEN bucket < thr THEN 1 ELSE 0 END AS n_copies
+  FROM j
+)
+SELECT doc_id, lang, rate,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(i AS BIGINT) AS copy_idx
+FROM e, UNNEST(generate_series(1, n_copies)) s(i)
+WHERE n_copies > 0
+"""
+
+
+@register(
+    "epoch_upsample_docs",
+    oracle=_EPOCH_ORACLE,
+    tags=("sampling", "llm", "mixing"),
+    late=True,
+)
+def epoch_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-level corpus expansion under an UNCAPPED T=0.5 mix toward
+    a 250k-char budget (``operators/common.py:epoch_upsample``): tail
+    languages get rate > 1 — guaranteed floor(rate) epochs plus an
+    md5-decided fractional epoch per doc — completing the data-mix
+    contract temperature_mix deliberately halves (it never duplicates;
+    this is the duplication side, salt-decorrelated from the mix's
+    keep decision). Rates derive from the same DECIMAL-quantized
+    smoothed terms as the mix (ROUNDED before the expansion decisions
+    so both engines floor the identical double); expansion is a pure
+    projection + explode — zero shuffles, fan-out exactly rate per
+    row. Output grain = one row per epoch COPY."""
+    from ghcn_d_etl_project_spark.operators.common import epoch_upsample
+
+    base = t(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("doc_id").isNotNull()
+    )
+    per_dom = base.groupBy("lang").agg(
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("__c")
+    )
+    term = F.pow(F.col("__c").cast("double"), F.lit(0.5)).cast(
+        "decimal(28,12)"
+    )
+    terms = per_dom.select("lang", "__c", term.alias("__t"))
+    total = terms.agg(F.sum("__t").alias("__tt"))
+    rate = (
+        F.col("__t").cast("double") / F.col("__tt").cast("double")
+    ) * F.lit(250_000.0) / F.col("__c").cast("double")
+    plan = terms.crossJoin(F.broadcast(total)).select(
+        "lang", F.round(rate, 6).alias("rate")
+    )
+    joined = base.select("doc_id", "lang").join(F.broadcast(plan), "lang")
+    out = epoch_upsample(joined, "doc_id", "rate", salt="epoch")
+    return out.select(
+        "doc_id",
+        "lang",
+        "rate",
+        "n_copies",
+        "copy_idx",
+    )

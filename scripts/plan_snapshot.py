@@ -106,6 +106,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "column_stats_outliers": _ONE_ROW + " — exact quantile anchor row",
     "cuped_adjusted_events": _ONE_ROW + " — theta/means row",
     "decile_lift_events": _ONE_ROW + " — global base-rate row",
+    "epoch_upsample_docs": _ONE_ROW + " — smoothed-term total onto the "
+    "per-domain rate plan (the temperature_mix normalizer pattern)",
     "equidepth_hist_orders": _ONE_ROW + " — total-count row",
     "event_copurchase": _ONE_ROW + " — basket-universe count",
     "expectations_orders": _ONE_ROW + " — suite total row",

@@ -1,6 +1,8 @@
-"""Semantic checks for the r11 corpus-curation wave: skip-gram
-co-occurrence, vocabulary/OOV audit, containment near-dup, cross-source
-duplication audit, quantile normalization, curriculum bucketing.
+"""Semantic checks for the r11 corpus-curation and eval waves:
+skip-gram co-occurrence, vocabulary/OOV audit, containment near-dup,
+cross-source duplication audit, quantile normalization, curriculum
+bucketing, repeated-span dedup profile, per-source datasheet, NDCG
+retrieval eval, and the holdout calibration split.
 
 Each has a full DuckDB value-hash oracle at the registry level; these
 tests pin the SEMANTICS with hand-computable cases the oracle alone
@@ -39,8 +41,7 @@ def test_skipgram_window_bounds_fanout(spark):
     """Window w over a doc of n tokens emits at most n*w position pairs
     (exactly sum over tokens of min(w, remaining)) — the equi-join shape
     can't exceed it."""
-    df = spark.createDataFrame([(1, " ".join("x" * 1) * 0 + "a b c d e")],
-                               "id long, txt string")
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, txt string")
     out = skipgram_counts(df, "id", "txt", window=3, min_count=1)
     total = out.agg(F.sum("n_pairs")).first()[0]
     # n=5, w=3: 3+3+2+1 = 9 position pairs

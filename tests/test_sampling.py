@@ -591,3 +591,69 @@ def test_mix_null_exclusion_and_validation(spark):
     with pytest.raises(ValueError, match="temperature"):
         temperature_mix(df, "dom", "w", "id", target_total=10,
                         temperature=-1)
+
+
+def test_epoch_upsample_md5_replay(spark):
+    """Copy counts replay exactly in python: floor(rate) copies plus
+    one iff md5-bucket(id:epoch) < floor(frac*10000)."""
+    import hashlib
+
+    from ghcn_d_etl_project_spark.operators.common import epoch_upsample
+
+    rows = [(i, 2.3) for i in range(1, 41)] + [(100 + i, 0.4) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, rate double")
+    got = {}
+    for r in epoch_upsample(df, "id", "rate").collect():
+        got[r.id] = r.n_copies
+        assert 1 <= r.copy_idx <= r.n_copies
+    for i, rate in rows:
+        bucket = int(hashlib.md5(f"{i}:epoch".encode()).hexdigest()[:8], 16) % 10000
+        import math
+
+        n_full = math.floor(rate)
+        thr = math.floor((rate - n_full) * 10000)
+        expect = n_full + (1 if bucket < thr else 0)
+        if expect == 0:
+            assert i not in got, i
+        else:
+            assert got[i] == expect, (i, got.get(i), expect)
+
+
+def test_epoch_upsample_copy_grain_and_downsample(spark):
+    """Output has exactly n_copies rows per kept id (copy_idx 1..n);
+    rate < 1 degrades to 0-or-1 copies — pure downsampling."""
+    from ghcn_d_etl_project_spark.operators.common import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, 0.5) for i in range(200)], "id long, rate double"
+    )
+    out = epoch_upsample(df, "id", "rate").collect()
+    per_id: dict[int, list[int]] = {}
+    for r in out:
+        per_id.setdefault(r.id, []).append(r.copy_idx)
+    for i, idxs in per_id.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+        assert len(idxs) == 1  # rate<1 -> at most one copy, kept ids have 1
+    # roughly half kept at rate 0.5 (md5-uniform; generous band)
+    assert 60 <= len(per_id) <= 140
+
+
+def test_epoch_upsample_zero_shuffle(spark):
+    """The expansion itself is a pure projection + explode — no
+    Exchange in the operator's plan."""
+    from ghcn_d_etl_project_spark.operators.common import epoch_upsample
+    from ghcn_d_etl_project_spark.utils.plancheck import plan_report
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.0)], "id long, rate double")
+    rep = plan_report(epoch_upsample(df, "id", "rate"))
+    assert rep.as_dict()["shuffles"] == 0
+
+
+def test_epoch_upsample_negative_rate_raises(spark):
+    import pytest as _p
+
+    from ghcn_d_etl_project_spark.operators.common import epoch_upsample
+
+    df = spark.createDataFrame([(1, -0.5)], "id long, rate double")
+    with _p.raises(Exception, match="negative rate"):
+        epoch_upsample(df, "id", "rate").collect()
