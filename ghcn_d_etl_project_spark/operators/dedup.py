@@ -702,3 +702,106 @@ def span_dedup_profile(
             "flagged"
         ),
     )
+
+
+def dedup_against_reference(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental-ingestion dedup: verdict every NEW document against
+    an existing REFERENCE corpus — the shape production pipelines
+    actually run (a crawl batch lands against a trillion-token corpus;
+    nobody re-dedupes the world). Three-way verdict per new doc:
+
+      * ``exact_dup`` — normalized fingerprint (md5 of
+        lowercase/stripped text) matches a reference doc; ``dup_of`` =
+        the smallest matching reference id.
+      * ``near_dup`` — char n-gram Jaccard >= ``threshold`` against
+        some reference doc; ``dup_of`` = the best match (highest
+        rounded Jaccard, smallest reference id on ties — the
+        deterministic struct-max argmax recipe).
+      * ``clean`` — neither.
+
+    Exact-dup wins over near-dup (a formatting-identical copy should
+    be attributed to its fingerprint twin, not a coincidental shingle
+    neighbor). The exact arm is one hash equi-join on the 128-bit
+    fingerprint; the near arm is the inverted-index verifier with the
+    self-join replaced by a NEW x REF join — only cross pairs ever
+    exist, so the batch side's size, not the corpus's, drives the pair
+    fan-out. At 100 TB the near arm runs behind MinHash-LSH banding
+    exactly like the symmetric verifier (band buckets on both sides,
+    verify only same-bucket cross pairs); the verdict aggregation is
+    pair-list-agnostic.
+
+    Output: one row per new doc — (doc_id, verdict, dup_of, jaccard);
+    ``jaccard`` is NULL unless the verdict is ``near_dup``.
+    """
+    newb = new_df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+    refb = ref_df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("ref"), F.col(text_col).alias("__txt"))
+
+    exact = (
+        newb.select("doc", fingerprint("__txt").alias("__fp"))
+        .join(
+            refb.select("ref", fingerprint("__txt").alias("__fp")), "__fp"
+        )
+        .groupBy("doc")
+        .agg(F.min("ref").alias("__exact_ref"))
+    )
+
+    idx_new = shingle_index(newb, "doc", "__txt", n=n)
+    idx_ref = shingle_index(refb, "ref", "__txt", n=n).withColumnRenamed(
+        "doc", "ref"
+    )
+    sz_new = idx_new.groupBy("doc").agg(F.count(F.lit(1)).alias("__sz1"))
+    sz_ref = idx_ref.groupBy("ref").agg(F.count(F.lit(1)).alias("__sz2"))
+    inter = (
+        idx_new.join(idx_ref, "shingle")
+        .groupBy("doc", "ref")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    jac = F.col("__ni").cast("double") / (
+        F.col("__sz1") + F.col("__sz2") - F.col("__ni")
+    )
+    near = (
+        inter.join(sz_new, "doc")
+        .join(sz_ref, "ref")
+        .withColumn("__jac", F.round(jac, round_digits))
+        .filter(F.col("__jac") >= threshold)
+        .groupBy("doc")
+        .agg(
+            F.max(F.struct(F.col("__jac"), (-F.col("ref")).alias("__nr"))).alias(
+                "__best"
+            )
+        )
+        .select(
+            "doc",
+            (-F.col("__best.__nr")).alias("__near_ref"),
+            F.col("__best.__jac").alias("__near_jac"),
+        )
+    )
+    out = (
+        newb.select("doc")
+        .join(exact, "doc", "left")
+        .join(near, "doc", "left")
+    )
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        F.when(F.col("__exact_ref").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("__near_ref").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+        F.coalesce(F.col("__exact_ref"), F.col("__near_ref")).alias("dup_of"),
+        F.when(
+            F.col("__exact_ref").isNull() & F.col("__near_ref").isNotNull(),
+            F.col("__near_jac"),
+        ).alias("jaccard"),
+    )

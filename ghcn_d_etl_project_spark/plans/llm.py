@@ -2252,3 +2252,99 @@ def calibration_holdout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(pred - acc), 6),
         ).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingestion dedup (extension, r11): new batch vs reference
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = """
+WITH newb AS (
+  SELECT doc_id AS doc, text AS txt FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 10 = 7
+),
+refb AS (
+  SELECT doc_id AS ref, text AS txt FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 10 <> 7
+),
+fpx AS (
+  SELECT n.doc, MIN(r.ref) AS exact_ref
+  FROM (SELECT doc, md5(trim(regexp_replace(regexp_replace(lower(txt),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM newb) n
+  JOIN (SELECT ref, md5(trim(regexp_replace(regexp_replace(lower(txt),
+              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM refb) r
+    USING (fp)
+  GROUP BY n.doc
+),
+shn AS (
+  SELECT DISTINCT doc, substr(lower(txt), CAST(i AS INTEGER), 4) AS shingle
+  FROM newb, UNNEST(generate_series(1, greatest(length(txt) - 3, 0))) u(i)
+),
+shr AS (
+  SELECT DISTINCT ref, substr(lower(txt), CAST(i AS INTEGER), 4) AS shingle
+  FROM refb, UNNEST(generate_series(1, greatest(length(txt) - 3, 0))) u(i)
+),
+szn AS (SELECT doc, COUNT(*) AS s1 FROM shn GROUP BY doc),
+szr AS (SELECT ref, COUNT(*) AS s2 FROM shr GROUP BY ref),
+inter AS (
+  SELECT a.doc, b.ref, COUNT(*) AS ni
+  FROM shn a JOIN shr b ON a.shingle = b.shingle
+  GROUP BY a.doc, b.ref
+),
+scored AS (
+  SELECT i.doc, i.ref,
+         round(CAST(i.ni AS DOUBLE) / (szn.s1 + szr.s2 - i.ni), 6) AS jac
+  FROM inter i JOIN szn ON i.doc = szn.doc JOIN szr ON i.ref = szr.ref
+),
+near AS (
+  SELECT doc, ref AS near_ref, jac AS near_jac FROM (
+    SELECT doc, ref, jac,
+           row_number() OVER (PARTITION BY doc
+                              ORDER BY jac DESC, ref) AS rk
+    FROM scored WHERE jac >= 0.5
+  ) WHERE rk = 1
+)
+SELECT n.doc AS doc_id,
+       CASE WHEN f.exact_ref IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_ref IS NOT NULL THEN 'near_dup'
+            ELSE 'clean' END AS verdict,
+       COALESCE(f.exact_ref, nr.near_ref) AS dup_of,
+       CASE WHEN f.exact_ref IS NULL AND nr.near_ref IS NOT NULL
+            THEN nr.near_jac END AS jaccard
+FROM newb n
+LEFT JOIN fpx f ON n.doc = f.doc
+LEFT JOIN near nr ON n.doc = nr.doc
+"""
+
+
+@register(
+    "incremental_dedup_docs",
+    oracle=_INCR_DEDUP_ORACLE,
+    tags=("llm", "dedup", "incremental"),
+    late=True,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup verdicts
+    (``operators/dedup.py:dedup_against_reference``): every doc of the
+    incoming batch (``doc_id % 10 == 7``) judged against the existing
+    corpus (the rest) — exact_dup by normalized fingerprint (one hash
+    equi-join), near_dup by char-4-gram Jaccard >= 0.5 against the
+    best reference match (NEW x REF inverted-index join — only cross
+    pairs exist, the batch side drives fan-out; behind LSH banding at
+    100 TB), clean otherwise. The production dedup shape: a crawl
+    batch lands against the corpus; nobody re-dedupes the world."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return dedup_against_reference(
+        d.filter(F.col("doc_id") % 10 == 7),
+        d.filter(F.col("doc_id") % 10 != 7),
+        "doc_id",
+        "text",
+        n=4,
+        threshold=0.5,
+    )

@@ -369,3 +369,74 @@ def test_calibration_holdout_split_replay(spark):
     for uid in range(1, 61):
         expect = int(hashlib.md5(f"{uid}:calib".encode()).hexdigest()[:4], 16) % 2
         assert got[uid] == expect, uid
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Exact-dup (formatting-only twin, punctuation included — the
+    normalization case the punctuation-free driver tables never
+    exercise), near-dup with best-match selection, and clean."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "Hello, World! This is the reference document."),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "something else entirely different from the others"),
+        ],
+        "id long, txt string",
+    )
+    new = spark.createDataFrame(
+        [
+            # formatting-only twin of ref 1: case/punct/whitespace differ
+            (101, "hello  world this is the    reference document"),
+            # near-dup of ref 2
+            (102, "alpha beta gamma delta epsilon zeta eta iota"),
+            # clean
+            (103, "completely unrelated words with no overlap at all"),
+        ],
+        "id long, txt string",
+    )
+    got = {
+        r.doc_id: (r.verdict, r.dup_of, r.jaccard)
+        for r in dedup_against_reference(new, ref, "id", "txt").collect()
+    }
+    assert got[101][0] == "exact_dup" and got[101][1] == 1
+    assert got[101][2] is None  # jaccard only reported for near_dup
+    assert got[102][0] == "near_dup" and got[102][1] == 2
+    assert got[102][2] is not None and got[102][2] >= 0.5
+    assert got[103] == ("clean", None, None)
+
+
+def test_incremental_dedup_exact_wins_over_near(spark):
+    """A doc that is BOTH a fingerprint twin of one ref and a shingle
+    neighbor of another is attributed to its fingerprint twin."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame(
+        [(1, base.upper()), (2, base + " tail")], "id long, txt string"
+    )
+    new = spark.createDataFrame([(10, base)], "id long, txt string")
+    r = dedup_against_reference(new, ref, "id", "txt").first()
+    assert r.verdict == "exact_dup" and r.dup_of == 1
+
+
+def test_incremental_dedup_best_match_tiebreak(spark):
+    """Identical Jaccard against two refs -> smallest reference id."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+
+    txt = "one two three four five six seven eight"
+    ref = spark.createDataFrame(
+        [(7, txt), (3, txt)], "id long, txt string"
+    )
+    new = spark.createDataFrame(
+        [(10, txt + " x")], "id long, txt string"
+    )
+    r = dedup_against_reference(new, ref, "id", "txt").first()
+    assert r.verdict == "near_dup" and r.dup_of == 3
