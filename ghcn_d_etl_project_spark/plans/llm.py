@@ -2258,7 +2258,7 @@ def calibration_holdout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental-ingestion dedup (extension, r11): new batch vs reference
 # ---------------------------------------------------------------------------
 
-_INCR_DEDUP_ORACLE = """
+_INCR_DEDUP_ORACLE = r"""
 WITH newb AS (
   SELECT doc_id AS doc, text AS txt FROM documents
   WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 10 = 7
