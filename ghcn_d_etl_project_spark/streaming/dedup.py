@@ -44,3 +44,44 @@ def dedup_stream(
     return sdf.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def dedup_stream_against_reference(
+    sdf: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Streaming twin of the batch incremental-ingestion gate
+    (``operators/dedup.py:dedup_against_reference``'s exact arm): drop
+    incoming documents whose normalized content fingerprint already
+    exists in a STATIC reference corpus — the continuous form of "a
+    crawl batch lands against the corpus".
+
+    Implementation is a stream-STATIC left anti join on the 128-bit
+    fingerprint: Spark supports static sides in streaming joins
+    natively (the static frame is re-resolved per micro-batch, so a
+    reference refreshed in place is picked up without restarting the
+    query), the join is stateless on the stream side (no watermark
+    needed — the static side is the state), and anti-join semantics
+    mean survivors flow through untouched, exactly once per input row.
+    Near-dup gating in-stream needs the LSH banding substrate and is
+    done in ``foreachBatch`` with the batch operator — exact-arm
+    gating is the part that maps onto a native streaming join.
+
+    ``ref_df`` must be a STATIC DataFrame of reference documents
+    (``id_col``/``text_col`` schema); duplicates in-stream are NOT
+    suppressed here (compose with :func:`dedup_stream` for that).
+    """
+    from ghcn_d_etl_project_spark.operators.textops import fingerprint
+
+    from pyspark.sql import functions as F
+
+    ref_fp = ref_df.filter(F.col(text_col).isNotNull()).select(
+        fingerprint(text_col).alias("__fp")
+    ).distinct()
+    return (
+        sdf.withColumn("__fp", fingerprint(F.col(text_col)))
+        .join(ref_fp, "__fp", "left_anti")
+        .drop("__fp")
+    )

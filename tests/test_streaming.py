@@ -197,3 +197,55 @@ def test_streaming_dedup_validation(spark):
 
     with _pytest.raises(ValueError):
         dedup_stream(sdf, [], "timestamp")
+
+
+def test_stream_dedup_against_reference(spark):
+    """The stream-STATIC fingerprint gate must pass exactly the docs
+    whose normalized content is absent from the static reference —
+    including punctuation/case-only twins (the normalization case) —
+    and agree with the batch anti-join on the same frames."""
+    from ghcn_d_etl_project_spark.operators.textops import fingerprint
+    from ghcn_d_etl_project_spark.streaming.dedup import (
+        dedup_stream_against_reference,
+    )
+
+    docs_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # reference = 60% of the corpus BY CONTENT (plus a formatting twin
+    # to prove the gate keys on normalized content, not raw bytes)
+    ref = batch.filter(F.col("doc_id") % 5 < 3).select("doc_id", "text")
+    ref_twisted = ref.withColumn("text", F.upper(F.col("text")))
+    out = dedup_stream_against_reference(
+        stream, ref_twisted, "doc_id", "text"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ref_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM ref_gate").collect()}
+    expect = {
+        r.doc_id
+        for r in batch.withColumn("__fp", fingerprint(F.col("text")))
+        .join(
+            ref_twisted.select(fingerprint("text").alias("__fp")).distinct(),
+            "__fp",
+            "left_anti",
+        )
+        .collect()
+    }
+    assert got == expect
+    # uppercase twins of reference docs were dropped despite raw bytes
+    # differing -> the gate is on normalized content
+    dropped = {r.doc_id for r in batch.collect()} - got
+    assert dropped == {
+        r.doc_id for r in batch.filter(F.col("doc_id") % 5 < 3).collect()
+    }
