@@ -728,3 +728,73 @@ def test_cms_one_sided_error_law(spark, values, width):
     )
     for r in est.collect():
         assert r["est"] >= exact[r["v"]]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.integers(min_value=-1000, max_value=1000),
+                 min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_quantile_normalize_law(spark, groups):
+    """For ARBITRARY grouped integer data: each row's qnorm equals the
+    pooled order statistic at index ceil(r*N/ng) — computed by an
+    independent python reference — and within-group order is
+    preserved."""
+    from ghcn_d_etl_project_spark.operators.encoding import quantile_normalize
+
+    rows = []
+    rid = 0
+    for g, vals in groups.items():
+        for v in vals:
+            rows.append((rid, v, g))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, v long, g string")
+    got = {r.id: r.qnorm for r in quantile_normalize(df, "id", "v", "g").collect()}
+
+    pooled = sorted(v for _, v, _ in rows)
+    n = len(pooled)
+    for g in groups:
+        sub = sorted(((v, i) for i, v, gg in rows if gg == g))
+        ng = len(sub)
+        for r0, (v, i) in enumerate(sub, start=1):
+            idx = -(-r0 * n // ng)  # ceil
+            assert got[i] == pooled[idx - 1], (g, i, v, got[i], pooled[idx - 1])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=25), min_size=1, max_size=3),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_curriculum_bucket_law(spark, sizes, k):
+    """For arbitrary group sizes and bucket counts: buckets lie in
+    [0, k), are monotone in within-group rank, and per-group depths
+    differ by at most 1 whenever k <= group size."""
+    from ghcn_d_etl_project_spark.operators.encoding import curriculum_buckets
+
+    rows = []
+    rid = 0
+    for gi, ngroup in enumerate(sizes):
+        for j in range(ngroup):
+            rows.append((rid, (rid * 7919) % 503, f"g{gi}"))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, d long, g string")
+    out = curriculum_buckets(df, "id", "d", "g", n_buckets=k).collect()
+    per_group: dict[str, list] = {}
+    for r in out:
+        assert 0 <= r.bucket < k
+        per_group.setdefault(r.group, []).append((r.within_rank, r.bucket))
+    for g, pairs in per_group.items():
+        pairs.sort()
+        buckets = [b for _, b in pairs]
+        assert buckets == sorted(buckets)
+        if k <= len(pairs):
+            depth: dict[int, int] = {}
+            for b in buckets:
+                depth[b] = depth.get(b, 0) + 1
+            assert max(depth.values()) - min(depth.values()) <= 1
