@@ -216,14 +216,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def band_buckets(
     signatures: DataFrame, n_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs agreeing on ALL rows of
-    any band become candidate pairs. bands=16 over 64 hashes -> r=4 rows
-    per band; threshold ≈ (1/bands)^(1/r) ≈ 0.5 Jaccard. Band buckets are
-    xxhash64 over the signature slice (an array hash), exploded to one
-    row per (doc, band)."""
+    """LSH band table (doc, band, bucket): xxhash64 over each signature
+    slice (an array hash), exploded to one row per (doc, band). The
+    shared candidate substrate for the symmetric dedup
+    (:func:`minhash_lsh_candidates`) and the incremental NEW-vs-REF
+    gate (:func:`dedup_against_reference`)."""
     rows = n_hashes // bands
     band_structs = F.array(
         *[
@@ -234,9 +234,18 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col("doc"), F.explode(band_structs).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on ALL rows of
+    any band become candidate pairs. bands=16 over 64 hashes -> r=4 rows
+    per band; threshold ≈ (1/bands)^(1/r) ≈ 0.5 Jaccard."""
+    banded = band_buckets(signatures, n_hashes=n_hashes, bands=bands)
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -541,6 +550,7 @@ def cross_source_neardup_audit(
     n: int = 4,
     threshold: float = 0.5,
     round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-source duplication audit over exact near-dup pairs: for each
     source, how many of its documents participate in a near-dup pair at
@@ -562,6 +572,11 @@ def cross_source_neardup_audit(
     Output: (source, n_docs, n_neardup_docs, n_cross_docs,
     neardup_rate, cross_rate), counts BIGINT, rates one double
     division rounded — hash-exact cross-engine.
+
+    Pass ``release_into`` (a list) to receive the two persisted
+    intermediates (pair list, doc->source slice) and ``unpersist()``
+    them after the result materializes — the caller-owned-lifetime
+    contract of :func:`minhash_lsh_dedup` / ``ivf_topk``.
     """
     # persist-once substrates: the pair list feeds both sides of the
     # participation union, and the (doc, source) slice is read three
@@ -574,6 +589,8 @@ def cross_source_neardup_audit(
     src = df.select(
         F.col(id_col).alias("doc"), F.col(source_col).alias("source")
     ).persist()
+    if release_into is not None:
+        release_into.extend([pairs, src])
     enriched = (
         pairs.join(
             src.select(F.col("doc").alias("doc1"), F.col("source").alias("src1")),
@@ -589,12 +606,22 @@ def cross_source_neardup_audit(
     part = (
         enriched.select(
             F.col("doc1").alias("doc"),
-            (F.col("src1") != F.col("src2")).cast("int").alias("is_cross"),
+            # null-safe: a NULL source partner counts as NOT cross (the
+            # oracle's CASE ... ELSE 0), never as NULL — a NULL here
+            # would erase the doc's participation in the max() rollup
+            F.when(F.col("src1") != F.col("src2"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_cross"),
         )
         .unionByName(
             enriched.select(
                 F.col("doc2").alias("doc"),
-                (F.col("src1") != F.col("src2")).cast("int").alias("is_cross"),
+                # null-safe: a NULL source partner counts as NOT cross (the
+            # oracle's CASE ... ELSE 0), never as NULL — a NULL here
+            # would erase the doc's participation in the max() rollup
+            F.when(F.col("src1") != F.col("src2"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_cross"),
             )
         )
         .groupBy("doc")
@@ -704,6 +731,91 @@ def span_dedup_profile(
     )
 
 
+def reference_dedup_index(
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    n_hashes: int = 64,
+    bands: int = 32,
+    release_into: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Compute-ONCE substrate for ``dedup_against_reference``'s banded
+    near arm: the reference corpus's ``(ref, sh)`` hashed shingle sets
+    and its ``(ref, band, bucket)`` MinHash band table, both
+    persist-marked. Production shape: build this when the corpus is
+    published (or refresh it on compaction), keep it cached/stored, and
+    judge every ingest batch against it — the reference text is
+    shingled, hashed, and banded exactly once, never per batch.
+
+    Pass ``release_into`` (a list) to receive the two persisted frames
+    and ``unpersist()`` them when the last batch has been judged — the
+    caller-owned-lifetime contract of :func:`minhash_lsh_dedup`.
+    """
+    refb = ref_df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("doc"), F.col(text_col).alias("__txt"))
+    sets = hashed_shingle_sets(refb, "doc", "__txt", n=n).persist()
+    sigs = minhash_signatures(
+        refb, "doc", "__txt", n_hashes=n_hashes, n=n, shingles=sets
+    )
+    bandtab = band_buckets(sigs, n_hashes=n_hashes, bands=bands).persist()
+    if release_into is not None:
+        release_into.extend([sets, bandtab])
+    return (
+        sets.withColumnRenamed("doc", "ref"),
+        bandtab.withColumnRenamed("doc", "ref"),
+    )
+
+
+def _banded_cross_scores(
+    newb: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    n_hashes: int,
+    bands: int,
+    ref_index: tuple[DataFrame, DataFrame] | None,
+    release_into: list[DataFrame] | None,
+    round_digits: int,
+) -> DataFrame:
+    """(doc, ref, __jac) for same-band-bucket NEW x REF candidates only
+    — the banded near arm of :func:`dedup_against_reference`. ``newb``
+    is the pre-projected (doc, __txt) batch; the reference substrate
+    comes from ``ref_index`` (compute-once production path) or is built
+    inline via :func:`reference_dedup_index`."""
+    if ref_index is None:
+        ref_index = reference_dedup_index(
+            ref_df, id_col, text_col,
+            n=n, n_hashes=n_hashes, bands=bands, release_into=release_into,
+        )
+    sets_ref, bands_ref = ref_index
+    sets_new = hashed_shingle_sets(newb, "doc", "__txt", n=n).persist()
+    if release_into is not None:
+        release_into.append(sets_new)
+    sigs_new = minhash_signatures(
+        newb, "doc", "__txt", n_hashes=n_hashes, n=n, shingles=sets_new
+    )
+    bands_new = band_buckets(sigs_new, n_hashes=n_hashes, bands=bands)
+    cands = (
+        bands_new.join(bands_ref, ["band", "bucket"])
+        .select("doc", "ref")
+        .distinct()
+    )
+    s1 = sets_new.select("doc", F.col("sh").alias("__sh1"))
+    s2 = sets_ref.select("ref", F.col("sh").alias("__sh2"))
+    jac = F.size(F.array_intersect("__sh1", "__sh2")).cast("double") / F.size(
+        F.array_union("__sh1", "__sh2")
+    )
+    return (
+        cands.join(s1, "doc")
+        .join(s2, "ref")
+        .withColumn("__jac", F.round(jac, round_digits))
+        .select("doc", "ref", "__jac")
+    )
+
+
 def dedup_against_reference(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -712,6 +824,11 @@ def dedup_against_reference(
     n: int = 4,
     threshold: float = 0.5,
     round_digits: int = 6,
+    banded: bool = True,
+    n_hashes: int = 64,
+    bands: int = 32,
+    ref_index: tuple[DataFrame, DataFrame] | None = None,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: verdict every NEW document against
     an existing REFERENCE corpus — the shape production pipelines
@@ -730,13 +847,29 @@ def dedup_against_reference(
     Exact-dup wins over near-dup (a formatting-identical copy should
     be attributed to its fingerprint twin, not a coincidental shingle
     neighbor). The exact arm is one hash equi-join on the 128-bit
-    fingerprint; the near arm is the inverted-index verifier with the
-    self-join replaced by a NEW x REF join — only cross pairs ever
-    exist, so the batch side's size, not the corpus's, drives the pair
-    fan-out. At 100 TB the near arm runs behind MinHash-LSH banding
-    exactly like the symmetric verifier (band buckets on both sides,
-    verify only same-bucket cross pairs); the verdict aggregation is
-    pair-list-agnostic.
+    fingerprint.
+
+    The near arm is BANDED by default — the 100 TB shape: MinHash band
+    buckets on both sides (``reference_dedup_index`` precomputes and
+    persists the reference side ONCE; pass it as ``ref_index`` to
+    amortize across batches), candidates = same-(band, bucket) cross
+    pairs only, then exact hashed-shingle Jaccard verification of just
+    those candidates. No shingle-level join of the reference corpus
+    ever happens — the reference contributes |ref| x bands bucket rows
+    (an equi-join key, not a posting list), so a hot shingle can't fan
+    out, and per-batch work scales with the batch, not the corpus.
+    Bucket-key skew only arises from genuinely identical content
+    (identical docs share all buckets), which the fingerprint arm has
+    already attributed — the residual candidate fan-out is the
+    standard LSH bound. Recall: a true pair at Jaccard j is missed
+    with probability (1 - j^r)^bands, r = n_hashes/bands; the default
+    r=2, bands=32 puts that at ~1e-4 AT the 0.5 threshold and ~6e-7 by
+    j=0.6 — and the seeded xxhash64 construction makes any given miss
+    deterministic, not flaky. ``banded=False`` selects the exact
+    NEW x REF shingle inverted-index verifier instead (zero recall
+    loss; only cross pairs exist so the batch side drives pair
+    fan-out, but a hot shingle's reference posting list is O(corpus) —
+    reserve it for bounded corpora where exactness is contractual).
 
     Output: one row per new doc — (doc_id, verdict, dup_of, jaccard);
     ``jaccard`` is NULL unless the verdict is ``near_dup``.
@@ -757,25 +890,35 @@ def dedup_against_reference(
         .agg(F.min("ref").alias("__exact_ref"))
     )
 
-    idx_new = shingle_index(newb, "doc", "__txt", n=n)
-    idx_ref = shingle_index(refb, "ref", "__txt", n=n).withColumnRenamed(
-        "doc", "ref"
-    )
-    sz_new = idx_new.groupBy("doc").agg(F.count(F.lit(1)).alias("__sz1"))
-    sz_ref = idx_ref.groupBy("ref").agg(F.count(F.lit(1)).alias("__sz2"))
-    inter = (
-        idx_new.join(idx_ref, "shingle")
-        .groupBy("doc", "ref")
-        .agg(F.count(F.lit(1)).alias("__ni"))
-    )
-    jac = F.col("__ni").cast("double") / (
-        F.col("__sz1") + F.col("__sz2") - F.col("__ni")
-    )
+    if banded:
+        scored = _banded_cross_scores(
+            newb, ref_df, id_col, text_col,
+            n=n, n_hashes=n_hashes, bands=bands,
+            ref_index=ref_index, release_into=release_into,
+            round_digits=round_digits,
+        )
+    else:
+        idx_new = shingle_index(newb, "doc", "__txt", n=n)
+        idx_ref = shingle_index(
+            refb.withColumnRenamed("ref", "doc"), "doc", "__txt", n=n
+        ).withColumnRenamed("doc", "ref")
+        sz_new = idx_new.groupBy("doc").agg(F.count(F.lit(1)).alias("__sz1"))
+        sz_ref = idx_ref.groupBy("ref").agg(F.count(F.lit(1)).alias("__sz2"))
+        inter = (
+            idx_new.join(idx_ref, "shingle")
+            .groupBy("doc", "ref")
+            .agg(F.count(F.lit(1)).alias("__ni"))
+        )
+        jac = F.col("__ni").cast("double") / (
+            F.col("__sz1") + F.col("__sz2") - F.col("__ni")
+        )
+        scored = (
+            inter.join(sz_new, "doc")
+            .join(sz_ref, "ref")
+            .withColumn("__jac", F.round(jac, round_digits))
+        )
     near = (
-        inter.join(sz_new, "doc")
-        .join(sz_ref, "ref")
-        .withColumn("__jac", F.round(jac, round_digits))
-        .filter(F.col("__jac") >= threshold)
+        scored.filter(F.col("__jac") >= threshold)
         .groupBy("doc")
         .agg(
             F.max(F.struct(F.col("__jac"), (-F.col("ref")).alias("__nr"))).alias(

@@ -128,6 +128,41 @@ def percentile_features(
     >~2e5 distinct rows is a real event. Equal values always share a
     tile (unlike row-ordered NTILE); NULL values get a NULL tile.
     """
+    vals = percentile_value_map(
+        df,
+        value_col,
+        rank_col=rank_col,
+        cume_col=cume_col,
+        bucket_width=bucket_width,
+        round_digits=round_digits,
+        tile_col=tile_col,
+        n_tiles=n_tiles,
+    )
+    return df.join(
+        vals, on=df[value_col] == vals["__v"], how="left"
+    ).drop("__v")
+
+
+def percentile_value_map(
+    df: DataFrame,
+    value_col: str,
+    rank_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+    bucket_width: float | None = None,
+    round_digits: int = 6,
+    tile_col: str | None = None,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """The DISTINCT-VALUE-grain feature map behind
+    :func:`percentile_features`: ``(__v, rank_col, cume_col[, tile])``
+    with one row per distinct non-NULL value. Callers scoring SEVERAL
+    metrics of one table (``rfm_segments``) build each metric's map
+    independently from the (persisted) base and equi-join the maps on —
+    chaining full ``percentile_features`` passes instead re-prints the
+    whole upstream lineage through every pass's three-way self-reference
+    (the r11 rfm plan carried 86 textual reprints of its one-row
+    broadcast); map-then-join keeps it at one scalar broadcast per
+    metric. Same counting recipe, same numbers."""
     from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
 
     nn = df.filter(F.col(value_col).isNotNull())
@@ -171,10 +206,7 @@ def percentile_features(
             .cast("long")
             .alias(tile_col)
         )
-    vals = cums.crossJoin(F.broadcast(totals)).select("__v", *out_cols)
-    return df.join(
-        vals, on=df[value_col] == vals["__v"], how="left"
-    ).drop("__v")
+    return cums.crossJoin(F.broadcast(totals)).select("__v", *out_cols)
 
 
 def standardize(

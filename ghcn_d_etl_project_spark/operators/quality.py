@@ -241,6 +241,53 @@ def approx_quantile_bounds(df: DataFrame, col: str, k: float = 1.5) -> DataFrame
     )
 
 
+def approx_quantile_certificate(
+    df: DataFrame, col: str, band: float = 0.01, accuracy: int = 10000
+) -> DataFrame:
+    """Rank-error certificate for the percentile_approx sketch against
+    the EXACT rank anchor (r12, the tolerance-band oracle recipe): run
+    the sketch, then EXACTLY count where its returned values sit in the
+    data — a returned value v spans exact ranks
+    ``[count(x < v) + 1, count(x <= v)]`` — and report whether the
+    target rank ``p*n`` lies within that span widened by ``band*n``.
+    The counts are exact integer aggregates (one extra scan against the
+    broadcast 1-row sketch output), so the booleans are deterministic;
+    a cross-engine oracle pins them TRUE (plus n), which a sketch
+    regression — wrong percentile, broken accuracy, a swapped bound —
+    flips to a hash mismatch. ``band`` defaults to 1%, 100x the
+    sketch's own guarantee (rank error <= n/accuracy = 0.01%), so the
+    certificate never flakes on legitimate sketch output but catches
+    anything structurally wrong.
+
+    Output: one row — ``(n BIGINT, q1_in_band, q3_in_band)``."""
+    q = df.agg(
+        F.percentile_approx(col, 0.25, accuracy).alias("__aq1"),
+        F.percentile_approx(col, 0.75, accuracy).alias("__aq3"),
+    )
+    x = F.col(col)
+    cert = df.crossJoin(F.broadcast(q)).agg(
+        F.count(x).alias("n"),
+        F.sum(F.when(x < F.col("__aq1"), 1).otherwise(0)).alias("__r1lo"),
+        F.sum(F.when(x <= F.col("__aq1"), 1).otherwise(0)).alias("__r1hi"),
+        F.sum(F.when(x < F.col("__aq3"), 1).otherwise(0)).alias("__r3lo"),
+        F.sum(F.when(x <= F.col("__aq3"), 1).otherwise(0)).alias("__r3hi"),
+    )
+    n = F.col("n").cast("double")
+
+    def _ok(lo: str, hi: str, p: float):
+        target = F.lit(p) * n
+        return (
+            (F.col(lo).cast("double") + 1 - F.lit(band) * n <= target)
+            & (F.col(hi).cast("double") + F.lit(band) * n >= target)
+        )
+
+    return cert.select(
+        F.col("n").cast("long").alias("n"),
+        _ok("__r1lo", "__r1hi", 0.25).alias("q1_in_band"),
+        _ok("__r3lo", "__r3hi", 0.75).alias("q3_in_band"),
+    )
+
+
 def schema_contract_report(
     df: DataFrame, expected: T.StructType
 ) -> tuple[bool, list[str]]:

@@ -824,12 +824,20 @@ def mmr_rerank(
             picked.append(best)
             scores.append(float(mmr_avail[best]))
             avail[best] = False
+        # HALF-AWAY rounding (the engine-wide F.round / SQL convention),
+        # NOT np.round's half-even: rank-1 scores are 0.7 * (a 6-decimal
+        # rel), which lands the scaled value exactly on .5 whenever
+        # rel's last digit is 5 — np.round would flip those down on even
+        # and break cross-engine parity (caught by the r12 MMR oracle)
+        arr = np.asarray(scores)
+        scale = 10.0 ** round_digits
+        rounded = np.floor(np.abs(arr) * scale + 0.5) * np.sign(arr) / scale
         return pd.DataFrame(
             {
                 "qid": pdf["__qid"].iloc[picked].to_numpy(),
                 "cand": pdf["__cand"].iloc[picked].to_numpy(),
                 "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int64),
-                "mmr_score": np.round(np.asarray(scores), round_digits),
+                "mmr_score": rounded,
             }
         )
 

@@ -392,6 +392,7 @@ def word_bigram_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 6,
+    release_into: list | None = None,
 ):
     """Word-bigram language-model quality score per document: the mean
     negative log-probability of its word bigrams under an add-one-
@@ -423,6 +424,11 @@ def word_bigram_surprisal(
 
     Output: ``id_col, n_bigrams, avg_logp, ppl`` — one row per document
     with at least one bigram (>= 2 alpha tokens).
+
+    Pass ``release_into`` (a list) to receive the two persisted
+    intermediates (the exploded bigram substrate and the count table)
+    and ``unpersist()`` them once the result materializes — the
+    caller-owned-lifetime contract of :func:`minhash_lsh_dedup`.
     """
     dec = f"decimal(18,{round_digits})"
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
@@ -444,6 +450,8 @@ def word_bigram_surprisal(
         .persist()
     )
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2")).persist()
+    if release_into is not None:
+        release_into.extend([bigrams, c2])
     c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     vsize = c2.agg(F.countDistinct("w2").alias("__v"))
     model = (

@@ -371,7 +371,8 @@ GROUP BY l_returnflag
 """
 
 
-@register("salted_hot_key_agg", oracle=_SALTED_ORACLE, tags=("agg", "skew"))
+@register("salted_hot_key_agg", oracle=_SALTED_ORACLE, tags=("agg", "skew"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation over an extremely hot key (l_returnflag: 3 values for
     600k rows at sf0.1) via the salted two-phase rewrite — each key's rows

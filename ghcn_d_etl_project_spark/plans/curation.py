@@ -2151,7 +2151,7 @@ FROM flagged
     "bh_fdr_events",
     oracle=_BH_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,  # new in r11
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control across the experiment's per-metric
@@ -2315,7 +2315,7 @@ FROM agg
     "jackknife_ratio_orders",
     oracle=_JK_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,  # new in r11
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def jackknife_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-one-bucket jackknife standard error for mean order value —
@@ -2460,7 +2460,7 @@ FROM q
     "qte_deciles_events",
     oracle=_QTE_ORACLE,
     tags=("curation", "experiment", "stats"),
-    late=True,  # new in r11
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def qte_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects: the A-minus-B engagement difference

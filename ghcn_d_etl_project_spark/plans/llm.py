@@ -56,7 +56,8 @@ GROUP BY 2
 """
 
 
-@register("dedup_groups", oracle=_GROUPS_ORACLE, tags=("llm", "dedup"))
+@register("dedup_groups", oracle=_GROUPS_ORACLE, tags=("llm", "dedup"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-groupBy dedup under both exact strategies, labeled: 'exact'
     (md5 of raw text) and 'fingerprint' (md5 of normalized text —
@@ -175,7 +176,8 @@ QUALIFY rank <= 5
 """
 
 
-@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"), bench=True)
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity"),
+          bench=True, late=True)  # r12 rotation: 7-round green, demoted
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 neighbors per embedding. The auto
     strategy picks the block-matmul arm (corpus broadcast as a dense
@@ -197,7 +199,8 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-@register("embedding_neardup", oracle=_NEARDUP_ORACLE, tags=("llm", "similarity"))
+@register("embedding_neardup", oracle=_NEARDUP_ORACLE, tags=("llm", "similarity"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.4 on this synthetic
     corpus; the threshold is data-calibrated, the operator generic)."""
@@ -234,7 +237,8 @@ JOIN (SELECT component, COUNT(*) AS n FROM comp GROUP BY component) s
 """
 
 
-@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup", "graph"))
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup", "graph"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> dedup CLUSTERS: distributed connected components
     (min-label propagation + pointer jumping, ``operators/graph.py``)
@@ -331,7 +335,8 @@ GROUP BY g.doc_id, e.eval_id
 """
 
 
-@register("contamination_check", oracle=_CONTAM_ORACLE, tags=("llm", "decontam"))
+@register("contamination_check", oracle=_CONTAM_ORACLE, tags=("llm", "decontam"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (``operators/contamination.py``):
     corpus docs sharing any 8-word n-gram with the simulated eval set
@@ -516,7 +521,8 @@ FROM feat
 """
 
 
-@register("text_profile", oracle=_PROFILE_ORACLE, tags=("llm", "text"))
+@register("text_profile", oracle=_PROFILE_ORACLE, tags=("llm", "text"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-document text profile — the four analysis families
     (language ID, quality scoring, token counting, fingerprinting) fused
@@ -592,7 +598,8 @@ QUALIFY rank <= 3
 """
 
 
-@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1).
 
@@ -645,7 +652,8 @@ FROM documents
 """
 
 
-@register("pii_redact", oracle=_PII_ORACLE, tags=("llm", "text"))
+@register("pii_redact", oracle=_PII_ORACLE, tags=("llm", "text"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: email/phone/SSN shapes replaced with typed
     placeholder tokens via chained JVM-side regexp_replace. Patterns sit
@@ -1027,12 +1035,100 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Greedy-MMR replay oracle (r12, VERDICT directive #5): per qid the
+# recursive state carries the pool's sorted cand list, its rounded-6
+# rel list, and the FULL pool-local cosine matrix as a list-of-lists;
+# each step evaluates mmr_i = 0.7*rel_i - 0.3*max_{j picked} S[i][j]
+# for every candidate with indexed list lambdas (picked masked to
+# -1e308) and picks list_position(.., list_max(..)) — first occurrence
+# of the max == lowest index == smallest cand id, which is exactly
+# numpy argmax over the cand-sorted frame. The same per-group-sequential
+# algorithm the Spark side runs, replayed by a second engine.
+_MMR_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+pool AS (
+  SELECT qid, nid, cos_sim FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.vec, b.vec), 6) DESC,
+                      b.vec_id) AS rk
+    FROM v a, v b WHERE a.vec_id <> b.vec_id
+  ) WHERE rk <= 20
+),
+pools AS (
+  SELECT qid, list(nid ORDER BY nid) AS cands,
+         list(cos_sim ORDER BY nid) AS rels
+  FROM pool GROUP BY qid
+),
+simrows AS (
+  SELECT p1.qid, p1.nid AS c1,
+         list(list_cosine_similarity(v1.vec, v2.vec) ORDER BY p2.nid)
+           AS srow
+  FROM pool p1
+  JOIN pool p2 ON p1.qid = p2.qid
+  JOIN v v1 ON p1.nid = v1.vec_id
+  JOIN v v2 ON p2.nid = v2.vec_id
+  GROUP BY p1.qid, p1.nid
+),
+simm AS (
+  SELECT qid, list(srow ORDER BY c1) AS m FROM simrows GROUP BY qid
+),
+mmr AS (
+  SELECT p.qid, 0::BIGINT AS k, p.cands, p.rels, s.m,
+         CAST([] AS BIGINT[]) AS picked,
+         CAST([] AS BIGINT[]) AS out_cands,
+         CAST([] AS DOUBLE[]) AS out_scores
+  FROM pools p JOIN simm s USING (qid)
+  UNION ALL
+  SELECT qid, k + 1, cands, rels, m,
+         list_append(picked, best_i),
+         list_append(out_cands, cands[best_i]),
+         list_append(out_scores, round(mmrs[best_i], 6))
+  FROM (
+    SELECT *, list_position(mmrs, list_max(mmrs)) AS best_i
+    FROM (
+      SELECT *,
+        list_transform(cands, (c, i) -> CASE
+          WHEN list_contains(picked, i) THEN -1e308
+          ELSE 0.7 * rels[i] - 0.3 * (CASE WHEN len(picked) = 0 THEN 0
+               ELSE list_max(list_transform(picked, j -> m[i][j])) END)
+          END) AS mmrs
+      FROM mmr WHERE k < 5 AND len(cands) > k
+    )
+  )
+),
+final AS (
+  SELECT qid, out_cands, out_scores
+  FROM (SELECT *, MAX(k) OVER (PARTITION BY qid) AS mx FROM mmr)
+  WHERE k = mx
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(unnest(out_cands) AS BIGINT) AS cand,
+       CAST(unnest(list_transform(out_cands, (c, i) -> i)) AS BIGINT)
+         AS mmr_rank,
+       unnest(out_scores) AS mmr_score
+FROM final
+"""
+
+
 @register(
     "mmr_rerank_embeddings",
-    oracle=None,  # the greedy selection is sequential per query — each
-    # pick depends on the redundancy max over all previous picks; a
-    # k-step unrolled SQL restatement is possible in principle but not
-    # honest verification; semantics pinned by hand-case pytests
+    oracle=_MMR_ORACLE,  # r12: the greedy selection REPLAYS in a DuckDB
+    # recursive CTE (the packing-FFD list-state idiom): per qid the
+    # pool's cand ids / rounded rels / full unrounded sim matrix ride in
+    # LIST state, each step computes every candidate's
+    # 0.7*rel - 0.3*max(sim to picked) with indexed list lambdas, masks
+    # picked to -inf, and argmaxes via list_position(list_max) — first
+    # occurrence == lowest index == smallest cand id, numpy's exact tie
+    # rule. Cross-engine float caveat: the redundancy cosines are
+    # UNROUNDED float64 from two different accumulation orders (numpy
+    # GEMM vs sequential list_cosine_similarity); a selection flip or a
+    # round-to-6 boundary hit needs a ~1e-14 coincidence — none at the
+    # oracle SF, and the seeded fixture makes the check deterministic.
     tags=("llm", "ml", "embeddings", "persists"),
     late=True,
 )
@@ -1135,7 +1231,7 @@ FROM ffd a JOIN pos p ON a.bucket = p.bucket AND a.rn = p.rn
     "pack_sequences_docs",
     oracle=_PACK_ASSIGN_ORACLE,
     tags=("llm", "shard", "packing"),
-    late=True,
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 256-token training sequences
@@ -1232,7 +1328,7 @@ FROM docstats d JOIN final f USING (bucket)
     "packing_stats",
     oracle=_PACKSTATS_ORACLE,
     tags=("llm", "shard", "packing"),
-    late=True,  # new in r11 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket packing summary of ``pack_sequences_docs``: documents,
@@ -1861,7 +1957,7 @@ FROM agg
     "span_dedup_profile_docs",
     oracle=_SPAN_DEDUP_ORACLE,
     tags=("llm", "dedup", "quality"),
-    late=True,
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def span_dedup_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-span coverage at char-40-gram grain
@@ -2323,7 +2419,7 @@ LEFT JOIN near nr ON n.doc = nr.doc
     "incremental_dedup_docs",
     oracle=_INCR_DEDUP_ORACLE,
     tags=("llm", "dedup", "incremental"),
-    late=True,
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup verdicts
@@ -2331,10 +2427,18 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming batch (``doc_id % 10 == 7``) judged against the existing
     corpus (the rest) — exact_dup by normalized fingerprint (one hash
     equi-join), near_dup by char-4-gram Jaccard >= 0.5 against the
-    best reference match (NEW x REF inverted-index join — only cross
-    pairs exist, the batch side drives fan-out; behind LSH banding at
-    100 TB), clean otherwise. The production dedup shape: a crawl
-    batch lands against the corpus; nobody re-dedupes the world."""
+    best reference match, clean otherwise. Runs the BANDED near arm
+    (the 100 TB shape): MinHash band buckets on both sides, exact
+    hashed-shingle Jaccard on same-bucket cross candidates only — no
+    shingle-level join of the reference side exists in the plan (the
+    reference contributes |ref| x 32 bucket keys, so a hot shingle
+    can't fan out). The exact all-pairs oracle still hash-matches:
+    with r=2/32 bands a true >= 0.5 pair is missed w.p. ~1e-4, and the
+    seeded construction is deterministic — equality vs the exact arm
+    is pinned in ``tests/test_corpus_curation.py`` (sf0.001) and was
+    verified at sf0.01 and sf0.1 when the arm landed (SCALE.md r12).
+    The production dedup shape: a crawl batch lands against the
+    corpus; nobody re-dedupes the world."""
     from ghcn_d_etl_project_spark.operators.dedup import (
         dedup_against_reference,
     )

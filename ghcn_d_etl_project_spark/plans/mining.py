@@ -179,7 +179,7 @@ FROM deg d LEFT JOIN tcount t USING (node)
     "clustering_coeff_parts",
     oracle=_LCC_ORACLE,
     tags=("mining", "graph", "persists"),
-    late=True,  # new in r11 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def clustering_coeff_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every part in the co-purchase
@@ -248,7 +248,7 @@ WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = s.node1 AND e.v = s.node2)
     "adamic_adar_parts",
     oracle=_AA_ORACLE,
     tags=("mining", "graph", "persists"),
-    late=True,  # new in r11
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def adamic_adar_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction on the co-purchase graph
@@ -409,42 +409,81 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue sum), each scored into quintiles by CUME_DIST — equal
     metric values share a score (tie-stable, unlike NTILE's arbitrary
     tie splitting) and the quantile is computed by the COUNTING recipe
-    (``operators/encoding.py:percentile_features`` — distinct-value
+    (``operators/encoding.py:percentile_value_map`` — distinct-value
     counts + bucketed global cumsum + broadcast total), never the
     ``Exchange SinglePartition`` global-sort window the oracle states.
-    Score = ceil(5 * cume) (recency inverted: recent = 5)."""
-    from ghcn_d_etl_project_spark.operators.encoding import percentile_features
+    Score = ceil(5 * cume) (recency inverted: recent = 5).
+
+    Plan shape (r12): each metric's value->cume map is built
+    independently from the PERSISTED per-customer base and equi-joined
+    on — the r11 form chained three full percentile passes, whose
+    three-way self-references re-printed the upstream lineage into 86
+    textual copies of the one-row total broadcast (analysis-time
+    bloat; VERDICT r11 #2). The base persists WITHOUT any scalar
+    broadcast inside (so cached-plan reprints stay BNLJ-free), ONE
+    scalar aggregate row carries both N_total and the corpus max date
+    into all three maps, and the recency map is keyed on the
+    last-order DATE: cume_dist over recency ascending == the inverted
+    cumulative count over __last ascending, (N - cum + n) / N, so
+    recency never needs the max date attached at row grain. BNLJ
+    occurrences: exactly 3 (one per map), identical numbers."""
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
 
     o = t(spark, sf_dir, "orders")
-    maxd = o.agg(F.max("o_orderdate").alias("__maxd"))
-    rollup = (
+    base = (
         o.groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.max("o_orderdate").alias("__last"),
             F.count(F.lit(1)).alias("frequency"),
             dsum("o_totalprice").alias("monetary"),
         )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            "custkey",
-            F.datediff(F.col("__maxd"), F.col("__last")).alias("recency_days"),
-            "frequency",
-            "monetary",
-        )
-        # Each percentile pass scans its input three ways (distinct-value
-        # counts, total, join-back) and the passes chain — without the
-        # mark the orders aggregation re-executes ~9x in one action.
+        # read by the 3 map builds + the shared totals + the join chain
         .persist()
     )
-    scored = rollup
-    for col, cume in (
-        ("recency_days", "cr"),
-        ("frequency", "cf"),
-        ("monetary", "cm"),
-    ):
-        scored = percentile_features(
-            scored, col, rank_col=f"__pr_{col}", cume_col=cume
-        ).drop(f"__pr_{col}")
+    totals = base.agg(
+        F.count(F.lit(1)).alias("__N_total"),
+        F.max("__last").alias("__maxd"),
+    )
+    big_n = F.col("__N_total").cast("double")
+
+    def vmap(col: str, out_cols: list) -> DataFrame:
+        per_val = base.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        order = "__v"
+        if col == "__last":
+            # DATE order key: the cumsum bucketer casts to double, so
+            # order on exact epoch-days instead (same total order)
+            per_val = per_val.withColumn(
+                "__vd", F.datediff(F.col("__v"), F.lit("1970-01-01"))
+            )
+            order = "__vd"
+        cums = global_cumsum(per_val, order, "__n", out_col="__cum")
+        return cums.crossJoin(F.broadcast(totals)).select("__v", *out_cols)
+
+    # recency: ties on recency_days == ties on __last (datediff with a
+    # fixed max date is injective on dates), and ORDER BY recency asc
+    # == ORDER BY __last desc, so the inclusive count is N - cum + n
+    rmap = vmap("__last", [
+        F.datediff(F.col("__maxd"), F.col("__v")).alias("recency_days"),
+        F.round(
+            (F.col("__N_total") - F.col("__cum") + F.col("__n")).cast("double")
+            / big_n,
+            6,
+        ).alias("cr"),
+    ])
+    fmap = vmap("frequency", [
+        F.round(F.col("__cum").cast("double") / big_n, 6).alias("cf")
+    ])
+    mmap = vmap("monetary", [
+        F.round(F.col("__cum").cast("double") / big_n, 6).alias("cm")
+    ])
+
+    scored = base
+    for m, key in ((rmap, "__last"), (fmap, "frequency"), (mmap, "monetary")):
+        scored = scored.join(m, on=scored[key] == m["__v"], how="left").drop(
+            "__v"
+        )
     r_score = (F.lit(6) - F.ceil(F.col("cr") * 5)).cast("long")
     f_score = F.ceil(F.col("cf") * 5).cast("long")
     m_score = F.ceil(F.col("cm") * 5).cast("long")
@@ -667,7 +706,7 @@ WHERE NOT EXISTS (SELECT 1 FROM degs WHERE degree < 3)
     "kcore_parts",
     oracle=_KCORE_ORACLE,
     tags=("mining", "graph", "persists"),
-    late=True,
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def kcore_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-core of the co-purchase part graph

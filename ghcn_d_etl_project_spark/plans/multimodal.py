@@ -37,7 +37,8 @@ FROM documents
 """
 
 
-@register("media_metadata", oracle=_MEDIA_META_ORACLE, tags=("multimodal",))
+@register("media_metadata", oracle=_MEDIA_META_ORACLE, tags=("multimodal",),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata via the mapInPandas feature extractor —
     the Arrow-batched Pandas-UDF path, proven byte-identical to SQL
@@ -53,11 +54,36 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_media(spark, sf_dir))
 
 
-@register("frame_sample", oracle=None, tags=("multimodal",))
+# Frame-sampler oracle (r12, VERDICT directive #5): the sampler's
+# per-frame byte counts are pure arithmetic of (payload length,
+# n_frames) — frame k covers bytes [k*chunk, (k+1)*chunk) of the
+# payload Python-slice-clipped to len — so DuckDB replays the whole
+# one-to-many explosion with generate_series. Only the opaque
+# frame_bytes blob itself stays engine-side (its length IS verified).
+_FRAME_SAMPLE_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS len,
+         doc_id % 8 + 1 AS n_frames
+  FROM documents
+),
+c AS (SELECT *, greatest(len // n_frames, 1) AS chunk FROM d)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(greatest(least(len, (i + 1) * chunk)
+                     - least(len, i * chunk), 0) AS BIGINT) AS n_bytes
+FROM c, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) g(i)
+"""
+
+
+@register("frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("multimodal",),
+          late=True)  # oracle added r12 — late until the next rotation
 def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one-to-many mapInPandas explosion of each
     payload into every-2nd frame chunk with per-frame byte counts.
-    Rows-only checked (binary output)."""
+    FULL value-hash oracle since r12 (the chunk geometry replays in
+    SQL); the binary frame itself is checked by length here and
+    byte-exactly in pytest."""
     return sample_frames(_media(spark, sf_dir), every=2).drop("frame_bytes")
 
 

@@ -11,7 +11,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ghcn_d_etl_project_spark.operators.quality import (
-    approx_quantile_bounds,
     column_stats_with_outliers,
     completeness,
     quality_score,
@@ -121,7 +120,8 @@ FROM pivoted
 )
 
 
-@register("completeness_single_pass", oracle=_COMPLETENESS_ORACLE, tags=("quality",))
+@register("completeness_single_pass", oracle=_COMPLETENESS_ORACLE, tags=("quality",),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def completeness_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column completeness % in ONE aggregate job (Q4/A12) — the fused
     replacement for the reference's per-column count() loop
@@ -180,7 +180,8 @@ FROM wide, oc
 """
 
 
-@register("column_stats_outliers", oracle=_STATS_OUTLIER_ORACLE, tags=("quality", "agg"))
+@register("column_stats_outliers", oracle=_STATS_OUTLIER_ORACLE, tags=("quality", "agg"),
+          late=True)  # r12 rotation: 7-round green, demoted to sim coverage
 def column_stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe()-stats (A13, ``03_silver_processing.py:64-88``) + exact
     IQR outlier counts (Q5, ``data_validator.py:99-115``) for every
@@ -195,12 +196,40 @@ def column_stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats_with_outliers(o, ["o_totalprice", "o_custkey"])
 
 
-@register("iqr_outliers_approx", oracle=None, tags=("quality",))
+# r12 (VERDICT directive #5): the sketch output itself can never
+# value-hash cross-engine, but its RANK-ERROR CERTIFICATE can — the
+# Spark side exactly counts where the sketch's q1/q3 land in the data
+# and checks the target rank sits within a ±1% band (100x the sketch's
+# own n/10000 guarantee); the oracle pins n and the TRUE verdicts. A
+# sketch regression (wrong p, broken accuracy, swapped bound) flips a
+# boolean and the hash mismatches.
+_APPROX_CERT_ORACLE = """
+SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+       TRUE AS q1_in_band,
+       TRUE AS q3_in_band
+FROM orders
+"""
+
+
+@register("iqr_outliers_approx", oracle=_APPROX_CERT_ORACLE,
+          tags=("quality",), late=True)  # oracle added r12
 def iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based IQR bounds via percentile_approx (A14) — the 100 TB
-    path (mergeable single-pass sketch, no sort). Approximate => rows-only
-    check, mirroring the reference's approxQuantile(…, 0.05)."""
-    return approx_quantile_bounds(t(spark, sf_dir, "orders"), "o_totalprice")
+    """Sketch-based IQR quantiles via percentile_approx (A14) — the
+    100 TB path (mergeable single-pass sketch, no sort; the reference's
+    approxQuantile(…, 0.05) shape, ``operators/quality.py:
+    approx_quantile_bounds``). Since r12 the registered form is the
+    rank-error CERTIFICATE (``approx_quantile_certificate``): exact
+    integer rank counts of the sketch's q1/q3 against a ±1% tolerance
+    band, hash-checked against the oracle's pinned verdicts — the
+    'oracle the exact anchor with a tolerance band' recipe for
+    approximate operators."""
+    from ghcn_d_etl_project_spark.operators.quality import (
+        approx_quantile_certificate,
+    )
+
+    return approx_quantile_certificate(
+        t(spark, sf_dir, "orders"), "o_totalprice"
+    )
 
 
 # ---------------------------------------------------------------------------

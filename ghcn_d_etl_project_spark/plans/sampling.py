@@ -710,7 +710,7 @@ WHERE n_copies > 0
     "epoch_upsample_docs",
     oracle=_EPOCH_ORACLE,
     tags=("sampling", "llm", "mixing"),
-    late=True,
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def epoch_upsample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-level corpus expansion under an UNCAPPED T=0.5 mix toward

@@ -603,7 +603,7 @@ FROM r JOIN e USING (user_id, rn)
     "ewma_events",
     oracle=_EWMA_ORACLE,
     tags=("window", "timeseries", "pandas"),
-    late=True,  # oracle added r11 — stays behind the settled 50-slot core
+    # promoted to the 50-slot hard window in the r12 rotation
 )
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA smoothing of the event value series
@@ -611,8 +611,9 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     y_i = (1-a) y_{i-1} + a x_i via per-key Arrow-batched applyInPandas
     (pandas' C-vectorized ewm) — the honest Spark shape for a stateful
     recurrence no window function can express overflow-safely. One
-    shuffle on user_id; rows-only checked here, the recurrence itself
-    is pinned exactly in ``tests/test_timeseries.py``."""
+    shuffle on user_id; full value-hash oracle via a DuckDB recursive
+    CTE replaying the recurrence (since 0b25fb5, r11); the recurrence
+    is additionally pinned in ``tests/test_timeseries.py``."""
     from ghcn_d_etl_project_spark.operators.timeseries import ewma
 
     e = t(spark, sf_dir, "events").select(

@@ -112,6 +112,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "event_copurchase": _ONE_ROW + " — basket-universe count",
     "expectations_orders": _ONE_ROW + " — suite total row",
     "histogram_bins": _ONE_ROW + " — min/max/width row",
+    "iqr_outliers_approx": _ONE_ROW + " — 1-row sketch (q1, q3) output "
+    "probed by the exact-rank certificate pass (r12)",
     "key_containment_orders": _ONE_ROW + " — per-side key counts, x2",
     "ks_drift_orders": _ONE_ROW + " — KS sup-distance row",
     "lorenz_deciles_customers": _ONE_ROW + " — grand-total revenue row",
@@ -120,9 +122,9 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "quantile_normalize_docs": _ONE_ROW + " — pooled total-N row onto the "
     "ranked fact (the per-source sizes and the pooled rank map are both "
     "hash equi-joins)",
-    "rfm_segments": _ONE_ROW + " — 3 chained percentile passes' N_total "
-    "rows, reprinted via join-back lineage (86 textual occurrences, all "
-    "single-row build sides)",
+    "rfm_segments": _ONE_ROW + " — ONE shared totals row (N_total + max "
+    "date) broadcast onto each of the 3 metric value-maps; r12 collapsed "
+    "the r11 86-reprint join-back lineage to exactly these 3",
     "skew_report_lineitem": _ONE_ROW + " — table-total row",
     "survival_km_events": _ONE_ROW + " — risk-set base row",
     "temperature_mix_docs": _ONE_ROW + " — domain-rate normalizer row",
