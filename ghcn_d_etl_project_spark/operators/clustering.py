@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lloyd", "label_centroids", "nearest_centroid"]
+__all__ = [
+    "kmeans_lloyd",
+    "label_centroids",
+    "nearest_centroid",
+    "embedding_split_drift",
+]
 
 
 def _as_double(col: str):
@@ -304,4 +309,108 @@ def nearest_centroid(
         "*",
         best["label"].alias("pred_label"),
         (-best["negd"]).cast("double").alias("dist2"),
+    )
+
+
+def embedding_split_drift(
+    df: DataFrame,
+    split_col,
+    vec_col: str,
+    dim: int,
+    scale: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distribution-drift readout between TWO embedding populations
+    (``split_col`` boolean Column: True = the incoming batch, False =
+    the reference corpus) — the embedding-space half of the
+    incremental-ingestion gate family: a crawl batch whose centroid
+    has rotated away from the corpus, or whose vectors changed scale
+    (a new encoder version, a normalization bug), should fail loudly
+    BEFORE it contaminates dedup thresholds and ANN indexes tuned on
+    the old geometry.
+
+    Exact-arithmetic recipe (the :func:`label_centroids` convention,
+    coarsened): components quantize to ``floor(v * scale)`` BIGINT;
+    per-split per-dim sums and the per-split sum of squared quantized
+    components are exact associative integer aggregates in ONE
+    groupBy(split) pass (map-side combined — the shuffle carries 2
+    rows of d+2 longs regardless of corpus size). The cross-split
+    cosine then comes from exact integer dot products of the two sum
+    vectors (cos(sum) == cos(centroid); the scale cancels), with the
+    final double division/sqrt/round the only inexact steps — IEEE-
+    identical on any engine, hence fully value-hash checkable.
+    ``scale`` defaults to 1e3, keeping every intermediate (sums
+    ~n*scale, dots ~d*(n*scale)^2) exactly representable in both
+    BIGINT and DOUBLE at petabyte row counts; the induced ~1e-3
+    relative quantization is immaterial for a drift METRIC (this is a
+    monitor, not a precision instrument — document deltas, don't
+    reuse as similarity).
+
+    Output: ONE row — ``n_ref, n_new BIGINT; centroid_cos,
+    mean_sqnorm_ref, mean_sqnorm_new DOUBLE`` (mean squared norm in
+    ORIGINAL units: ssq / (scale^2 * n)).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    q = [
+        F.floor(_as_double(vec_col)[i] * F.lit(float(scale))).cast("long")
+        for i in range(dim)
+    ]
+    wide = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            split_col.alias("__new"),
+            *[q[i].alias(f"__q{i}") for i in range(dim)],
+        )
+        .groupBy("__new")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[F.sum(F.col(f"__q{i}")).alias(f"__s{i}") for i in range(dim)],
+            F.sum(
+                sum(
+                    (F.col(f"__q{i}") * F.col(f"__q{i}") for i in range(1, dim)),
+                    F.col("__q0") * F.col("__q0"),
+                )
+            ).alias("__ssq"),
+        )
+    )
+    r = wide.filter(~F.col("__new")).select(
+        F.col("__n").alias("__nr"),
+        *[F.col(f"__s{i}").alias(f"__r{i}") for i in range(dim)],
+        F.col("__ssq").alias("__ssqr"),
+    )
+    w = wide.filter(F.col("__new")).select(
+        F.col("__n").alias("__nn"),
+        *[F.col(f"__s{i}").alias(f"__w{i}") for i in range(dim)],
+        F.col("__ssq").alias("__ssqn"),
+    )
+    dot = sum(
+        (F.col(f"__r{i}") * F.col(f"__w{i}") for i in range(1, dim)),
+        F.col("__r0") * F.col("__w0"),
+    )
+    rr = sum(
+        (F.col(f"__r{i}") * F.col(f"__r{i}") for i in range(1, dim)),
+        F.col("__r0") * F.col("__r0"),
+    )
+    ww = sum(
+        (F.col(f"__w{i}") * F.col(f"__w{i}") for i in range(1, dim)),
+        F.col("__w0") * F.col("__w0"),
+    )
+    sc2 = float(scale) * float(scale)
+    return r.crossJoin(F.broadcast(w)).select(
+        F.col("__nr").alias("n_ref"),
+        F.col("__nn").alias("n_new"),
+        F.round(
+            dot.cast("double")
+            / F.sqrt(rr.cast("double") * ww.cast("double")),
+            round_digits,
+        ).alias("centroid_cos"),
+        F.round(
+            F.col("__ssqr").cast("double") / (F.lit(sc2) * F.col("__nr")),
+            round_digits,
+        ).alias("mean_sqnorm_ref"),
+        F.round(
+            F.col("__ssqn").cast("double") / (F.lit(sc2) * F.col("__nn")),
+            round_digits,
+        ).alias("mean_sqnorm_new"),
     )

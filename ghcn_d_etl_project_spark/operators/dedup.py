@@ -768,6 +768,52 @@ def reference_dedup_index(
     )
 
 
+def save_reference_index(
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 4,
+    n_hashes: int = 64,
+    bands: int = 32,
+) -> None:
+    """Materialize the reference dedup index to storage —
+    ``<path>/shingle_sets`` (ref, sh) and ``<path>/band_buckets``
+    (ref, band, bucket) parquet — so the compute-once amortization of
+    :func:`reference_dedup_index` survives across JOBS, not just
+    micro-batches: build when the corpus is published (or on
+    compaction), and every subsequent ingest job
+    :func:`load_reference_index`\\ s two parquet scans instead of
+    re-shingling a trillion tokens. Deterministic (seeded xxhash64),
+    so a rebuild from the same corpus is byte-equivalent."""
+    held: list[DataFrame] = []
+    sets, bandtab = reference_dedup_index(
+        ref_df, id_col, text_col,
+        n=n, n_hashes=n_hashes, bands=bands, release_into=held,
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/shingle_sets")
+    bandtab.write.mode("overwrite").parquet(f"{path}/band_buckets")
+    for f in held:
+        f.unpersist()
+
+
+def load_reference_index(
+    spark,
+    path: str,
+    release_into: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Load a :func:`save_reference_index` artifact as the
+    ``ref_index`` tuple for :func:`dedup_against_reference` /
+    ``streaming.dedup.neardup_gate_stream``. Both frames come back
+    persist-marked (every batch probes them); pass ``release_into``
+    to receive them for the usual caller-owned ``unpersist()``."""
+    sets = spark.read.parquet(f"{path}/shingle_sets").persist()
+    bandtab = spark.read.parquet(f"{path}/band_buckets").persist()
+    if release_into is not None:
+        release_into.extend([sets, bandtab])
+    return sets, bandtab
+
+
 def _banded_cross_scores(
     newb: DataFrame,
     ref_df: DataFrame,

@@ -431,24 +431,7 @@ def word_bigram_surprisal(
     caller-owned-lifetime contract of :func:`minhash_lsh_dedup`.
     """
     dec = f"decimal(18,{round_digits})"
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
-    bigrams = (
-        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
-        .select(F.col(id_col), toks.alias("__t"))
-        .filter(F.size("__t") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(__t) - 1),"
-                    " i -> struct(element_at(__t, i) AS w1,"
-                    " element_at(__t, i + 1) AS w2))"
-                )
-            ).alias("__bg"),
-        )
-        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
-        .persist()
-    )
+    bigrams = _word_bigrams(df, id_col, text_col).persist()
     c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2")).persist()
     if release_into is not None:
         release_into.extend([bigrams, c2])
@@ -479,6 +462,152 @@ def word_bigram_surprisal(
     return scored.select(
         id_col,
         "n_bigrams",
+        F.round(avg, round_digits).alias("avg_logp"),
+        F.round(F.exp(-avg), 4).alias("ppl"),
+    )
+
+
+def _word_bigrams(df, id_col: str, text_col: str):
+    """(id, w1, w2) — one row per adjacent lowercase-alpha word pair."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    return (
+        df.filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+
+
+def word_bigram_cross_surprisal(
+    train_df,
+    score_df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+    release_into: list | None = None,
+):
+    """Cross-corpus LM quality gate: score each document of an incoming
+    batch under an add-one-smoothed word-bigram model trained on the
+    EXISTING corpus — the perplexity-filter half of the incremental-
+    ingestion gate (``dedup_against_reference`` answers "have we seen
+    this text"; this answers "does this text look like our corpus").
+    Unlike :func:`word_bigram_surprisal`'s self-trained model, scored
+    bigrams can be OOV, so the model has an explicit backoff ladder:
+
+      * (w1, w2) in model:  P = (c(w1 w2) + 1) / (c(w1 .) + V)
+      * w1 seen, pair not:  P = 1 / (c(w1 .) + V)     (add-one mass)
+      * w1 unseen:          P = 1 / V                 (uniform floor)
+
+    with V = the training next-word vocabulary size. Scale shape: the
+    model and the per-context floor table are corpus-sized — scoring is
+    shuffle EQUI-joins on (w1, w2) and w1, never a driver broadcast;
+    only the 1-row V rides as a broadcast. Parity recipe: every branch's
+    log-prob is quantized ONCE at its table (round(ln(...)) cast
+    DECIMAL — model grain, context grain, one uniform constant), so
+    per-doc sums are exact regardless of accumulation order.
+
+    Output: ``id_col, n_bigrams, n_oov_pairs, n_oov_contexts,
+    avg_logp, ppl`` — one row per scored document with >= 1 bigram;
+    ``n_oov_pairs`` counts bigrams outside the model (including unseen
+    contexts), ``n_oov_contexts`` the subset whose w1 itself is novel.
+    Training corpus must contain at least one bigram (V >= 1).
+
+    ``release_into`` receives the two persisted substrates (training
+    count table, scored bigram substrate) — the caller-owned-lifetime
+    contract of :func:`word_bigram_surprisal`.
+    """
+    dec = f"decimal(18,{round_digits})"
+    c2 = (
+        _word_bigrams(train_df, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .persist()
+    )
+    sb = _word_bigrams(score_df, id_col, text_col).persist()
+    if release_into is not None:
+        release_into.extend([c2, sb])
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    vsize = c2.agg(F.countDistinct("w2").alias("__v"))
+    model = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("__c2") + 1).cast("double")
+                    / (F.col("__c1") + F.col("__v")).cast("double")
+                ),
+                round_digits,
+            )
+            .cast(dec)
+            .alias("__logp"),
+        )
+    )
+    floors = (
+        c1.crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            F.round(
+                F.log(
+                    F.lit(1.0) / (F.col("__c1") + F.col("__v")).cast("double")
+                ),
+                round_digits,
+            )
+            .cast(dec)
+            .alias("__floor_logp"),
+        )
+    )
+    uniform = vsize.select(
+        F.round(F.log(F.lit(1.0) / F.col("__v").cast("double")), round_digits)
+        .cast(dec)
+        .alias("__uni_logp")
+    )
+    scored = (
+        sb.join(model, ["w1", "w2"], "left")
+        .join(floors, "w1", "left")
+        .crossJoin(F.broadcast(uniform))
+        .withColumn(
+            "__lp",
+            F.coalesce(
+                F.col("__logp"), F.col("__floor_logp"), F.col("__uni_logp")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__logp").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_oov_pairs"),
+            F.sum(
+                F.when(F.col("__floor_logp").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_oov_contexts"),
+            F.sum("__lp").alias("__s"),
+        )
+    )
+    avg = F.col("__s").cast("double") / F.col("n_bigrams")
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "n_oov_pairs",
+        "n_oov_contexts",
         F.round(avg, round_digits).alias("avg_logp"),
         F.round(F.exp(-avg), 4).alias("ppl"),
     )

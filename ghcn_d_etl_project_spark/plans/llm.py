@@ -1437,6 +1437,132 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding batch drift (r12): incoming batch vs corpus geometry monitor
+# ---------------------------------------------------------------------------
+
+# Generated 64-dim restatement of the fixed-point drift aggregate: the
+# per-split quantized component sums and squared-component sums are
+# exact BIGINT, so the only doubles are the final cos / mean-sqnorm
+# expressions — one IEEE op sequence, identical both engines.
+_DRIFT_ORACLE = """
+WITH f AS (
+  SELECT vec_id % 10 = 7 AS nw,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000.0) AS BIGINT)) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+agg AS (
+  SELECT nw, COUNT(*) AS n,
+         SUM(q[1]) AS s0,
+         SUM(q[2]) AS s1,
+         SUM(q[3]) AS s2,
+         SUM(q[4]) AS s3,
+         SUM(q[5]) AS s4,
+         SUM(q[6]) AS s5,
+         SUM(q[7]) AS s6,
+         SUM(q[8]) AS s7,
+         SUM(q[9]) AS s8,
+         SUM(q[10]) AS s9,
+         SUM(q[11]) AS s10,
+         SUM(q[12]) AS s11,
+         SUM(q[13]) AS s12,
+         SUM(q[14]) AS s13,
+         SUM(q[15]) AS s14,
+         SUM(q[16]) AS s15,
+         SUM(q[17]) AS s16,
+         SUM(q[18]) AS s17,
+         SUM(q[19]) AS s18,
+         SUM(q[20]) AS s19,
+         SUM(q[21]) AS s20,
+         SUM(q[22]) AS s21,
+         SUM(q[23]) AS s22,
+         SUM(q[24]) AS s23,
+         SUM(q[25]) AS s24,
+         SUM(q[26]) AS s25,
+         SUM(q[27]) AS s26,
+         SUM(q[28]) AS s27,
+         SUM(q[29]) AS s28,
+         SUM(q[30]) AS s29,
+         SUM(q[31]) AS s30,
+         SUM(q[32]) AS s31,
+         SUM(q[33]) AS s32,
+         SUM(q[34]) AS s33,
+         SUM(q[35]) AS s34,
+         SUM(q[36]) AS s35,
+         SUM(q[37]) AS s36,
+         SUM(q[38]) AS s37,
+         SUM(q[39]) AS s38,
+         SUM(q[40]) AS s39,
+         SUM(q[41]) AS s40,
+         SUM(q[42]) AS s41,
+         SUM(q[43]) AS s42,
+         SUM(q[44]) AS s43,
+         SUM(q[45]) AS s44,
+         SUM(q[46]) AS s45,
+         SUM(q[47]) AS s46,
+         SUM(q[48]) AS s47,
+         SUM(q[49]) AS s48,
+         SUM(q[50]) AS s49,
+         SUM(q[51]) AS s50,
+         SUM(q[52]) AS s51,
+         SUM(q[53]) AS s52,
+         SUM(q[54]) AS s53,
+         SUM(q[55]) AS s54,
+         SUM(q[56]) AS s55,
+         SUM(q[57]) AS s56,
+         SUM(q[58]) AS s57,
+         SUM(q[59]) AS s58,
+         SUM(q[60]) AS s59,
+         SUM(q[61]) AS s60,
+         SUM(q[62]) AS s61,
+         SUM(q[63]) AS s62,
+         SUM(q[64]) AS s63,
+         SUM(q[1] * q[1] + q[2] * q[2] + q[3] * q[3] + q[4] * q[4] + q[5] * q[5] + q[6] * q[6] + q[7] * q[7] + q[8] * q[8] + q[9] * q[9] + q[10] * q[10] + q[11] * q[11] + q[12] * q[12] + q[13] * q[13] + q[14] * q[14] + q[15] * q[15] + q[16] * q[16] + q[17] * q[17] + q[18] * q[18] + q[19] * q[19] + q[20] * q[20] + q[21] * q[21] + q[22] * q[22] + q[23] * q[23] + q[24] * q[24] + q[25] * q[25] + q[26] * q[26] + q[27] * q[27] + q[28] * q[28] + q[29] * q[29] + q[30] * q[30] + q[31] * q[31] + q[32] * q[32] + q[33] * q[33] + q[34] * q[34] + q[35] * q[35] + q[36] * q[36] + q[37] * q[37] + q[38] * q[38] + q[39] * q[39] + q[40] * q[40] + q[41] * q[41] + q[42] * q[42] + q[43] * q[43] + q[44] * q[44] + q[45] * q[45] + q[46] * q[46] + q[47] * q[47] + q[48] * q[48] + q[49] * q[49] + q[50] * q[50] + q[51] * q[51] + q[52] * q[52] + q[53] * q[53] + q[54] * q[54] + q[55] * q[55] + q[56] * q[56] + q[57] * q[57] + q[58] * q[58] + q[59] * q[59] + q[60] * q[60] + q[61] * q[61] + q[62] * q[62] + q[63] * q[63] + q[64] * q[64]) AS ssq
+  FROM f GROUP BY nw
+)
+SELECT CAST(r.n AS BIGINT) AS n_ref, CAST(w.n AS BIGINT) AS n_new,
+       round(CAST(r.s0 * w.s0 + r.s1 * w.s1 + r.s2 * w.s2 + r.s3 * w.s3 + r.s4 * w.s4 + r.s5 * w.s5 + r.s6 * w.s6 + r.s7 * w.s7 + r.s8 * w.s8 + r.s9 * w.s9 + r.s10 * w.s10 + r.s11 * w.s11 + r.s12 * w.s12 + r.s13 * w.s13 + r.s14 * w.s14 + r.s15 * w.s15 + r.s16 * w.s16 + r.s17 * w.s17 + r.s18 * w.s18 + r.s19 * w.s19 + r.s20 * w.s20 + r.s21 * w.s21 + r.s22 * w.s22 + r.s23 * w.s23 + r.s24 * w.s24 + r.s25 * w.s25 + r.s26 * w.s26 + r.s27 * w.s27 + r.s28 * w.s28 + r.s29 * w.s29 + r.s30 * w.s30 + r.s31 * w.s31 + r.s32 * w.s32 + r.s33 * w.s33 + r.s34 * w.s34 + r.s35 * w.s35 + r.s36 * w.s36 + r.s37 * w.s37 + r.s38 * w.s38 + r.s39 * w.s39 + r.s40 * w.s40 + r.s41 * w.s41 + r.s42 * w.s42 + r.s43 * w.s43 + r.s44 * w.s44 + r.s45 * w.s45 + r.s46 * w.s46 + r.s47 * w.s47 + r.s48 * w.s48 + r.s49 * w.s49 + r.s50 * w.s50 + r.s51 * w.s51 + r.s52 * w.s52 + r.s53 * w.s53 + r.s54 * w.s54 + r.s55 * w.s55 + r.s56 * w.s56 + r.s57 * w.s57 + r.s58 * w.s58 + r.s59 * w.s59 + r.s60 * w.s60 + r.s61 * w.s61 + r.s62 * w.s62 + r.s63 * w.s63 AS DOUBLE)
+             / sqrt(CAST(r.s0 * r.s0 + r.s1 * r.s1 + r.s2 * r.s2 + r.s3 * r.s3 + r.s4 * r.s4 + r.s5 * r.s5 + r.s6 * r.s6 + r.s7 * r.s7 + r.s8 * r.s8 + r.s9 * r.s9 + r.s10 * r.s10 + r.s11 * r.s11 + r.s12 * r.s12 + r.s13 * r.s13 + r.s14 * r.s14 + r.s15 * r.s15 + r.s16 * r.s16 + r.s17 * r.s17 + r.s18 * r.s18 + r.s19 * r.s19 + r.s20 * r.s20 + r.s21 * r.s21 + r.s22 * r.s22 + r.s23 * r.s23 + r.s24 * r.s24 + r.s25 * r.s25 + r.s26 * r.s26 + r.s27 * r.s27 + r.s28 * r.s28 + r.s29 * r.s29 + r.s30 * r.s30 + r.s31 * r.s31 + r.s32 * r.s32 + r.s33 * r.s33 + r.s34 * r.s34 + r.s35 * r.s35 + r.s36 * r.s36 + r.s37 * r.s37 + r.s38 * r.s38 + r.s39 * r.s39 + r.s40 * r.s40 + r.s41 * r.s41 + r.s42 * r.s42 + r.s43 * r.s43 + r.s44 * r.s44 + r.s45 * r.s45 + r.s46 * r.s46 + r.s47 * r.s47 + r.s48 * r.s48 + r.s49 * r.s49 + r.s50 * r.s50 + r.s51 * r.s51 + r.s52 * r.s52 + r.s53 * r.s53 + r.s54 * r.s54 + r.s55 * r.s55 + r.s56 * r.s56 + r.s57 * r.s57 + r.s58 * r.s58 + r.s59 * r.s59 + r.s60 * r.s60 + r.s61 * r.s61 + r.s62 * r.s62 + r.s63 * r.s63 AS DOUBLE) * CAST(w.s0 * w.s0 + w.s1 * w.s1 + w.s2 * w.s2 + w.s3 * w.s3 + w.s4 * w.s4 + w.s5 * w.s5 + w.s6 * w.s6 + w.s7 * w.s7 + w.s8 * w.s8 + w.s9 * w.s9 + w.s10 * w.s10 + w.s11 * w.s11 + w.s12 * w.s12 + w.s13 * w.s13 + w.s14 * w.s14 + w.s15 * w.s15 + w.s16 * w.s16 + w.s17 * w.s17 + w.s18 * w.s18 + w.s19 * w.s19 + w.s20 * w.s20 + w.s21 * w.s21 + w.s22 * w.s22 + w.s23 * w.s23 + w.s24 * w.s24 + w.s25 * w.s25 + w.s26 * w.s26 + w.s27 * w.s27 + w.s28 * w.s28 + w.s29 * w.s29 + w.s30 * w.s30 + w.s31 * w.s31 + w.s32 * w.s32 + w.s33 * w.s33 + w.s34 * w.s34 + w.s35 * w.s35 + w.s36 * w.s36 + w.s37 * w.s37 + w.s38 * w.s38 + w.s39 * w.s39 + w.s40 * w.s40 + w.s41 * w.s41 + w.s42 * w.s42 + w.s43 * w.s43 + w.s44 * w.s44 + w.s45 * w.s45 + w.s46 * w.s46 + w.s47 * w.s47 + w.s48 * w.s48 + w.s49 * w.s49 + w.s50 * w.s50 + w.s51 * w.s51 + w.s52 * w.s52 + w.s53 * w.s53 + w.s54 * w.s54 + w.s55 * w.s55 + w.s56 * w.s56 + w.s57 * w.s57 + w.s58 * w.s58 + w.s59 * w.s59 + w.s60 * w.s60 + w.s61 * w.s61 + w.s62 * w.s62 + w.s63 * w.s63 AS DOUBLE)), 6)
+         AS centroid_cos,
+       round(CAST(r.ssq AS DOUBLE) / (1000000.0 * r.n), 6)
+         AS mean_sqnorm_ref,
+       round(CAST(w.ssq AS DOUBLE) / (1000000.0 * w.n), 6)
+         AS mean_sqnorm_new
+FROM (SELECT * FROM agg WHERE NOT nw) r, (SELECT * FROM agg WHERE nw) w
+"""
+
+
+@register(
+    "embedding_batch_drift",
+    oracle=_DRIFT_ORACLE,
+    tags=("llm", "ml", "embeddings", "incremental"),
+    late=True,  # new in r12 — stays late until the next rotation settles
+)
+def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the incoming batch
+    (``vec_id % 10 == 7``) and the reference corpus
+    (``operators/clustering.py:embedding_split_drift``): cross-split
+    centroid cosine + per-split mean squared norm, from ONE
+    groupBy(split) pass of exact fixed-point integer aggregates (the
+    label_centroids convention at scale 1e3 — every intermediate exact
+    in BIGINT and DOUBLE, so the readout value-hash matches across
+    engines). The geometry monitor of the incremental-ingestion gate
+    family: a rotated centroid or a norm shift (new encoder version,
+    normalization bug) fails here BEFORE it poisons dedup thresholds
+    and ANN indexes tuned on the old geometry."""
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        embedding_split_drift,
+    )
+
+    return embedding_split_drift(
+        t(spark, sf_dir, "embeddings"),
+        F.col("vec_id") % 10 == 7,
+        "embedding",
+        dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Word-bigram LM perplexity filter (r11): the CCNet-style quality score
 # ---------------------------------------------------------------------------
 
@@ -1497,6 +1623,112 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_bigrams",
+        "avg_logp",
+        "ppl",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus perplexity gate (r12): score the incoming batch under
+# the EXISTING corpus's LM — the quality half of incremental ingestion
+# ---------------------------------------------------------------------------
+
+_CROSS_PPL_ORACLE = """
+WITH tr AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 10 <> 7
+),
+sc AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND doc_id % 10 = 7
+),
+bgt AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM tr, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+bgs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM sc, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgt GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM c2),
+model AS (
+  SELECT c2.w1, c2.w2,
+         CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                       / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logp
+  FROM c2 JOIN c1 USING (w1), v
+),
+floors AS (
+  SELECT c1.w1,
+         CAST(round(ln(1.0 / CAST(c1.c1 + v.v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS flogp
+  FROM c1, v
+),
+uni AS (
+  SELECT CAST(round(ln(1.0 / CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6))
+           AS ulogp
+  FROM v
+),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END) AS n_oov_pairs,
+         SUM(CASE WHEN f.flogp IS NULL THEN 1 ELSE 0 END) AS n_oov_contexts,
+         SUM(COALESCE(m.logp, f.flogp, u.ulogp)) AS s
+  FROM bgs b
+  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  LEFT JOIN floors f ON b.w1 = f.w1
+  CROSS JOIN uni u
+  GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_oov_pairs AS BIGINT) AS n_oov_pairs,
+       CAST(n_oov_contexts AS BIGINT) AS n_oov_contexts,
+       round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp,
+       round(exp(-(CAST(s AS DOUBLE) / n_bigrams)), 4) AS ppl
+FROM scored
+"""
+
+
+@register(
+    "cross_perplexity_docs",
+    oracle=_CROSS_PPL_ORACLE,
+    tags=("llm", "text", "quality", "incremental", "persists"),
+    late=True,  # new in r12 — stays late until the next rotation settles
+)
+def cross_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus perplexity gate
+    (``operators/textops.py:word_bigram_cross_surprisal``): each doc of
+    the incoming batch (``doc_id % 10 == 7``) scored under the add-one
+    word-bigram LM trained on the EXISTING corpus (the rest) — the
+    quality half of incremental ingestion (``incremental_dedup_docs``
+    answers "seen before?", this answers "looks like our corpus?"),
+    with an explicit OOV backoff ladder (model pair -> seen-context
+    add-one mass -> uniform 1/V floor) and OOV counts in the output.
+    Model and floor tables are corpus-sized: scoring is shuffle
+    equi-joins on the bigram / context keys, never a driver broadcast;
+    only the 1-row vocabulary size rides broadcast. Log-probs quantized
+    once per table (DECIMAL) so per-doc sums are order-exact."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_cross_surprisal,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = word_bigram_cross_surprisal(
+        d.filter(F.col("doc_id") % 10 != 7),
+        d.filter(F.col("doc_id") % 10 == 7),
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "n_oov_pairs",
+        "n_oov_contexts",
         "avg_logp",
         "ppl",
     )

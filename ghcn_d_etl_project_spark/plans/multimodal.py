@@ -87,11 +87,30 @@ def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), every=2).drop("frame_bytes")
 
 
-@register("media_resize", oracle=None, tags=("multimodal",))
+# r12: the scalar projection of the resize IS oracle-able — the
+# synthesized payloads are non-BMP, so the fake resample truncates/pads
+# every payload to exactly out_w*out_h bytes and rewrites the metadata
+# dims; the oracle pins that arithmetic (and would catch a payload
+# mis-routed into the real BMP codec). The rewritten bytes themselves
+# stay engine-side, pixel-pinned for the REAL codec in pytest.
+_MEDIA_RESIZE_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1024 AS BIGINT) AS n_bytes,
+       CAST(32 AS INTEGER) AS width,
+       CAST(32 AS INTEGER) AS height
+FROM documents
+"""
+
+
+@register("media_resize", oracle=_MEDIA_RESIZE_ORACLE, tags=("multimodal",),
+          late=True)  # oracle added r12
 def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: payload re-sampled (fake codec) to 32x32 with
-    metadata rewritten; output projected to scalar columns for the
-    rows-only check."""
+    """Resize plumbing: payload re-sampled to 32x32 with metadata
+    rewritten (real nearest-neighbor for BMP, deterministic
+    truncate/pad fake for other formats); output projected to scalar
+    columns. FULL value-hash oracle since r12 (the fake-path size and
+    dimension arithmetic replays as constants; byte content is
+    pixel-pinned in pytest for the real codec)."""
     out = resize_images(_media(spark, sf_dir), 32, 32)
     from pyspark.sql import functions as F
 

@@ -23,7 +23,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
-__all__ = ["dedup_stream"]
+__all__ = [
+    "dedup_stream",
+    "dedup_stream_against_reference",
+    "neardup_gate_stream",
+]
 
 
 def dedup_stream(
@@ -85,3 +89,81 @@ def dedup_stream_against_reference(
         .join(ref_fp, "__fp", "left_anti")
         .drop("__fp")
     )
+
+
+def neardup_gate_stream(
+    sdf: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_path: str,
+    n: int = 4,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 32,
+    await_seconds: int = 300,
+) -> None:
+    """The FULL three-way incremental-ingestion verdict (exact_dup /
+    near_dup / clean) as a continuous gate — the ``foreachBatch``
+    companion :func:`dedup_stream_against_reference`'s docstring
+    promises for the near arm (LSH banding substrates don't map onto
+    native streaming joins, so each micro-batch is judged by the BATCH
+    operator instead of pretending otherwise).
+
+    The production economics live in the reference index:
+    ``reference_dedup_index`` shingles/signs/bands the corpus ONCE
+    before the query starts, both substrate frames stay persisted for
+    the query's lifetime, and every micro-batch reuses them via
+    ``ref_index`` — per-batch work is the batch's own shingling plus
+    band-bucket equi-joins, never a recomputation (or re-shuffle) of
+    the corpus. Verdicts are per-document and reference-only, so any
+    micro-batch partitioning of the input yields the same rows as one
+    big batch — pinned against the batch operator in
+    ``tests/test_streaming.py``.
+
+    Output: verdict rows (doc_id, verdict, dup_of, jaccard) appended
+    to ``out_dir`` as parquet; offsets are exactly-once via the
+    checkpoint (``availableNow`` — the cron-cadence incremental
+    pattern), with the usual foreachBatch caveat that a crash INSIDE a
+    batch may append it twice on replay (dedupe downstream on doc_id
+    or point ``out_dir`` at a transactional table format).
+    """
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+        reference_dedup_index,
+    )
+
+    held: list[DataFrame] = []
+    ref_index = reference_dedup_index(
+        ref_df, id_col, text_col,
+        n=n, n_hashes=n_hashes, bands=bands, release_into=held,
+    )
+
+    def judge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # per-batch release list: the batch side's persisted shingle
+        # sets die with the batch — only the reference index outlives
+        # micro-batches (a leak here accumulates one cached frame per
+        # batch for the query's lifetime)
+        batch_held: list[DataFrame] = []
+        dedup_against_reference(
+            batch, ref_df, id_col, text_col,
+            n=n, threshold=threshold, n_hashes=n_hashes, bands=bands,
+            ref_index=ref_index, release_into=batch_held,
+        ).write.mode("append").parquet(out_dir)
+        for f in batch_held:
+            f.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(judge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(await_seconds)
+    finally:
+        for f in held:
+            f.unpersist()

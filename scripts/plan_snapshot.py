@@ -104,7 +104,11 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "categorical_association": _ONE_ROW + " — chi2 grand totals, x5 passes",
     "charlm_quality_docs": _ONE_ROW + " — corpus char-lm normalizer, x2",
     "column_stats_outliers": _ONE_ROW + " — exact quantile anchor row",
+    "cross_perplexity_docs": _ONE_ROW + " — vocab-size row onto the "
+    "model/floor/uniform branches (r12)",
     "cuped_adjusted_events": _ONE_ROW + " — theta/means row",
+    "embedding_batch_drift": _ONE_ROW + " — the two 1-row per-split "
+    "fixed-point aggregates cross-joined into the final readout (r12)",
     "decile_lift_events": _ONE_ROW + " — global base-rate row",
     "epoch_upsample_docs": _ONE_ROW + " — smoothed-term total onto the "
     "per-domain rate plan (the temperature_mix normalizer pattern)",

@@ -526,3 +526,38 @@ def test_reference_dedup_index_amortizes_across_batches(spark):
     for f in rel:
         f.unpersist()
     spark.catalog.clearCache()
+
+
+def test_reference_index_save_load_roundtrip(spark, tmp_path):
+    """The durable index: save -> load -> judge must equal the inline
+    (index-built-in-session) path row-for-row — the cross-JOB form of
+    the compute-once amortization."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+        load_reference_index,
+        save_reference_index,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = d.filter(F.col("doc_id") % 10 != 7)
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    save_reference_index(ref, "doc_id", "text", str(tmp_path / "refidx"))
+    rel: list = []
+    idx = load_reference_index(spark, str(tmp_path / "refidx"), release_into=rel)
+    assert len(rel) == 2
+    loaded = {
+        tuple(r)
+        for r in dedup_against_reference(
+            new, ref, "doc_id", "text", ref_index=idx
+        ).collect()
+    }
+    rel2: list = []
+    inline = {
+        tuple(r)
+        for r in dedup_against_reference(
+            new, ref, "doc_id", "text", release_into=rel2
+        ).collect()
+    }
+    for f in rel + rel2:
+        f.unpersist()
+    assert loaded == inline and len(loaded) > 0

@@ -806,3 +806,98 @@ def test_word_bigram_surprisal_ranks_gibberish_worse(spark):
     assert got[99] < got[0], (
         f"gibberish should be more surprising: {got[99]} vs {got[0]}"
     )
+
+
+def test_cross_surprisal_backoff_ladder(spark):
+    """Hand case for the cross-corpus LM: train 'a b a b a c' ->
+    model {ab: 2, ba: 2, ac: 1}, contexts {a: 3, b: 2}, V = 3
+    ({a, b, c}). Scoring 'a b a q q b' exercises all three branches:
+    model pair (a,b)=ln(3/6) and (b,a)=ln(3/5), seen-context OOV pair
+    (a,q)=ln(1/6), unseen contexts (q,q) and (q,b)=ln(1/3)."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_cross_surprisal,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b a q q b")], "doc_id long, text string"
+    )
+    r = word_bigram_cross_surprisal(train, score).first()
+    assert r.n_bigrams == 5
+    assert r.n_oov_pairs == 3
+    assert r.n_oov_contexts == 2
+    expect = (
+        round(math.log(3 / 6), 6)
+        + round(math.log(3 / 5), 6)
+        + round(math.log(1 / 6), 6)
+        + 2 * round(math.log(1 / 3), 6)
+    ) / 5
+    assert r.avg_logp == pytest.approx(expect, abs=2e-6)
+    assert r.ppl == pytest.approx(math.exp(-expect), abs=2e-3)
+
+
+def test_cross_surprisal_pure_in_model_doc(spark):
+    """A scored doc drawn verbatim from the training distribution has
+    zero OOV counts and matches the self-trained model's branch math."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_cross_surprisal,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "x y x y"), (2, "y z")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    r = word_bigram_cross_surprisal(train, score).first()
+    assert r.n_oov_pairs == 0 and r.n_oov_contexts == 0
+    assert r.n_bigrams == 2
+
+
+def test_embedding_split_drift_hand_case(spark):
+    """ref = two copies of e1, new = one e2 (orthogonal): centroid
+    cosine 0; mean squared norms 1.0 each; a scaled new batch shows up
+    in mean_sqnorm_new, not the cosine."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        embedding_split_drift,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (17, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    r = embedding_split_drift(
+        df, F.col("vec_id") % 10 == 7, "v", dim=2
+    ).first()
+    assert (r.n_ref, r.n_new) == (2, 1)
+    assert r.centroid_cos == pytest.approx(0.0, abs=1e-9)
+    assert r.mean_sqnorm_ref == pytest.approx(1.0, abs=1e-5)
+    assert r.mean_sqnorm_new == pytest.approx(1.0, abs=1e-5)
+    # norm shift: double the new batch -> sqnorm quadruples, cos fixed
+    rows2 = [(1, [3.0, 4.0]), (17, [6.0, 8.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, v array<double>")
+    r2 = embedding_split_drift(
+        df2, F.col("vec_id") % 10 == 7, "v", dim=2
+    ).first()
+    assert r2.centroid_cos == pytest.approx(1.0, abs=1e-6)
+    assert r2.mean_sqnorm_new == pytest.approx(
+        4 * r2.mean_sqnorm_ref, rel=1e-4
+    )
+
+
+def test_embedding_split_drift_validates_dim(spark):
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        embedding_split_drift,
+    )
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        embedding_split_drift(df, F.col("vec_id") % 2 == 0, "v", dim=0)

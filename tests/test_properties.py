@@ -798,3 +798,109 @@ def test_curriculum_bucket_law(spark, sizes, k):
             for b in buckets:
                 depth[b] = depth.get(b, 0) + 1
             assert max(depth.values()) - min(depth.values()) <= 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cross_surprisal_self_training_law(spark, docs):
+    """Scoring the training corpus under ITSELF degenerates the
+    cross-corpus scorer to the self-trained one: every scored bigram
+    exists in the model, so both OOV counters are zero and
+    (n_bigrams, avg_logp, ppl) equal word_bigram_surprisal's on every
+    document — the backoff ladder must be a pure extension, never a
+    perturbation of the in-model branch."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        word_bigram_cross_surprisal,
+        word_bigram_surprisal,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cross = {
+        r.doc_id: r
+        for r in word_bigram_cross_surprisal(df, df).collect()
+    }
+    self_t = {r.doc_id: r for r in word_bigram_surprisal(df).collect()}
+    assert set(cross) == set(self_t)
+    for k, c in cross.items():
+        s = self_t[k]
+        assert (c.n_oov_pairs, c.n_oov_contexts) == (0, 0)
+        assert (c.n_bigrams, c.avg_logp, c.ppl) == (
+            s.n_bigrams,
+            s.avg_logp,
+            s.ppl,
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(
+        lambda rows: any(s for s, _ in rows)
+        and any(not s for s, _ in rows)
+        and any(any(v != 0 for v in vec) for s, vec in rows if s)
+        and any(any(v != 0 for v in vec) for s, vec in rows if not s)
+    )
+)
+def test_embedding_split_drift_laws(spark, rows):
+    """Two exact-arithmetic laws of the drift readout: (1) duplicating
+    every row leaves all five outputs BIT-identical (integer sums scale
+    by exactly 2, the power-of-two factors cancel in IEEE division);
+    (2) swapping which side is 'new' swaps the counts and sqnorms and
+    leaves centroid_cos bit-identical (the dot is symmetric)."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        embedding_split_drift,
+    )
+
+    data = [(i, 7 if s else 0, vec) for i, (s, vec) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "rid long, tag long, v array<double>"
+    )
+    base = embedding_split_drift(
+        df, F.col("tag") == 7, "v", dim=4
+    ).first()
+    doubled = df.unionByName(
+        df.withColumn("rid", F.col("rid") + 1000)
+    )
+    dbl = embedding_split_drift(
+        doubled, F.col("tag") == 7, "v", dim=4
+    ).first()
+    def eq(a, b):
+        # a degenerate split (quantized sums cancel to the zero
+        # vector) yields NULL/NaN cos in BOTH runs — still law-equal
+        if a is None or b is None:
+            return a is None and b is None
+        return a == b or (a != a and b != b)
+
+    assert (dbl.n_ref, dbl.n_new) == (2 * base.n_ref, 2 * base.n_new)
+    assert eq(dbl.centroid_cos, base.centroid_cos)
+    assert dbl.mean_sqnorm_ref == base.mean_sqnorm_ref
+    assert dbl.mean_sqnorm_new == base.mean_sqnorm_new
+    swapped = embedding_split_drift(
+        df, F.col("tag") != 7, "v", dim=4
+    ).first()
+    assert (swapped.n_ref, swapped.n_new) == (base.n_new, base.n_ref)
+    assert swapped.mean_sqnorm_ref == base.mean_sqnorm_new
+    assert swapped.mean_sqnorm_new == base.mean_sqnorm_ref
+    assert eq(swapped.centroid_cos, base.centroid_cos)

@@ -249,3 +249,52 @@ def test_stream_dedup_against_reference(spark):
     assert dropped == {
         r.doc_id for r in batch.filter(F.col("doc_id") % 5 < 3).collect()
     }
+
+
+def test_neardup_gate_stream_matches_batch_operator(spark, tmp_path):
+    """The foreachBatch near-dup gate (banded batch operator + a
+    reference index built ONCE before the query) must emit exactly the
+    batch operator's verdict rows for the same input/reference frames —
+    verdicts are per-document, so micro-batch partitioning is
+    invisible. Also checks the gate released its persisted reference
+    substrates after termination."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+    from ghcn_d_etl_project_spark.streaming.dedup import neardup_gate_stream
+
+    docs_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    ref = batch.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    new_stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    out_dir = str(tmp_path / "verdicts")
+    neardup_gate_stream(
+        new_stream, ref, "doc_id", "text",
+        out_dir=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        await_seconds=180,
+    )
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    rel: list = []
+    expect = {
+        tuple(r)
+        for r in dedup_against_reference(
+            batch.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text"),
+            ref, "doc_id", "text", release_into=rel,
+        ).collect()
+    }
+    for f in rel:
+        f.unpersist()
+    assert got == expect and len(got) > 0
+    # the gate's finally-block unpersisted the reference index
+    assert jsc.getPersistentRDDs().size() <= cached_before, (
+        "gate leaked cached substrates"
+    )
