@@ -851,3 +851,73 @@ def vocab_oov(
             round_digits,
         ).alias("oov_rate"),
     )
+
+
+def bpe_pair_counts(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+):
+    """First BPE merge iteration over the corpus (Sennrich et al. 2016):
+    treat every lowercase-alpha word as its character sequence (the
+    initial BPE symbol state), count adjacent symbol pairs weighted by
+    word frequency, and return the ``top_k`` merge candidates — the
+    statistic a distributed tokenizer-training job computes once per
+    merge round, and by far its dominant cost (the merge itself touches
+    only words containing the winning pair).
+
+    Scale shape: words collapse to a (word, count) vocabulary FIRST
+    (one hash aggregate — Zipf makes this table millions of rows where
+    the corpus is trillions of tokens), pairs explode from the
+    vocabulary, and the pair rollup is a second map-side-combined
+    aggregate; the corpus-sized explode never happens. The ranking
+    window IS single-partition, and deliberately so: its input is the
+    aggregated pair table, bounded by alphabet^2 (<= 676 rows for
+    single chars) regardless of corpus size — bounded-by-construction,
+    the same argument as global_cumsum's bucket-summary window.
+
+    Output: ``(left_sym, right_sym, pair_count BIGINT, rank BIGINT)``,
+    rank 1 = the pair the first merge would fuse.
+    """
+    from pyspark.sql import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+        .filter(F.length("__w") >= 2)
+    )
+    pair_idx = F.sequence(F.lit(1), F.length("__w") - 1)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.col("__w").substr(i, F.lit(1)).alias("l"),
+                    F.col("__w").substr(i + 1, F.lit(1)).alias("r"),
+                ),
+            )
+        ).alias("__p"),
+        F.col("__wc"),
+    )
+    counts = (
+        pairs.groupBy(
+            F.col("__p.l").alias("left_sym"), F.col("__p.r").alias("right_sym")
+        )
+        .agg(F.sum("__wc").cast("long").alias("pair_count"))
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -1629,6 +1629,57 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge statistics (r12): the first tokenizer-training iteration
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS left_sym,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+         wc
+  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+  WHERE length(w) >= 2
+),
+counts AS (
+  SELECT left_sym, right_sym, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count,
+       CAST(row_number() OVER (
+         ORDER BY pair_count DESC, left_sym, right_sym) AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 50
+"""
+
+
+@register(
+    "bpe_pair_stats_docs",
+    oracle=_BPE_ORACLE,
+    tags=("llm", "text", "tokenizer"),
+    late=True,  # new in r12 — stays late until the next rotation settles
+)
+def bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration over the corpus
+    (``operators/textops.py:bpe_pair_counts``): adjacent-symbol pair
+    counts weighted by WORD frequency — the statistic a distributed
+    tokenizer-training job computes per merge round, and its dominant
+    cost. The corpus collapses to the (word, count) vocabulary before
+    any pair exists (Zipf: millions of vocab rows for trillions of
+    tokens), pairs explode from the vocabulary only, and the ranking
+    window runs over the alphabet^2-bounded pair table. rank 1 = the
+    pair the first merge fuses."""
+    from ghcn_d_etl_project_spark.operators.textops import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf_dir, "documents"), top_k=50)
+
+
+# ---------------------------------------------------------------------------
 # Cross-corpus perplexity gate (r12): score the incoming batch under
 # the EXISTING corpus's LM — the quality half of incremental ingestion
 # ---------------------------------------------------------------------------

@@ -46,11 +46,41 @@ def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_media(spark, sf_dir)).drop("mean_byte")
 
 
-@register("image_features", oracle=None, tags=("multimodal",))
+# r12: the "decode-dependent" mean-byte is SQL-expressible after all —
+# the synthesized payload is the text's UTF-8 bytes and the corpus is
+# ASCII (verified: octet_length(encode(text)) == length(text) for every
+# doc at sf0.01/0.1), so the byte sum restates as a per-character ord()
+# aggregate; int(sum/len) == sum // len for positive values (the double
+# quotient can't cross an integer boundary: the true value is >= 1/len
+# from any integer, far above one ulp).
+_IMAGE_FEATURES_ORACLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+chars AS (
+  SELECT doc_id,
+         SUM(ord(substr(text, CAST(i AS INTEGER), 1))) AS bsum
+  FROM d, UNNEST(generate_series(1, CAST(length(text) AS BIGINT))) AS g(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       sha256(d.text) AS sha256,
+       CAST(d.doc_id % 64 + 16 AS INTEGER) AS width,
+       CAST(d.doc_id % 48 + 16 AS INTEGER) AS height,
+       CAST(COALESCE(c.bsum // NULLIF(length(d.text), 0), 0) AS BIGINT)
+         AS mean_byte
+FROM d LEFT JOIN chars c USING (doc_id)
+"""
+
+
+@register("image_features", oracle=_IMAGE_FEATURES_ORACLE,
+          tags=("multimodal",), late=True)  # oracle added r12
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image-feature extraction including the decode-dependent
-    mean-byte statistic (STUB codec — deterministic fake; plumbing is
-    production-shaped). Rows-only checked."""
+    mean-byte statistic (STUB codec for non-BMP — deterministic fake;
+    plumbing is production-shaped; BMP payloads get the real raster
+    decode). FULL value-hash oracle since r12: the fake decode's byte
+    mean replays as a per-character ord() aggregate over the ASCII
+    corpus."""
     return image_features(_media(spark, sf_dir))
 
 
@@ -187,21 +217,65 @@ def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(audio)
 
 
+# r12: the decimated WAV bytes are engine-specific, but their DECODED
+# content is pure arithmetic — so the registered query runs the full
+# decimation pipeline (synth WAV -> decode -> every-2nd-sample ->
+# re-encode WAV -> decode again -> features) and the oracle replays the
+# decimated signal with a step-2 generate_series: every output value
+# (byte count, halved rate, sample count, rms, zero crossings, peak)
+# verifies the codec + decimator end-to-end at value level.
+_AUDIO_DOWNSAMPLE_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 800 + 800 AS n
+  FROM documents WHERE doc_id IS NOT NULL
+),
+m AS (SELECT doc_id, n, (n + 1) // 2 AS m FROM d),
+s AS (
+  SELECT doc_id, m.m, i,
+         ((doc_id * 31 + (2 * i) * 7919) % 65536) - 32768 AS v
+  FROM m, UNNEST(generate_series(0, CAST(m.m - 1 AS BIGINT))) AS g(i)
+),
+lagged AS (
+  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM s
+),
+agg AS (
+  SELECT doc_id, MAX(m) AS m, SUM(v * v) AS sumsq, MAX(ABS(v)) AS peak,
+         SUM(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(44 + 2 * m AS BIGINT) AS n_bytes,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(m AS BIGINT) AS n_samples,
+       CAST(m * 1000 // 8000 AS BIGINT) AS duration_ms,
+       round(sqrt(CAST(sumsq AS DOUBLE) / m), 6) AS rms,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(peak AS BIGINT) AS peak_abs
+FROM agg
+"""
+
+
 @register(
     "audio_downsample",
-    oracle=None,  # output is WAV bytes — engine-specific serialization;
-    # decode-level equivalence pinned by the round-trip pytest
+    oracle=_AUDIO_DOWNSAMPLE_ORACLE,
     tags=("multimodal", "audio"),
-    late=True,  # new in r11
+    late=True,  # oracle added r12
 )
 def audio_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x decimation of each WAV payload (every other sample, rate
     halved, re-encoded as real WAV) — the screening-pipeline
-    pre-feature step; one-to-one mapInPandas over binary columns."""
+    pre-feature step; one-to-one mapInPandas over binary columns.
+    Since r12 the registered form pipes the decimated WAV back through
+    the feature extractor, so the FULL encode -> decode -> decimate ->
+    re-encode -> decode chain carries a value-hash oracle (the
+    decimated synth signal replays in SQL with a step-2 series); the
+    raw decimated bytes stay byte-pinned in the round-trip pytest."""
     from ghcn_d_etl_project_spark.operators.multimodal import (
+        audio_features,
         downsample_audio,
         synthesize_audio,
     )
 
     audio = synthesize_audio(t(spark, sf_dir, "documents"), "doc_id")
-    return downsample_audio(audio, factor=2)
+    return audio_features(downsample_audio(audio, factor=2))

@@ -901,3 +901,38 @@ def test_embedding_split_drift_validates_dim(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, v array<double>")
     with pytest.raises(ValueError, match="dim"):
         embedding_split_drift(df, F.col("vec_id") % 2 == 0, "v", dim=0)
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    """Vocabulary {'abab' x 2, 'ab' x 1}: pair counts ab=2*2+1=5,
+    ba=2*1=2 (word frequency weights every occurrence inside the
+    word). rank 1 = ('a','b')."""
+    from ghcn_d_etl_project_spark.operators.textops import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab")], "doc_id long, text string"
+    )
+    got = {
+        (r.left_sym, r.right_sym): (r.pair_count, r.rank)
+        for r in bpe_pair_counts(df, top_k=10).collect()
+    }
+    assert got == {("a", "b"): (5, 1), ("b", "a"): (2, 2)}
+
+
+def test_bpe_pair_counts_tie_break_and_validation(spark):
+    """Equal counts rank alphabetically by (left, right); top_k < 1
+    rejects."""
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.textops import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "xy ab")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.rank, r.left_sym, r.right_sym)
+        for r in bpe_pair_counts(df, top_k=10).collect()
+    )
+    assert rows == [(1, "a", "b"), (2, "x", "y")]
+    with _pytest.raises(ValueError, match="top_k"):
+        bpe_pair_counts(df, top_k=0)
