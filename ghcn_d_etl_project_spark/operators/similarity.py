@@ -509,6 +509,7 @@ def ann_lsh_topk(
     n_tables: int = 8,
     round_digits: int = 6,
     est_hamming_frac: float | None = 0.47,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: ``n_tables``
     independent hash tables of ``n_planes`` sign bits each; candidates are
@@ -553,6 +554,11 @@ def ann_lsh_topk(
         .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
         .persist()
     )
+    if release_into is not None:
+        # caller-owned lifetime (the minhash_lsh_dedup contract) for
+        # the shared slim-vector table — it feeds the signature matmul
+        # AND both sides of the exact-scoring join
+        release_into.append(vecd)
     n_bits = n_planes * n_tables
     with_sig = est_hamming_frac is not None and n_bits <= 64
     wide = _lsh_signatures_matmul(vecd, dim, n_planes, n_tables, with_sig)

@@ -573,6 +573,7 @@ def seasonal_profile(
     date_col: str,
     value_col: str,
     round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Day-of-week seasonal decomposition of a daily series: per-key
     per-weekday mean level and the multiplicative seasonal index
@@ -621,6 +622,11 @@ def seasonal_profile(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("__v").cast("decimal(28,4)")).alias("__sdec"),
     ).persist()  # feeds the rollup AND the final projection
+    if release_into is not None:
+        # caller-owned lifetime (the minhash_lsh_dedup contract):
+        # repeated invocations in one session otherwise accumulate
+        # one cached per-(key, dow) aggregate per call
+        release_into.append(agg0)
     overall = agg0.groupBy(*keys).agg(
         F.sum("n_days").alias("__tn"),
         F.sum("__sdec").cast("double").alias("__ts"),
