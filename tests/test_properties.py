@@ -904,3 +904,62 @@ def test_embedding_split_drift_laws(spark, rows):
     assert swapped.mean_sqnorm_ref == base.mean_sqnorm_new
     assert swapped.mean_sqnorm_new == base.mean_sqnorm_ref
     assert eq(swapped.centroid_cos, base.centroid_cos)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=6, max_size=14)
+        .map(lambda cs: "".join(cs)),
+        min_size=3,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_banded_incremental_dedup_soundness_law(spark, texts):
+    """Soundness of the banded near arm on ARBITRARY corpora: banding
+    only shrinks the candidate pair set, and the exact verify runs on
+    identical hashed shingle sets — so for every new doc, (1) an
+    exact_dup verdict is identical between arms, (2) a banded near_dup
+    implies the exact arm also says near_dup with jaccard >= the
+    banded one (argmax over a superset), (3) a banded clean is never
+    an exact exact_dup (the fingerprint arm is shared verbatim).
+    Recall misses (banded clean where exact found a near pair) are
+    ALLOWED — that's the documented (1-j^2)^32 bound, deterministic
+    per text under seeded hashing."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+    )
+
+    n = len(texts)
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[: max(n // 2, 1)])],
+        "id long, txt string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts[n // 3:])],
+        "id long, txt string",
+    )
+    rel: list = []
+    banded = {
+        r.doc_id: r
+        for r in dedup_against_reference(
+            new, ref, "id", "txt", banded=True, release_into=rel
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in dedup_against_reference(
+            new, ref, "id", "txt", banded=False
+        ).collect()
+    }
+    for f in rel:
+        f.unpersist()
+    assert set(banded) == set(exact)
+    for k, b in banded.items():
+        e = exact[k]
+        if b.verdict == "exact_dup" or e.verdict == "exact_dup":
+            assert (b.verdict, b.dup_of) == (e.verdict, e.dup_of)
+        elif b.verdict == "near_dup":
+            assert e.verdict == "near_dup"
+            assert e.jaccard >= b.jaccard
