@@ -1436,6 +1436,107 @@ def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
 
 
+# Cohen's kappa over the same confusion construction: replace the
+# matrix-emitting tail of the nearest-centroid oracle with the
+# chance-corrected agreement arithmetic (po, pe from exact integer
+# marginals; the three divisions and the (po-pe)/(1-pe) fold are the
+# only doubles — one IEEE op sequence, identical both engines).
+_KAPPA_ORACLE = _NEAREST_ORACLE.replace(
+    """SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    """, conf AS (
+  SELECT true_label, pred_label, COUNT(*) AS n
+  FROM best WHERE rn = 1 GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n) AS nn,
+         SUM(CASE WHEN true_label = pred_label THEN n ELSE 0 END) AS agree
+  FROM conf
+),
+rowm AS (SELECT true_label AS lbl, SUM(n) AS rsum FROM conf GROUP BY 1),
+colm AS (SELECT pred_label AS lbl, SUM(n) AS csum FROM conf GROUP BY 1),
+pen AS (
+  SELECT SUM(r.rsum * c.csum) AS penum
+  FROM rowm r JOIN colm c USING (lbl)
+)
+SELECT CAST(t.nn AS BIGINT) AS n_vecs,
+       round(CAST(t.agree AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) AS po,
+       round(CAST(p.penum AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)), 6) AS pe,
+       CASE WHEN CAST(p.penum AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)) < 1.0
+            THEN round(
+              (CAST(t.agree AS DOUBLE) / CAST(t.nn AS DOUBLE)
+               - CAST(p.penum AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+              / (1.0 - CAST(p.penum AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))), 6)
+       END AS kappa
+FROM tot t, pen p""",
+)
+
+
+@register(
+    "kappa_nearest_centroid",
+    oracle=_KAPPA_ORACLE,
+    tags=("llm", "ml", "embeddings", "stats", "persists"),
+    late=True,  # new in r12 — stays late until the next rotation settles
+)
+def kappa_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the nearest-centroid classifier against the
+    true labels — the chance-corrected agreement readout on top of
+    ``nearest_centroid_confusion`` (raw accuracy over-credits a
+    classifier on skewed label mixes; kappa subtracts the agreement
+    the marginals alone would produce). po and pe come from EXACT
+    integer confusion counts and marginal products; the divisions and
+    the (po - pe) / (1 - pe) fold are the only doubles, in the same
+    IEEE op order as the oracle. Degenerate pe == 1 (single class on
+    both sides) yields NULL kappa. The tiny confusion matrix is
+    persist-marked (it feeds the totals, row-marginal, and
+    column-marginal aggregates)."""
+    from ghcn_d_etl_project_spark.operators.clustering import (
+        label_centroids,
+        nearest_centroid,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
+    cents = label_centroids(emb, "label", "embedding")
+    assigned = nearest_centroid(emb, "vec_id", "embedding", cents, dim=64)
+    conf = (
+        assigned.groupBy(
+            F.col("label").cast("long").alias("t"), F.col("pred_label").alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    tot = conf.agg(
+        F.sum("n").alias("__nn"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(F.lit(0)))
+        .alias("__agree"),
+    )
+    rowm = conf.groupBy(F.col("t").alias("__lbl")).agg(
+        F.sum("n").alias("__rsum")
+    )
+    colm = conf.groupBy(F.col("p").alias("__lbl")).agg(
+        F.sum("n").alias("__csum")
+    )
+    pen = (
+        rowm.join(colm, "__lbl")
+        .agg(F.sum(F.col("__rsum") * F.col("__csum")).alias("__pen"))
+    )
+    nn = F.col("__nn").cast("double")
+    po = F.col("__agree").cast("double") / nn
+    pe = F.col("__pen").cast("double") / (nn * nn)
+    return tot.crossJoin(F.broadcast(pen)).select(
+        F.col("__nn").cast("long").alias("n_vecs"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias(
+            "kappa"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding batch drift (r12): incoming batch vs corpus geometry monitor
 # ---------------------------------------------------------------------------

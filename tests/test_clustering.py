@@ -397,3 +397,33 @@ def test_nearest_centroid_shuffle_free_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:800]
     assert "Join" not in plan, plan[:800]
+
+
+def test_kappa_matches_independent_python_from_confusion(spark):
+    """The kappa readout cross-checked against an INDEPENDENT Python
+    computation from the registered confusion matrix on the same
+    fixture: same N, same po/pe/kappa after the shared round-6."""
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    conf = all_queries()["nearest_centroid_confusion"].fn(spark, sf).collect()
+    n = sum(r.n_vecs for r in conf)
+    agree = sum(r.n_vecs for r in conf if r.true_label == r.pred_label)
+    rows: dict = {}
+    cols: dict = {}
+    for r in conf:
+        rows[r.true_label] = rows.get(r.true_label, 0) + r.n_vecs
+        cols[r.pred_label] = cols.get(r.pred_label, 0) + r.n_vecs
+    pe_num = sum(rows[lb] * cols.get(lb, 0) for lb in rows)
+    po = agree / n
+    pe = pe_num / (float(n) * float(n))
+    got = all_queries()["kappa_nearest_centroid"].fn(spark, sf).first()
+    assert got.n_vecs == n
+    assert got.po == round(po, 6)
+    assert got.pe == round(pe, 6)
+    if pe < 1.0:
+        assert got.kappa == round((po - pe) / (1.0 - pe), 6)
+    else:
+        assert got.kappa is None
+    assert -1.0 <= got.kappa <= 1.0
+    spark.catalog.clearCache()
