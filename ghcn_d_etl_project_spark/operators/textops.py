@@ -921,3 +921,118 @@ def bpe_pair_counts(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def js_divergence_words(
+    p_df,
+    q_df,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between two corpora's word
+    distributions — the data-mix diagnostic that quantifies HOW
+    differently two text populations use words (0 = identical
+    distributions, ln 2 = disjoint vocabularies): the number that says
+    whether an incoming batch can be folded into the corpus mix as-is,
+    or whether two "independent" sources are lexical mirrors.
+
+    JS(P, Q) = H(M) - (H(P) + H(Q)) / 2 with M = (P + Q) / 2 — the
+    entropy form avoids any per-side 0*ln(0) branch: each H sums only
+    its own support, and M's support is the vocabulary union.
+
+    Exact-arithmetic recipe (the engine's quantized-log convention):
+    every per-word entropy contribution is an exact INTEGER weight
+    times ONE quantized log —
+
+        H(P)  = -(1 / N_p)           * sum_w n_w  * round(ln(n_w / N_p), 6)
+        H(M)  = -(1 / (2 N_p N_q))   * sum_w M_w  * round(ln(M_w / (2 N_p N_q)), 6)
+
+    where M_w = n_w * N_q + m_w * N_p is the mixture numerator over the
+    common denominator 2*N_p*N_q — integers throughout, so the DECIMAL
+    sums are order-exact and the final divisions are a fixed IEEE op
+    sequence identical on any engine. Shuffle story: one vocab-grain
+    count per side, ONE full-outer equi-join on the word key (the
+    vocabulary is Zipf-bounded), two one-row total broadcasts.
+
+    Output: one row — ``n_tokens_p, n_tokens_q, n_words_p, n_words_q,
+    n_words_union BIGINT; h_p, h_q, h_mix, js_nats DOUBLE``. A side
+    with no alpha tokens yields NULL token totals and entropies (a
+    divergence from nothing is undefined, not zero).
+    """
+    dec = f"decimal(18,{round_digits})"
+
+    def counts(df, side: str):
+        toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(toks).alias("__w"))
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).alias(f"__n{side}"))
+        )
+
+    cp = counts(p_df, "p")
+    cq = counts(q_df, "q")
+    # totals ride in under FRESH aliases: the join and the totals share
+    # the count-table lineage, and the crossJoin would otherwise
+    # surface the same exprId twice (AMBIGUOUS_REFERENCE on Spark 4.1 —
+    # the percentile_features trap)
+    tp = cp.agg(
+        F.sum("__np").alias("__tpn0"),
+        F.count(F.lit(1)).alias("__tpw0"),
+    ).select(F.col("__tpn0").alias("__tpn"), F.col("__tpw0").alias("__tpw"))
+    tq = cq.agg(
+        F.sum("__nq").alias("__tqn0"),
+        F.count(F.lit(1)).alias("__tqw0"),
+    ).select(F.col("__tqn0").alias("__tqn"), F.col("__tqw0").alias("__tqw"))
+    j = (
+        cp.join(cq, "__w", "full_outer")
+        .select(
+            F.coalesce(F.col("__np"), F.lit(0)).alias("__np"),
+            F.coalesce(F.col("__nq"), F.lit(0)).alias("__nq"),
+        )
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tq))
+    )
+    mw = F.col("__np") * F.col("__tqn") + F.col("__nq") * F.col("__tpn")
+    denom_m = F.lit(2.0) * F.col("__tpn").cast("double") * F.col("__tqn").cast("double")
+    lt = lambda num, den: F.round(F.log(num.cast("double") / den), round_digits).cast(dec)  # noqa: E731
+    agg = j.agg(
+        F.max("__tpn").alias("__tpn"),
+        F.max("__tqn").alias("__tqn"),
+        F.max("__tpw").alias("__tpw"),
+        F.max("__tqw").alias("__tqw"),
+        F.count(F.lit(1)).alias("__wu"),
+        # integer weight x one quantized DECIMAL log per word (the
+        # charlm/bigram convention — BIGINT * DECIMAL(18,6) widens
+        # identically in both engines, where DEC*DEC would overflow
+        # DuckDB's 38-digit cap); sum() skips the absent-side NULLs
+        F.sum(
+            F.when(
+                F.col("__np") > 0,
+                F.col("__np") * lt(F.col("__np"), F.col("__tpn").cast("double")),
+            )
+        ).alias("__sp"),
+        F.sum(
+            F.when(
+                F.col("__nq") > 0,
+                F.col("__nq") * lt(F.col("__nq"), F.col("__tqn").cast("double")),
+            )
+        ).alias("__sq"),
+        F.sum(mw * lt(mw, denom_m)).alias("__sm"),
+    )
+    np_d = F.col("__tpn").cast("double")
+    nq_d = F.col("__tqn").cast("double")
+    h_p = -(F.col("__sp").cast("double")) / np_d
+    h_q = -(F.col("__sq").cast("double")) / nq_d
+    h_m = -(F.col("__sm").cast("double")) / (F.lit(2.0) * np_d * nq_d)
+    return agg.select(
+        F.col("__tpn").cast("long").alias("n_tokens_p"),
+        F.col("__tqn").cast("long").alias("n_tokens_q"),
+        F.col("__tpw").cast("long").alias("n_words_p"),
+        F.col("__tqw").cast("long").alias("n_words_q"),
+        F.col("__wu").cast("long").alias("n_words_union"),
+        F.round(h_p, round_digits).alias("h_p"),
+        F.round(h_q, round_digits).alias("h_q"),
+        F.round(h_m, round_digits).alias("h_mix"),
+        F.round(h_m - (h_p + h_q) / F.lit(2.0), round_digits).alias("js_nats"),
+    )

@@ -1730,6 +1730,93 @@ def bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (r12): batch-vs-corpus lexical distance
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = """
+WITH pw AS (
+  SELECT w, COUNT(*) AS np FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 7
+  ) GROUP BY w
+),
+qw AS (
+  SELECT w, COUNT(*) AS nq FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 7
+  ) GROUP BY w
+),
+tp AS (SELECT SUM(np) AS npt, COUNT(*) AS wp FROM pw),
+tq AS (SELECT SUM(nq) AS nqt, COUNT(*) AS wq FROM qw),
+j AS (
+  SELECT COALESCE(np, 0) AS np, COALESCE(nq, 0) AS nq
+  FROM pw FULL OUTER JOIN qw USING (w)
+),
+agg AS (
+  SELECT MAX(t1.npt) AS npt, MAX(t2.nqt) AS nqt,
+         MAX(t1.wp) AS wp, MAX(t2.wq) AS wq,
+         COUNT(*) AS wu,
+         SUM(CASE WHEN j.np > 0 THEN j.np * CAST(round(ln(
+               CAST(j.np AS DOUBLE) / CAST(t1.npt AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) END) AS sp,
+         SUM(CASE WHEN j.nq > 0 THEN j.nq * CAST(round(ln(
+               CAST(j.nq AS DOUBLE) / CAST(t2.nqt AS DOUBLE)), 6)
+               AS DECIMAL(18,6)) END) AS sq,
+         SUM((j.np * t2.nqt + j.nq * t1.npt) * CAST(round(ln(
+               CAST(j.np * t2.nqt + j.nq * t1.npt AS DOUBLE)
+               / (2.0 * CAST(t1.npt AS DOUBLE) * CAST(t2.nqt AS DOUBLE))),
+               6) AS DECIMAL(18,6))) AS sm
+  FROM j, tp t1, tq t2
+)
+SELECT CAST(npt AS BIGINT) AS n_tokens_p,
+       CAST(nqt AS BIGINT) AS n_tokens_q,
+       CAST(wp AS BIGINT) AS n_words_p,
+       CAST(wq AS BIGINT) AS n_words_q,
+       CAST(wu AS BIGINT) AS n_words_union,
+       round(-(CAST(sp AS DOUBLE)) / CAST(npt AS DOUBLE), 6) AS h_p,
+       round(-(CAST(sq AS DOUBLE)) / CAST(nqt AS DOUBLE), 6) AS h_q,
+       round(-(CAST(sm AS DOUBLE))
+             / (2.0 * CAST(npt AS DOUBLE) * CAST(nqt AS DOUBLE)), 6)
+         AS h_mix,
+       round(-(CAST(sm AS DOUBLE))
+             / (2.0 * CAST(npt AS DOUBLE) * CAST(nqt AS DOUBLE))
+             - (-(CAST(sp AS DOUBLE)) / CAST(npt AS DOUBLE)
+                + -(CAST(sq AS DOUBLE)) / CAST(nqt AS DOUBLE)) / 2.0, 6)
+         AS js_nats
+FROM agg
+"""
+
+
+@register(
+    "js_divergence_docs",
+    oracle=_JS_ORACLE,
+    tags=("llm", "text", "mixing", "incremental"),
+    late=True,  # new in r12 — stays late until the next rotation settles
+)
+def js_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the incoming batch's
+    (``doc_id % 10 == 7``) and the corpus's word distributions
+    (``operators/textops.py:js_divergence_words``) — the lexical half
+    of the batch-gate family (``embedding_batch_drift`` watches the
+    geometry, this watches the vocabulary): 0 = same word mix, ln 2 =
+    disjoint. Entropy form H(M) - (H(P)+H(Q))/2 over the vocabulary
+    union; every per-word contribution is an exact INTEGER weight
+    times ONE quantized DECIMAL log (the mixture weight is the
+    common-denominator numerator n_p*N_q + n_q*N_p, so no per-word
+    float probability ever sums). One full-outer equi-join on the
+    Zipf-bounded vocab key, two one-row total broadcasts."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        js_divergence_words,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return js_divergence_words(
+        d.filter(F.col("doc_id") % 10 == 7),
+        d.filter(F.col("doc_id") % 10 != 7),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE merge statistics (r12): the first tokenizer-training iteration
 # ---------------------------------------------------------------------------
 

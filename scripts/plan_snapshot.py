@@ -118,6 +118,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "histogram_bins": _ONE_ROW + " — min/max/width row",
     "iqr_outliers_approx": _ONE_ROW + " — 1-row sketch (q1, q3) output "
     "probed by the exact-rank certificate pass (r12)",
+    "js_divergence_docs": _ONE_ROW + " — the two 1-row token-total "
+    "rows broadcast onto the vocabulary-union join (r12)",
     "kappa_nearest_centroid": _ONE_ROW + " — (N, agree) row x (pe "
     "numerator) row folded into the kappa readout (r12)",
     "key_containment_orders": _ONE_ROW + " — per-side key counts, x2",

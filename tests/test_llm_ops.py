@@ -936,3 +936,55 @@ def test_bpe_pair_counts_tie_break_and_validation(spark):
     assert rows == [(1, "a", "b"), (2, "x", "y")]
     with _pytest.raises(ValueError, match="top_k"):
         bpe_pair_counts(df, top_k=0)
+
+
+def test_js_divergence_hand_case_and_symmetry(spark):
+    """P = {a:2/3, b:1/3}, Q = {a:1/2, c:1/2}: JS computed by hand from
+    H(M) - (H(P)+H(Q))/2 (natural logs); swapping the sides swaps the
+    per-side columns and leaves js_nats identical; js in [0, ln 2]."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        js_divergence_words,
+    )
+
+    p = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    q = spark.createDataFrame([(2, "a c")], "doc_id long, text string")
+    r = js_divergence_words(p, q).first()
+    assert (r.n_tokens_p, r.n_tokens_q) == (3, 2)
+    assert (r.n_words_p, r.n_words_q, r.n_words_union) == (2, 2, 3)
+
+    def h(dist):
+        return -sum(pr * math.log(pr) for pr in dist if pr > 0)
+
+    hp = h([2 / 3, 1 / 3])
+    hq = h([1 / 2, 1 / 2])
+    hm = h([7 / 12, 1 / 6, 1 / 4])
+    assert r.h_p == pytest.approx(hp, abs=2e-5)
+    assert r.h_q == pytest.approx(hq, abs=2e-5)
+    assert r.h_mix == pytest.approx(hm, abs=2e-5)
+    expect = hm - (hp + hq) / 2
+    assert r.js_nats == pytest.approx(expect, abs=5e-5)
+    assert 0.0 <= r.js_nats <= math.log(2) + 1e-9
+    s = js_divergence_words(q, p).first()
+    assert s.js_nats == r.js_nats
+    assert (s.n_tokens_p, s.n_tokens_q) == (r.n_tokens_q, r.n_tokens_p)
+
+
+def test_js_divergence_extremes(spark):
+    """Identical corpora -> js 0; disjoint vocabularies -> js = ln 2
+    (up to the 6-digit log quantization)."""
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        js_divergence_words,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x y z"), (2, "y z")], "doc_id long, text string"
+    )
+    same = js_divergence_words(a, a).first()
+    assert same.js_nats == pytest.approx(0.0, abs=5e-6)
+    b = spark.createDataFrame([(3, "q r s")], "doc_id long, text string")
+    dis = js_divergence_words(a, b).first()
+    assert dis.js_nats == pytest.approx(math.log(2), abs=5e-6)
