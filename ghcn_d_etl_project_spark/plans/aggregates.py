@@ -63,7 +63,8 @@ FROM agg
 """
 
 
-@register("monthly_agg", oracle=_MONTHLY_AGG_ORACLE, tags=("agg", "flagship"), bench=True)
+@register("monthly_agg", oracle=_MONTHLY_AGG_ORACLE, tags=("agg", "flagship"), bench=True,
+          late=True)  # r13 rotation: 12-round green, demoted to sim coverage
 def monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly climate-mart pattern (A1+A2): multi-agg + conditional counts
     + derived % columns, grouped by (flag, status, year, month)."""
@@ -121,7 +122,8 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@register("pricing_summary", oracle=_PRICING_ORACLE, tags=("agg",), bench=True)
+@register("pricing_summary", oracle=_PRICING_ORACLE, tags=("agg",), bench=True,
+          late=True)  # r13 rotation: 12-round green, demoted to sim coverage
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter + 2-key hash agg with 8 aggregate fns."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))

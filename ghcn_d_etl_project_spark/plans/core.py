@@ -35,7 +35,8 @@ WHERE l_discount <> 0.00
 """
 
 
-@register("filter_predicates", oracle=_FILTER_ORACLE, tags=("filter",))
+@register("filter_predicates", oracle=_FILTER_ORACLE, tags=("filter",),
+          late=True)  # r13 rotation: 12-round green, demoted to sim coverage
 def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound predicate scan (P3 sentinel != , P4 between, P5 isNotNull,
     P6 isin) — pushed down to the parquet reader."""

@@ -536,6 +536,7 @@ LEFT JOIN versions v
     "point_in_time_features",
     oracle=_PIT_ORACLE,
     tags=("join", "temporal", "feature-store"),
+    late=True,  # r13 rotation: 4-round green, demoted to sim coverage
 )
 def point_in_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature lookup
@@ -813,6 +814,7 @@ LIMIT 50
     "bm25_search_docs",
     oracle=_BM25_ORACLE,
     tags=("text", "retrieval"),
+    late=True,  # r13 rotation: 4-round green, demoted to sim coverage
 )
 def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 documents by Okapi BM25 for the query {spark, hash,

@@ -198,7 +198,8 @@ GROUP BY r.r_name, year(o.o_orderdate)
 """
 
 
-@register("star_join_revenue", oracle=_STAR_ORACLE, tags=("join", "agg"), bench=True)
+@register("star_join_revenue", oracle=_STAR_ORACLE, tags=("join", "agg"), bench=True,
+          late=True)  # r13 rotation: 12-round green, demoted to sim coverage
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join + aggregate (TPC-H Q5 shape): revenue by region
     and year. customer/nation/region broadcast; lineitem-orders is the one
@@ -301,7 +302,8 @@ JOIN events b
 """
 
 
-@register("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("join", "temporal"), bench=True)
+@register("range_join_events", oracle=_RANGE_JOIN_ORACLE, tags=("join", "temporal"), bench=True,
+          late=True)  # r13 rotation: 12-round green, demoted to sim coverage
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-key temporal range join: ordered same-user event pairs at
     most 5 minutes apart, via gap-width timestamp bucketing (each probe
@@ -672,6 +674,7 @@ JOIN customer b
     "fuzzy_name_pairs",
     oracle=_FUZZY_ORACLE,
     tags=("join", "linkage"),
+    late=True,  # r13 rotation: 4-round green, demoted to sim coverage
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 record linkage over customer names

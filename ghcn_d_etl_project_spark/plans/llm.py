@@ -1130,7 +1130,7 @@ FROM final
     # round-to-6 boundary hit needs a ~1e-14 coincidence — none at the
     # oracle SF, and the seeded fixture makes the check deterministic.
     tags=("llm", "ml", "embeddings", "persists"),
-    late=True,
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval: exact cosine top-20 per vector as the
@@ -1480,7 +1480,7 @@ FROM tot t, pen p""",
     "kappa_nearest_centroid",
     oracle=_KAPPA_ORACLE,
     tags=("llm", "ml", "embeddings", "stats", "persists"),
-    late=True,  # new in r12 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def kappa_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa of the nearest-centroid classifier against the
@@ -1637,7 +1637,7 @@ FROM (SELECT * FROM agg WHERE NOT nw) r, (SELECT * FROM agg WHERE nw) w
     "embedding_batch_drift",
     oracle=_DRIFT_ORACLE,
     tags=("llm", "ml", "embeddings", "incremental"),
-    late=True,  # new in r12 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def embedding_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between the incoming batch
@@ -1791,7 +1791,7 @@ FROM agg
     "js_divergence_docs",
     oracle=_JS_ORACLE,
     tags=("llm", "text", "mixing", "incremental"),
-    late=True,  # new in r12 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def js_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between the incoming batch's
@@ -1850,7 +1850,7 @@ QUALIFY rank <= 50
     "bpe_pair_stats_docs",
     oracle=_BPE_ORACLE,
     tags=("llm", "text", "tokenizer"),
-    late=True,  # new in r12 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def bpe_pair_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge iteration over the corpus
@@ -1939,7 +1939,7 @@ FROM scored
     "cross_perplexity_docs",
     oracle=_CROSS_PPL_ORACLE,
     tags=("llm", "text", "quality", "incremental", "persists"),
-    late=True,  # new in r12 — stays late until the next rotation settles
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def cross_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus perplexity gate

@@ -73,7 +73,7 @@ FROM d LEFT JOIN chars c USING (doc_id)
 
 
 @register("image_features", oracle=_IMAGE_FEATURES_ORACLE,
-          tags=("multimodal",), late=True)  # oracle added r12
+          tags=("multimodal",))  # promoted to the hard window, r13 rotation
 def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full image-feature extraction including the decode-dependent
     mean-byte statistic (STUB codec for non-BMP — deterministic fake;
@@ -107,7 +107,7 @@ FROM c, UNNEST(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) g(i)
 
 
 @register("frame_sample", oracle=_FRAME_SAMPLE_ORACLE, tags=("multimodal",),
-          late=True)  # oracle added r12 — late until the next rotation
+          )  # promoted to the hard window in the r13 rotation
 def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one-to-many mapInPandas explosion of each
     payload into every-2nd frame chunk with per-frame byte counts.
@@ -133,7 +133,7 @@ FROM documents
 
 
 @register("media_resize", oracle=_MEDIA_RESIZE_ORACLE, tags=("multimodal",),
-          late=True)  # oracle added r12
+          )  # promoted to the hard window in the r13 rotation
 def media_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: payload re-sampled to 32x32 with metadata
     rewritten (real nearest-neighbor for BMP, deterministic
@@ -260,7 +260,7 @@ FROM agg
     "audio_downsample",
     oracle=_AUDIO_DOWNSAMPLE_ORACLE,
     tags=("multimodal", "audio"),
-    late=True,  # oracle added r12
+    # promoted to the 50-slot hard window in the r13 rotation
 )
 def audio_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x decimation of each WAV payload (every other sample, rate

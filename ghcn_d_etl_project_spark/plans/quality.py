@@ -212,7 +212,7 @@ FROM orders
 
 
 @register("iqr_outliers_approx", oracle=_APPROX_CERT_ORACLE,
-          tags=("quality",), late=True)  # oracle added r12
+          tags=("quality",))  # promoted to the hard window in the r13 rotation
 def iqr_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based IQR quantiles via percentile_approx (A14) — the
     100 TB path (mergeable single-pass sketch, no sort; the reference's

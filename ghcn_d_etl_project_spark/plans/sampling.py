@@ -228,6 +228,7 @@ FROM orders o JOIN s ON o.o_orderpriority = s.cat
     "target_encode_orders",
     oracle=_TE_LOO_ORACLE,
     tags=("sampling", "encoding", "ml"),
+    late=True,  # r13 rotation: 4-round green, demoted to sim coverage
 )
 def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of order priority against order

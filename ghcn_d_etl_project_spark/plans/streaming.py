@@ -43,7 +43,8 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"), bench=True)
+@register("tumbling_window_agg", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"), bench=True,
+          late=True)  # r13 rotation: 11-round green, demoted to sim coverage
 def tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling event-time windows per event_type (count + exact
     sum). Epoch-aligned [start, start+1h) — identical to date_trunc

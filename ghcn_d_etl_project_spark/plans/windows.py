@@ -930,6 +930,7 @@ HAVING COUNT(*) > 0
     "attribution_decay",
     oracle=_DECAY_ORACLE,
     tags=("window", "events", "funnel"),
+    late=True,  # r13 rotation: 4-round green, demoted to sim coverage
 )
 def attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution (half-life 30 min, lookback
