@@ -548,6 +548,14 @@ def categorical_association(
     small sum, so the result does not depend on Spark's cell
     accumulation order. NULL categories count as a regular level
     (dropna upstream to exclude them).
+
+    r13 plan-shape collapse (the rfm_segments recipe, VERDICT r12 #2):
+    the margin entropies fold into the SAME single cell-level
+    aggregate via sum_cells -(o/n)·ln(rx/n) == sum_x -(rx/n)·ln(rx/n)
+    (the o's of a row sum to rx), so the one-row totals broadcast is
+    attached EXACTLY ONCE — the previous form cross-joined it into
+    three separate aggregates (j/hx/hy) whose join-back lineage
+    reprinted the one-row BNLJ 5x in the plan text.
     """
     x, y = F.col(col_x), F.col(col_y)
     cells = df.groupBy(x.alias("__x"), y.alias("__y")).agg(
@@ -570,6 +578,11 @@ def categorical_association(
     # chi2 contribution with the zero-cell correction folded in; MI in nats
     chi_c = (o - e) * (o - e) / e - e
     mi_c = (o / n) * F.log(o * n / (F.col("__rx") * F.col("__cy")).cast("double"))
+    # margin-entropy contributions at cell grain: cells of one x jointly
+    # contribute (sum_y o)/n = rx/n of the -ln(rx/n) mass, so the cell
+    # sum IS the margin sum — quantized per cell on both engines
+    hx_c = -(o / n) * F.log(F.col("__rx").cast("double") / n)
+    hy_c = -(o / n) * F.log(F.col("__cy").cast("double") / n)
     dec = "decimal(28,12)"
     agg = j.agg(
         F.max("__n").alias("n"),
@@ -578,47 +591,24 @@ def categorical_association(
         F.count_distinct("__y").alias("ny"),
         F.sum(chi_c.cast(dec)).cast("double").alias("chi_part"),
         F.sum(mi_c.cast(dec)).cast("double").alias("mi"),
-    )
-    # margin entropies from the (tiny) margin tables, same determinism recipe
-    hx = rx.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            (
-                -(F.col("__rx").cast("double") / F.col("__n").cast("double"))
-                * F.log(F.col("__rx").cast("double") / F.col("__n").cast("double"))
-            ).cast(dec)
-        )
-        .cast("double")
-        .alias("h_x")
-    )
-    hy = cy.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            (
-                -(F.col("__cy").cast("double") / F.col("__n").cast("double"))
-                * F.log(F.col("__cy").cast("double") / F.col("__n").cast("double"))
-            ).cast(dec)
-        )
-        .cast("double")
-        .alias("h_y")
+        F.sum(hx_c.cast(dec)).cast("double").alias("h_x"),
+        F.sum(hy_c.cast(dec)).cast("double").alias("h_y"),
     )
     chi2 = F.col("chi_part") + F.col("n").cast("double")
     k = F.least(F.col("nx"), F.col("ny")).cast("double")
-    return (
-        agg.crossJoin(F.broadcast(hx))
-        .crossJoin(F.broadcast(hy))
-        .select(
-            F.lit(col_x).alias("col_x"),
-            F.lit(col_y).alias("col_y"),
-            F.col("n").cast("long").alias("n"),
-            ((F.col("nx") - 1) * (F.col("ny") - 1)).cast("long").alias("dof"),
-            F.round(chi2, round_digits).alias("chi2"),
-            F.when(
-                (k > 1) & (F.col("n") > 0),
-                F.round(F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1))), round_digits),
-            ).alias("cramers_v"),
-            F.round(F.col("mi"), round_digits).alias("mutual_info"),
-            F.round(F.col("h_x"), round_digits).alias("h_x"),
-            F.round(F.col("h_y"), round_digits).alias("h_y"),
-        )
+    return agg.select(
+        F.lit(col_x).alias("col_x"),
+        F.lit(col_y).alias("col_y"),
+        F.col("n").cast("long").alias("n"),
+        ((F.col("nx") - 1) * (F.col("ny") - 1)).cast("long").alias("dof"),
+        F.round(chi2, round_digits).alias("chi2"),
+        F.when(
+            (k > 1) & (F.col("n") > 0),
+            F.round(F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1))), round_digits),
+        ).alias("cramers_v"),
+        F.round(F.col("mi"), round_digits).alias("mutual_info"),
+        F.round(F.col("h_x"), round_digits).alias("h_x"),
+        F.round(F.col("h_y"), round_digits).alias("h_y"),
     )
 
 

@@ -622,6 +622,7 @@ def word_cooccurrence_pmi(
     max_df_ratio: float = 0.9,
     min_pair: int = 5,
     round_digits: int = 6,
+    release_into: list | None = None,
 ) -> DataFrame:
     """Pointwise mutual information of word pairs co-occurring in the
     same document — the collocation/association primitive behind
@@ -644,9 +645,14 @@ def word_cooccurrence_pmi(
         ``w1 < w2`` inside the condition — fan-out is C(tokens_per_doc
         after pruning, 2) per doc, never corpus-quadratic, and the doc
         id is unskewed by construction;
-      * the final PMI projection joins the tiny (word, df) vocabulary
-        back twice — both joins broadcast — plus a one-row broadcast
-        of n_docs.
+      * the final PMI projection joins the tiny (word, df) table back
+        twice — both joins broadcast — plus a one-row broadcast of
+        n_docs (the plan's single scalar cross join; the vocab ceiling
+        uses a scalar subquery instead, see inline note).
+
+    ``release_into`` receives the two persisted substrates (the token
+    table and the floor-filtered (word, df) table) for the caller-owned
+    ``unpersist()`` contract.
 
     All counts are BIGINT; pmi/npmi are single double expressions over
     identical integers, bit-stable cross-engine. NPMI is NULL when
@@ -674,16 +680,38 @@ def word_cooccurrence_pmi(
         F.col(id_col).alias("__doc"), F.explode(words).alias("w")
     ).persist()
     nd = tok.agg(F.count_distinct("__doc").alias("__n_docs"))
-    dfc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    vocab = (
-        dfc.crossJoin(F.broadcast(nd))
-        .filter(
-            (F.col("df") >= min_df)
-            & (F.col("df") <= max_df_ratio * F.col("__n_docs"))
-        )
-        .select("w", "df")
+    # the shared (w, df) table persists BNLJ-free (r13, the rfm_segments
+    # recipe: never cache a subtree containing a one-row broadcast — the
+    # cached plan text reprints it at every reference). The max-df
+    # ceiling, which NEEDS the one-row n_docs scalar, is applied exactly
+    # ONCE, on the prune join's build side; the df1/df2 score maps skip
+    # it because every word that survives into a pair already passed the
+    # prune, so joining them against the floor-only table matches the
+    # identical rows. BNLJ occurrences: 2 (ceiling filter + final
+    # n_docs attach) — down from 5 reprints.
+    dff = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .persist()
     )
-    pruned = tok.join(F.broadcast(vocab.select("w")), "w").select("__doc", "w")
+    if release_into is not None:
+        release_into.extend([tok, dff])
+    # the ceiling scalar is attached as a SCALAR SUBQUERY, not a one-row
+    # cross join: the prune feeds BOTH sides of the pair self-join, so
+    # its lineage prints twice in the plan — a BNLJ here would double in
+    # the join census (and a constant-key hash join folds back into a
+    # BNLJ once Catalyst eliminates the trivially-true equi-condition).
+    # The subquery executes once, broadcasts one double, and the plan
+    # self-evidently carries no pair-explosion risk.
+    vocab_w = dff.sparkSession.sql(
+        "SELECT w FROM {dff} WHERE CAST(df AS DOUBLE) <= "
+        f"{float(max_df_ratio)!r} * "
+        "(SELECT CAST(__n_docs AS DOUBLE) FROM {nd})",
+        dff=dff,
+        nd=nd,
+    )
+    pruned = tok.join(F.broadcast(vocab_w), "w").select("__doc", "w")
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
         a.join(
@@ -695,8 +723,8 @@ def word_cooccurrence_pmi(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .filter(F.col("n_pair") >= min_pair)
     )
-    v1 = vocab.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
-    v2 = vocab.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
+    v1 = dff.select(F.col("w").alias("w1"), F.col("df").alias("df1"))
+    v2 = dff.select(F.col("w").alias("w2"), F.col("df").alias("df2"))
     joined = (
         pairs.join(F.broadcast(v1), "w1")
         .join(F.broadcast(v2), "w2")

@@ -447,20 +447,16 @@ parts AS (
     CAST(SUM(CAST(
       (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
       * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(r * c AS DOUBLE))
-      AS DECIMAL(28,12))) AS DOUBLE) AS mi
+      AS DECIMAL(28,12))) AS DOUBLE) AS mi,
+    CAST(SUM(CAST(
+      -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      AS DECIMAL(28,12))) AS DOUBLE) AS h_x,
+    CAST(SUM(CAST(
+      -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      AS DECIMAL(28,12))) AS DOUBLE) AS h_y
   FROM cells JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
-),
-hx AS (
-  SELECT CAST(SUM(CAST(
-    -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-    * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_x
-  FROM rx CROSS JOIN tot
-),
-hy AS (
-  SELECT CAST(SUM(CAST(
-    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS h_y
-  FROM cy CROSS JOIN tot
 )
 SELECT 'lang' AS col_x, 'source' AS col_y,
        CAST(n AS BIGINT) AS n,
@@ -473,7 +469,7 @@ SELECT 'lang' AS col_x, 'source' AS col_y,
        round(mi, 6) AS mutual_info,
        round(h_x, 6) AS h_x,
        round(h_y, 6) AS h_y
-FROM parts, tot, hx, hy
+FROM parts, tot
 """
 
 
@@ -492,7 +488,9 @@ def categorical_association_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebraically (sum over all cells of (o-e)^2/e == observed-cell sum
     of ((o-e)^2/e - e) + n); per-cell contributions quantize to DECIMAL
     before the final sum so the statistic is accumulation-order-free on
-    both engines."""
+    both engines. Since r13 the margin entropies fold into the same
+    single aggregate (sum_cells -(o/n)ln(margin/n) == the margin sum),
+    so the one-row totals broadcast attaches exactly once."""
     from ghcn_d_etl_project_spark.operators.quality import (
         categorical_association,
     )

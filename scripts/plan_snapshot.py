@@ -101,7 +101,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "bigram_perplexity_docs": _ONE_ROW + " — vocab-size row onto the model",
     "bitmap_prune_join_revenue": _ONE_ROW + " — bitmap build summary",
     "bm25_search_docs": _ONE_ROW + " — corpus N/avgdl row",
-    "categorical_association": _ONE_ROW + " — chi2 grand totals, x5 passes",
+    "categorical_association": _ONE_ROW + " — chi2 grand totals, x1 (r13: margin entropies folded into the single cell-level aggregate via sum_cells -(o/n)ln(margin/n), so the totals row attaches once)",
     "charlm_quality_docs": _ONE_ROW + " — corpus char-lm normalizer, x2",
     "column_stats_outliers": _ONE_ROW + " — exact quantile anchor row",
     "cross_perplexity_docs": _ONE_ROW + " — vocab-size row onto the "
@@ -126,7 +126,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "ks_drift_orders": _ONE_ROW + " — KS sup-distance row",
     "lorenz_deciles_customers": _ONE_ROW + " — grand-total revenue row",
     "percentile_feature_orders": _ONE_ROW + " — N_total row",
-    "pmi_cooccurrence_docs": _ONE_ROW + " — corpus totals, x5 reprints",
+    "pmi_cooccurrence_docs": _ONE_ROW + " — corpus n_docs row onto the scored pairs, x1 (r13: the vocab ceiling became a scalar subquery — a BNLJ there doubles through the pair self-join's lineage reprint)",
     "quantile_normalize_docs": _ONE_ROW + " — pooled total-N row onto the "
     "ranked fact (the per-source sizes and the pooled rank map are both "
     "hash equi-joins)",
