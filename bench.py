@@ -160,6 +160,46 @@ Round-10 additions:
     ``value``/``core13`` keep their frozen membership, so neither tier
     pollutes the other's round-over-round comparison.
 
+Round-13 reproducibility additions (VERDICT r12 "What's wrong" #1: the
+heavy tier's cross-JVM settle spread reached ~2x — my idle ann_lsh 5.34s
+vs four other JVMs' 2.8-3.0s, same code, byte-identical plans, tight
+in-run IQRs on both sides — swamping every real round-over-round delta):
+  * WORKER THREAD PINNING: numpy/BLAS/Arrow thread pools in the Python
+    workers are pinned to 1 (OMP/OPENBLAS/MKL/VECLIB/NUMEXPR env vars,
+    set before the JVM starts so workers inherit them; Arrow's CPU pool
+    reads OMP_NUM_THREADS). local[32] already saturates the box with 32
+    concurrent tasks — each worker spawning its own 32-thread BLAS pool
+    makes ~1000 runnable threads whose scheduling interleave differs
+    per JVM, one identified source of the per-process settle level.
+    Override with SPARK_GRAFT_BENCH_PIN_THREADS=0 (or preset the vars).
+  * FIXED ARROW WARM-UP before the heavy tier
+    (``_arrow_warmup``): the r12 ivf-drift experiment
+    (scripts/ivf_drift_experiment.py) demonstrated that how much Arrow/
+    pandas-UDF work PRECEDED a heavy query decides which JIT steady
+    state its multi-second Arrow plan settles into. The headline loop's
+    composition varies round to round, so the heavy tier previously
+    inherited a variable warm state. Now a fixed-composition, fixed-rep
+    Arrow+numpy+JVM-hash workload runs right before the tier, timed
+    per-rep, and emits ``warmup_profile`` {reps_sec, settled} in the
+    detail artifact — a judge can tell "JVM settled slow" (warm-up reps
+    never converged) from "query regressed" (warm-up clean, query
+    moved). Disable with SPARK_GRAFT_BENCH_WARMUP=0.
+  * HEAVY THROWAWAY: each heavy query gets ONE untimed throwaway run
+    before its timed runs (the headline tier keeps its shared one-shot
+    session warm-up). First-touch codegen/Arrow-init for these
+    multi-second plans was landing inside run #1 and dragging 3-run
+    medians; the min was already immune, medians now agree with it.
+
+Round-13 ``reference_gate_e2e`` stage (VERDICT r12 next-round #5): the
+durable-reference-index amortization story, measured. Builds the banded
+dedup index from the corpus half of sf documents, ``save_reference_index``
+to parquet ONCE, then judges 5 sequential ingest batches via
+``load_reference_index`` + ``dedup_against_reference`` — per-batch
+seconds land under ``stages.reference_gate_e2e`` (flat across batches =
+per-batch cost is batch work only, the index is never re-shingled).
+Side metric like ghcn_e2e: never part of the headline sum. Disable with
+SPARK_GRAFT_BENCH_REFGATE=0.
+
 Round-9 attribution of the star_join_revenue "creep" (r6 0.824 →
 r7-idle 1.05 → r8-idle 1.172 min): NOT a code or plan regression. The
 function is byte-identical since r6 (git-diff-checked), the physical
@@ -191,6 +231,128 @@ from ghcn_d_etl_project_spark.session import get_spark  # noqa: E402
 
 def _err(e: Exception) -> str:
     return f"{type(e).__name__}: {e}"[:300]
+
+
+def _pin_worker_threads() -> bool:
+    """Pin numpy/BLAS/Arrow thread pools to 1 in every Python worker.
+
+    Must run BEFORE the JVM starts: local-mode Python workers inherit
+    the driver process environment through the executor JVM. 32
+    concurrent tasks x a per-worker 32-thread BLAS pool is ~1000
+    runnable threads; their scheduling interleave differs per JVM
+    process and was one identified source of the heavy tier's ~2x
+    cross-JVM settle spread (VERDICT r12 #1). Arrow's CPU thread pool
+    reads OMP_NUM_THREADS, so the OMP pin covers pyarrow too.
+    ``setdefault`` so an operator explicitly benchmarking multi-threaded
+    BLAS can preset its own values."""
+    if os.environ.get("SPARK_GRAFT_BENCH_PIN_THREADS", "1") == "0":
+        return False
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
+    return True
+
+
+def _arrow_warmup(spark, reps: int = 4) -> dict:
+    """Fixed-composition Arrow/pandas/numpy + JVM-hash warm-up, timed
+    per-rep — run immediately before the heavy tier so every fresh JVM
+    enters it from the SAME preceding-work history (the ivf-drift
+    experiment showed preceding Arrow work decides the JIT steady state
+    a multi-second Arrow plan settles into). The workload exercises the
+    exact machinery the heavy five lean on: Arrow batch transfer both
+    directions, a deterministic numpy matmul in mapInPandas (ann_lsh /
+    kmeans shape), and a JVM-side xxhash64 + groupBy + sort (simhash /
+    graph shape). ``settled`` = the last two reps agree within 15%, so
+    a judge can tell a JVM that never converged from a query that
+    regressed."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def _score(batches):
+        w = None
+        for pdf in batches:
+            if w is None:
+                cols = np.arange(32, dtype=np.float64)
+                w = np.cos(np.outer(cols, cols) / 7.0)
+            ids = pdf["id"].to_numpy(dtype=np.float64)
+            m = ((ids[:, None] * 37.0 + cols[None, :] * 101.0) % 997.0)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "score": (m @ w).sum(axis=1)}
+            )
+
+    base = spark.range(0, 262_144, 1, 32)
+    times: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        scored = base.mapInPandas(_score, "id long, score double")
+        (
+            scored.withColumn("h", F.xxhash64("id", "score"))
+            .groupBy((F.col("id") % 64).alias("g"))
+            .agg(F.sum("score").alias("s"), F.max("h").alias("m"))
+            .orderBy("g")
+            .count()
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+    settled = len(times) >= 2 and (
+        abs(times[-1] - times[-2]) <= 0.15 * max(times[-1], times[-2], 1e-9)
+    )
+    return {"reps_sec": times, "settled": settled}
+
+
+def _reference_gate_e2e(spark, sf_dir: str) -> dict:
+    """Measure the durable reference-index amortization end-to-end:
+    ``save_reference_index`` ONCE over the corpus half of ``documents``,
+    then 5 sequential ingest batches judged via ``load_reference_index``
+    + the banded ``dedup_against_reference``. Per-batch seconds flat
+    across the 5 batches = each judgment costs batch work only (two
+    parquet scans stand in for re-shingling the corpus). Side metric —
+    never part of the headline sum."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+        load_reference_index,
+        save_reference_index,
+    )
+
+    from ghcn_d_etl_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    idx_path = Path(__file__).resolve().parent / ".tmp" / "ref_gate_index"
+    shutil.rmtree(idx_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    save_reference_index(ref, "doc_id", "text", str(idx_path))
+    save_sec = round(time.perf_counter() - t0, 3)
+
+    held: list = []
+    loaded = load_reference_index(
+        spark, str(idx_path), release_into=held, with_fingerprints=True
+    )
+    idx, fps = loaded[:2], loaded[2]
+    out = {"save_index_sec": save_sec, "ref_rows": ref.count()}
+    for i, residue in enumerate((1, 3, 5, 7, 9), start=1):
+        batch = docs.filter(F.col("doc_id") % 10 == residue)
+        t0 = time.perf_counter()
+        n = dedup_against_reference(
+            batch, ref, "doc_id", "text",
+            ref_index=idx, ref_fingerprints=fps,
+        ).count()
+        out[f"batch{i}_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"batch{i}_rows"] = n
+    for f in held:
+        f.unpersist()
+    shutil.rmtree(idx_path, ignore_errors=True)
+    return out
 
 
 _GHCN_ELEMENTS = ("TMAX", "TMIN", "PRCP", "SNOW", "SNWD", "TOBS", "WT01")
@@ -403,6 +565,7 @@ def _calibrate(spark, registry, build_dir: str) -> float | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or "0.1")
+    threads_pinned = _pin_worker_threads()  # before the JVM starts
     load_start = os.getloadavg()
     spin_start = _spin_rate()
     spark = get_spark(app_name="bench")
@@ -515,6 +678,7 @@ def main() -> None:
         runs_floor: int,
         runs_cap: int,
         budget: float,
+        throwaway: bool = False,
     ) -> None:
         spin_mid.append(_spin_rate(samples=1, dur=0.1))
         runs: list[float] = []
@@ -522,6 +686,15 @@ def main() -> None:
         staged_fn = _STAGED.get(name)
         per_run_clear = bool({"pipeline", "persists"} & q.tags)
         try:
+            if throwaway:
+                # one untimed run: first-touch codegen/Arrow init for a
+                # multi-second plan otherwise lands inside timed run #1
+                # and drags small-sample medians (r13; min was immune)
+                q.fn(spark, sf_dir).count()
+                if per_run_clear:
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    time.sleep(0.4)
             # adaptive: initial runs_floor, then keep running while the
             # relative IQR exceeds the target (up to runs_cap) — the
             # similarity family needs 5-9 runs for a stable median,
@@ -585,7 +758,16 @@ def main() -> None:
     # harness wall time). Disable with SPARK_GRAFT_BENCH_HEAVY=0.
     heavy_timings: dict[str, float] = {}
     heavy_spreads: dict[str, dict[str, float]] = {}
+    warmup_profile = None
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
+        # r13: fixed Arrow warm-up so the tier starts from the same
+        # preceding-work history in every JVM (see module docstring)
+        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+            try:
+                warmup_profile = _arrow_warmup(spark)
+            except Exception as e:  # noqa: BLE001 — warm-up must not kill bench
+                warmup_profile = {"error": _err(e)}
+            spark.catalog.clearCache()
         heavy_floor = max(
             1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "3"))
         )
@@ -601,6 +783,7 @@ def main() -> None:
             _time_one(
                 name, q, heavy_timings, heavy_spreads,
                 heavy_floor, heavy_cap, heavy_budget,
+                throwaway=True,
             )
         spreads.update(heavy_spreads)
     heavy_total = round(sum(heavy_timings.values()), 3)
@@ -630,6 +813,19 @@ def main() -> None:
             ghcn_e2e = _time_ghcn_pipeline(spark)
         except Exception as e:  # noqa: BLE001 — side metric must not kill bench
             ghcn_e2e = {"error": _err(e)}
+
+    # r13 side metric: the durable reference-index amortization, measured
+    # (save once, judge 5 batches through the loaded index — per-batch
+    # seconds should be flat). After the calibration bracket on purpose:
+    # like ghcn_e2e it perturbs JVM state.
+    if os.environ.get("SPARK_GRAFT_BENCH_REFGATE", "1") != "0":
+        try:
+            stages_out["reference_gate_e2e"] = _reference_gate_e2e(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 — side metric must not kill bench
+            stages_out["reference_gate_e2e"] = {"error": _err(e)}
+        spark.catalog.clearCache()
 
     load_end = os.getloadavg()
     # The spin reference is the BEST of (env baseline, both probes): CPU
@@ -705,6 +901,14 @@ def main() -> None:
         },
         "contended": contended,
     }
+    if warmup_profile is not None and "reps_sec" in warmup_profile:
+        # first/last warm-up rep + convergence: lets the driver's compact
+        # record distinguish a never-settled JVM from a query regression
+        compact["warmup"] = [
+            warmup_profile["reps_sec"][0],
+            warmup_profile["reps_sec"][-1],
+            warmup_profile["settled"],
+        ]
     if len(core13_present) != len(_CORE13):
         compact["core13_incomplete"] = True
     if len(heavy_timings) != len(_HEAVY5):
@@ -729,6 +933,9 @@ def main() -> None:
         build_errors=build_errors or None,
     )
     detail = {k: v for k, v in detail.items() if v is not None}
+    detail["threads_pinned"] = threads_pinned
+    if warmup_profile is not None:
+        detail["warmup_profile"] = warmup_profile
     if stages_out:
         detail["stages"] = stages_out
     if ghcn_e2e is not None:

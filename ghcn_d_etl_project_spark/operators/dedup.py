@@ -768,6 +768,33 @@ def reference_dedup_index(
     )
 
 
+def reference_fingerprints(
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Compute-once substrate for the EXACT arm of
+    :func:`dedup_against_reference`: the reference corpus's
+    (ref, __fp) normalized-fingerprint table, persist-marked. Without
+    it every batch judgment re-reads and re-hashes the whole corpus
+    for the fingerprint equi-join — cheap per row but O(corpus) per
+    BATCH, which breaks the "per-batch work scales with the batch"
+    contract the banded near arm already honors (r13; measured in
+    ``scripts/dedup_scaling_experiment.py``)."""
+    fps = (
+        ref_df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("ref"),
+            fingerprint(F.col(text_col)).alias("__fp"),
+        )
+        .persist()
+    )
+    if release_into is not None:
+        release_into.append(fps)
+    return fps
+
+
 def save_reference_index(
     ref_df: DataFrame,
     id_col: str,
@@ -778,21 +805,25 @@ def save_reference_index(
     bands: int = 32,
 ) -> None:
     """Materialize the reference dedup index to storage —
-    ``<path>/shingle_sets`` (ref, sh) and ``<path>/band_buckets``
-    (ref, band, bucket) parquet — so the compute-once amortization of
+    ``<path>/shingle_sets`` (ref, sh), ``<path>/band_buckets``
+    (ref, band, bucket), and ``<path>/fingerprints`` (ref, __fp)
+    parquet — so the compute-once amortization of
     :func:`reference_dedup_index` survives across JOBS, not just
     micro-batches: build when the corpus is published (or on
     compaction), and every subsequent ingest job
-    :func:`load_reference_index`\\ s two parquet scans instead of
-    re-shingling a trillion tokens. Deterministic (seeded xxhash64),
-    so a rebuild from the same corpus is byte-equivalent."""
+    :func:`load_reference_index`\\ s three parquet scans instead of
+    re-shingling and re-hashing a trillion tokens. Deterministic
+    (seeded xxhash64 / md5), so a rebuild from the same corpus is
+    byte-equivalent."""
     held: list[DataFrame] = []
     sets, bandtab = reference_dedup_index(
         ref_df, id_col, text_col,
         n=n, n_hashes=n_hashes, bands=bands, release_into=held,
     )
+    fps = reference_fingerprints(ref_df, id_col, text_col, release_into=held)
     sets.write.mode("overwrite").parquet(f"{path}/shingle_sets")
     bandtab.write.mode("overwrite").parquet(f"{path}/band_buckets")
+    fps.write.mode("overwrite").parquet(f"{path}/fingerprints")
     for f in held:
         f.unpersist()
 
@@ -801,17 +832,24 @@ def load_reference_index(
     spark,
     path: str,
     release_into: list[DataFrame] | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_fingerprints: bool = False,
+) -> tuple[DataFrame, ...]:
     """Load a :func:`save_reference_index` artifact as the
     ``ref_index`` tuple for :func:`dedup_against_reference` /
-    ``streaming.dedup.neardup_gate_stream``. Both frames come back
+    ``streaming.dedup.neardup_gate_stream``. All frames come back
     persist-marked (every batch probes them); pass ``release_into``
-    to receive them for the usual caller-owned ``unpersist()``."""
+    to receive them for the usual caller-owned ``unpersist()``.
+    With ``with_fingerprints=True`` a third frame — the exact arm's
+    (ref, __fp) table, pass it as ``ref_fingerprints`` — is loaded
+    from an index written by an r13+ ``save_reference_index``."""
     sets = spark.read.parquet(f"{path}/shingle_sets").persist()
     bandtab = spark.read.parquet(f"{path}/band_buckets").persist()
+    frames = [sets, bandtab]
+    if with_fingerprints:
+        frames.append(spark.read.parquet(f"{path}/fingerprints").persist())
     if release_into is not None:
-        release_into.extend([sets, bandtab])
-    return sets, bandtab
+        release_into.extend(frames)
+    return tuple(frames)
 
 
 def _banded_cross_scores(
@@ -874,6 +912,7 @@ def dedup_against_reference(
     n_hashes: int = 64,
     bands: int = 32,
     ref_index: tuple[DataFrame, DataFrame] | None = None,
+    ref_fingerprints: DataFrame | None = None,
     release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: verdict every NEW document against
@@ -893,7 +932,12 @@ def dedup_against_reference(
     Exact-dup wins over near-dup (a formatting-identical copy should
     be attributed to its fingerprint twin, not a coincidental shingle
     neighbor). The exact arm is one hash equi-join on the 128-bit
-    fingerprint.
+    fingerprint; pass ``ref_fingerprints`` (from
+    :func:`reference_fingerprints` or
+    ``load_reference_index(..., with_fingerprints=True)``) to amortize
+    the corpus-side hashing the same way ``ref_index`` amortizes the
+    shingling — otherwise every batch re-reads and re-hashes the whole
+    reference for this one join (r13).
 
     The near arm is BANDED by default — the 100 TB shape: MinHash band
     buckets on both sides (``reference_dedup_index`` precomputes and
@@ -927,11 +971,14 @@ def dedup_against_reference(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("ref"), F.col(text_col).alias("__txt"))
 
+    ref_fps = (
+        ref_fingerprints
+        if ref_fingerprints is not None
+        else refb.select("ref", fingerprint("__txt").alias("__fp"))
+    )
     exact = (
         newb.select("doc", fingerprint("__txt").alias("__fp"))
-        .join(
-            refb.select("ref", fingerprint("__txt").alias("__fp")), "__fp"
-        )
+        .join(ref_fps, "__fp")
         .groupBy("doc")
         .agg(F.min("ref").alias("__exact_ref"))
     )

@@ -132,12 +132,19 @@ def neardup_gate_stream(
     from ghcn_d_etl_project_spark.operators.dedup import (
         dedup_against_reference,
         reference_dedup_index,
+        reference_fingerprints,
     )
 
     held: list[DataFrame] = []
     ref_index = reference_dedup_index(
         ref_df, id_col, text_col,
         n=n, n_hashes=n_hashes, bands=bands, release_into=held,
+    )
+    # exact arm's substrate, computed once like the band index (r13):
+    # without it every micro-batch re-hashes the whole corpus for the
+    # fingerprint equi-join
+    ref_fps = reference_fingerprints(
+        ref_df, id_col, text_col, release_into=held
     )
 
     def judge(batch: DataFrame, _batch_id: int) -> None:
@@ -151,7 +158,8 @@ def neardup_gate_stream(
         dedup_against_reference(
             batch, ref_df, id_col, text_col,
             n=n, threshold=threshold, n_hashes=n_hashes, bands=bands,
-            ref_index=ref_index, release_into=batch_held,
+            ref_index=ref_index, ref_fingerprints=ref_fps,
+            release_into=batch_held,
         ).write.mode("append").parquet(out_dir)
         for f in batch_held:
             f.unpersist()

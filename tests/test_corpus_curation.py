@@ -561,3 +561,51 @@ def test_reference_index_save_load_roundtrip(spark, tmp_path):
     for f in rel + rel2:
         f.unpersist()
     assert loaded == inline and len(loaded) > 0
+
+
+def test_reference_fingerprints_amortize_exact_arm(spark, tmp_path):
+    """r13: the exact arm's (ref, __fp) table is part of the durable
+    index — judging through the loaded 3-frame index (bands + shingle
+    sets + fingerprints) equals the inline path row-for-row, all three
+    loaded frames come back persist-marked, and exact_dup verdicts
+    survive (the arm is live, not bypassed)."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        dedup_against_reference,
+        load_reference_index,
+        save_reference_index,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = d.filter(F.col("doc_id") % 10 != 7)
+    # plant one guaranteed exact twin: a batch doc carrying a reference
+    # doc's text verbatim under a fresh id
+    twin = ref.orderBy("doc_id").limit(1).select(
+        F.lit(99_999_999).cast("long").alias("doc_id"), "text"
+    )
+    new = d.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "text"
+    ).unionByName(twin)
+    save_reference_index(ref, "doc_id", "text", str(tmp_path / "refidx"))
+    rel: list = []
+    sets, bandtab, fps = load_reference_index(
+        spark, str(tmp_path / "refidx"), release_into=rel,
+        with_fingerprints=True,
+    )
+    assert len(rel) == 3
+    out = dedup_against_reference(
+        new, ref, "doc_id", "text",
+        ref_index=(sets, bandtab), ref_fingerprints=fps,
+    )
+    loaded = {tuple(r) for r in out.collect()}
+    inline = {
+        tuple(r)
+        for r in dedup_against_reference(new, ref, "doc_id", "text").collect()
+    }
+    assert loaded == inline and len(loaded) > 0
+    # the planted twin proves the exact arm is live through the loaded
+    # fingerprint table, not bypassed
+    assert any(r[1] == "exact_dup" for r in loaded)
+    assert all(f.storageLevel.useMemory for f in rel)
+    for f in rel:
+        f.unpersist()
+    spark.catalog.clearCache()
