@@ -172,18 +172,21 @@ in-run IQRs on both sides — swamping every real round-over-round delta):
     makes ~1000 runnable threads whose scheduling interleave differs
     per JVM, one identified source of the per-process settle level.
     Override with SPARK_GRAFT_BENCH_PIN_THREADS=0 (or preset the vars).
-  * FIXED ARROW WARM-UP before the heavy tier
+  * FIXED ARROW WARM-UP, adaptive-until-converged
     (``_arrow_warmup``): the r12 ivf-drift experiment
     (scripts/ivf_drift_experiment.py) demonstrated that how much Arrow/
     pandas-UDF work PRECEDED a heavy query decides which JIT steady
-    state its multi-second Arrow plan settles into. The headline loop's
-    composition varies round to round, so the heavy tier previously
-    inherited a variable warm state. Now a fixed-composition, fixed-rep
-    Arrow+numpy+JVM-hash workload runs right before the tier, timed
-    per-rep, and emits ``warmup_profile`` {reps_sec, settled} in the
-    detail artifact — a judge can tell "JVM settled slow" (warm-up reps
-    never converged) from "query regressed" (warm-up clean, query
-    moved). Disable with SPARK_GRAFT_BENCH_WARMUP=0.
+    state its multi-second Arrow plan settles into. A fixed-composition
+    Arrow+numpy+JVM-hash workload now runs BEFORE THE HEADLINE LOOP
+    (whose own Arrow queries — cosine_topk, embedding_project —
+    inherit the settle state too: both ran 2.0-2.6x slow in a JVM the
+    first fixed-rep warm-up draft failed to converge) and again,
+    shorter, before the heavy tier; each stage repeats until two
+    consecutive reps agree within 10% (capped), and the timed reps are
+    emitted as ``warmup_profile`` {pre_headline, pre_heavy} in the
+    detail artifact — a judge can tell "JVM settled slow" (warm-up
+    never converged, settled=false) from "query regressed" (warm-up
+    clean, query moved). Disable with SPARK_GRAFT_BENCH_WARMUP=0.
   * HEAVY THROWAWAY: each heavy query gets ONE untimed throwaway run
     before its timed runs (the headline tier keeps its shared one-shot
     session warm-up). First-touch codegen/Arrow-init for these
@@ -258,7 +261,7 @@ def _pin_worker_threads() -> bool:
     return True
 
 
-def _arrow_warmup(spark, reps: int = 4) -> dict:
+def _arrow_warmup(spark, min_reps: int = 4, max_reps: int = 10) -> dict:
     """Fixed-composition Arrow/pandas/numpy + JVM-hash warm-up, timed
     per-rep — run immediately before the heavy tier so every fresh JVM
     enters it from the SAME preceding-work history (the ivf-drift
@@ -267,9 +270,14 @@ def _arrow_warmup(spark, reps: int = 4) -> dict:
     exact machinery the heavy five lean on: Arrow batch transfer both
     directions, a deterministic numpy matmul in mapInPandas (ann_lsh /
     kmeans shape), and a JVM-side xxhash64 + groupBy + sort (simhash /
-    graph shape). ``settled`` = the last two reps agree within 15%, so
-    a judge can tell a JVM that never converged from a query that
-    regressed."""
+    graph shape). ADAPTIVE (r13, after run #1 of the two-run
+    reproducibility check started its heavy tier from a JVM the fixed
+    4 reps had not converged — warmup [1.59, 0.76, 0.63, 0.77],
+    settled=false, ann_lsh +114%): reps continue past ``min_reps``
+    until two consecutive times agree within 10% (or ``max_reps``), so
+    the tier starts from a converged JIT state whenever one is
+    reachable; ``settled=false`` in the emitted profile still marks
+    the JVMs where it wasn't."""
     import numpy as np
     import pandas as pd
 
@@ -289,7 +297,14 @@ def _arrow_warmup(spark, reps: int = 4) -> dict:
 
     base = spark.range(0, 262_144, 1, 32)
     times: list[float] = []
-    for _ in range(reps):
+
+    def _settled() -> bool:
+        return len(times) >= 2 and (
+            abs(times[-1] - times[-2])
+            <= 0.10 * max(times[-1], times[-2], 1e-9)
+        )
+
+    while len(times) < min_reps or (len(times) < max_reps and not _settled()):
         t0 = time.perf_counter()
         scored = base.mapInPandas(_score, "id long, score double")
         (
@@ -300,10 +315,7 @@ def _arrow_warmup(spark, reps: int = 4) -> dict:
             .count()
         )
         times.append(round(time.perf_counter() - t0, 3))
-    settled = len(times) >= 2 and (
-        abs(times[-1] - times[-2]) <= 0.15 * max(times[-1], times[-2], 1e-9)
-    )
-    return {"reps_sec": times, "settled": settled}
+    return {"reps_sec": times, "settled": _settled()}
 
 
 def _reference_gate_e2e(spark, sf_dir: str) -> dict:
@@ -618,6 +630,17 @@ def main() -> None:
             next(iter(queries.values())).fn(spark, sf_dir).limit(1).count()
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
+    # r13: the fixed Arrow warm-up runs BEFORE the headline loop too —
+    # run #1 of the reproducibility check showed the headline tier's
+    # own Arrow queries (cosine_topk 2.0x, embedding_project 2.6x)
+    # inherit an unsettled JIT state exactly like the heavy tier does.
+    warmup_profile = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        try:
+            warmup_profile = {"pre_headline": _arrow_warmup(spark)}
+        except Exception as e:  # noqa: BLE001 — warm-up must not kill bench
+            warmup_profile = {"pre_headline": {"error": _err(e)}}
+        spark.catalog.clearCache()
 
     # Load calibration pass #1 (see module docstring): a fixed
     # micro-query whose idle steady-state is known, timed on the warmed
@@ -687,14 +710,17 @@ def main() -> None:
         per_run_clear = bool({"pipeline", "persists"} & q.tags)
         try:
             if throwaway:
-                # one untimed run: first-touch codegen/Arrow init for a
+                # two untimed runs: first-touch codegen/Arrow init for a
                 # multi-second plan otherwise lands inside timed run #1
-                # and drags small-sample medians (r13; min was immune)
-                q.fn(spark, sf_dir).count()
-                if per_run_clear:
-                    spark.catalog.clearCache()
-                    spark.sparkContext._jvm.System.gc()
-                    time.sleep(0.4)
+                # and drags small-sample medians, and C2 recompilation of
+                # the hot Arrow path often lands in run #2 (r13; min was
+                # immune, medians weren't)
+                for _ in range(2):
+                    q.fn(spark, sf_dir).count()
+                    if per_run_clear:
+                        spark.catalog.clearCache()
+                        spark.sparkContext._jvm.System.gc()
+                        time.sleep(0.4)
             # adaptive: initial runs_floor, then keep running while the
             # relative IQR exceeds the target (up to runs_cap) — the
             # similarity family needs 5-9 runs for a stable median,
@@ -758,20 +784,23 @@ def main() -> None:
     # harness wall time). Disable with SPARK_GRAFT_BENCH_HEAVY=0.
     heavy_timings: dict[str, float] = {}
     heavy_spreads: dict[str, dict[str, float]] = {}
-    warmup_profile = None
     if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "1") != "0":
-        # r13: fixed Arrow warm-up so the tier starts from the same
+        # r13: short re-warm so the tier starts from the same
         # preceding-work history in every JVM (see module docstring)
-        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        if warmup_profile is not None and "error" not in warmup_profile.get(
+            "pre_headline", {}
+        ):
             try:
-                warmup_profile = _arrow_warmup(spark)
+                warmup_profile["pre_heavy"] = _arrow_warmup(
+                    spark, min_reps=2, max_reps=6
+                )
             except Exception as e:  # noqa: BLE001 — warm-up must not kill bench
-                warmup_profile = {"error": _err(e)}
+                warmup_profile["pre_heavy"] = {"error": _err(e)}
             spark.catalog.clearCache()
         heavy_floor = max(
-            1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "3"))
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "4"))
         )
-        heavy_cap = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_MAX_RUNS", "5"))
+        heavy_cap = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_MAX_RUNS", "6"))
         heavy_budget = float(
             os.environ.get("SPARK_GRAFT_BENCH_HEAVY_QUERY_BUDGET", "120")
         )
@@ -901,14 +930,19 @@ def main() -> None:
         },
         "contended": contended,
     }
-    if warmup_profile is not None and "reps_sec" in warmup_profile:
-        # first/last warm-up rep + convergence: lets the driver's compact
-        # record distinguish a never-settled JVM from a query regression
-        compact["warmup"] = [
-            warmup_profile["reps_sec"][0],
-            warmup_profile["reps_sec"][-1],
-            warmup_profile["settled"],
-        ]
+    if warmup_profile is not None:
+        # first rep, final settled rep, and convergence of each stage:
+        # lets the driver's compact record distinguish a never-settled
+        # JVM from a query regression
+        wh = warmup_profile.get("pre_headline", {})
+        wv = warmup_profile.get("pre_heavy", {})
+        if "reps_sec" in wh:
+            compact["warmup"] = [
+                wh["reps_sec"][0],
+                (wv.get("reps_sec") or wh["reps_sec"])[-1],
+                bool(wh.get("settled"))
+                and bool(wv.get("settled", True)),
+            ]
     if len(core13_present) != len(_CORE13):
         compact["core13_incomplete"] = True
     if len(heavy_timings) != len(_HEAVY5):
