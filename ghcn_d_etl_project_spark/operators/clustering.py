@@ -44,6 +44,7 @@ __all__ = [
     "label_centroids",
     "nearest_centroid",
     "embedding_split_drift",
+    "semdedup",
 ]
 
 
@@ -413,4 +414,126 @@ def embedding_split_drift(
             F.col("__ssqn").cast("double") / (F.lit(sc2) * F.col("__nn")),
             round_digits,
         ).alias("mean_sqnorm_new"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 4,
+    threshold: float = 0.95,
+    init_ids: list | None = None,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with k-means, then find semantic duplicates ONLY
+    within each cluster (pairwise cosine >= ``threshold``) and keep one
+    representative per duplicate relation — the paper's rule: keep the
+    member with the LOWEST cosine similarity to its centroid (here: the
+    GREATER ``dist2``; exact ties keep the smaller id).
+
+    Why cluster first: all-pairs cosine is quadratic in the corpus;
+    clustering bounds the pair term to sum-of-cluster-sizes² — pick
+    ``k`` proportional to N so expected cluster size stays fixed (the
+    paper runs k=50,000 on LAION) and the within-cluster self-join is
+    a plain shuffle equi-join on the cluster key, linear-ish overall.
+    Assignment itself is the deterministic fixed-point
+    :func:`kmeans_lloyd` (shuffle-free scoring, k x d update rows).
+
+    Zero-norm and NULL vectors are excluded by contract (cosine
+    undefined — the similarity operators' shared rule). Output, one
+    row per scoreable input: ``(id_col, cluster, dist2, n_dup_neighbors,
+    keep)``; ``keep=false`` iff some same-cluster neighbor with
+    cosine >= threshold sits farther from (or tied with, at a smaller
+    id) the centroid. Deterministic end to end; iterative float
+    numerics make it rows-only vs SQL oracles — semantics pinned in
+    ``tests/test_clustering.py``.
+
+    Pass ``release_into`` to receive the persisted frames (kmeans'
+    scoreable projection + the scored assignment) for caller-owned
+    ``unpersist()``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = (
+        df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+        .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+        .filter(F.col("__norm") > 0)
+    )
+    assign = kmeans_lloyd(
+        base,
+        "__id",
+        "__v",
+        k=k,
+        iters=iters,
+        init_ids=init_ids,
+        round_digits=round_digits,
+        release_into=release_into,
+    ).withColumnRenamed("__id", "id")
+    scored = (
+        assign.join(base, assign["id"] == base["__id"])
+        .select("id", "cluster", "dist2", "__v", "__norm")
+        .persist()
+    )
+    if release_into is not None:
+        release_into.append(scored)
+    a, b = scored.alias("a"), scored.alias("b")
+    cos = dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= threshold)
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.dist2").alias("d1"),
+            F.col("b.dist2").alias("d2"),
+        )
+        .persist()
+    )
+    if release_into is not None:
+        release_into.append(pairs)
+    # the member closer to the centroid loses; exact tie keeps min id
+    removed = pairs.select(
+        F.when(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("id1") > F.col("id2"))),
+            F.col("id1"),
+        )
+        .otherwise(F.col("id2"))
+        .alias("rid")
+    ).distinct()
+    neigh = (
+        pairs.select(F.col("id1").alias("nid"))
+        .unionAll(pairs.select(F.col("id2").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"))
+    )
+    return (
+        scored.join(neigh, scored["id"] == neigh["nid"], "left")
+        .join(removed, scored["id"] == removed["rid"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster"),
+            F.col("dist2"),
+            F.coalesce(
+                F.col("n_dup_neighbors"), F.lit(0).cast("long")
+            ).alias("n_dup_neighbors"),
+            F.col("rid").isNull().alias("keep"),
+        )
     )

@@ -1041,3 +1041,340 @@ def dedup_against_reference(
             F.col("__near_jac"),
         ).alias("jaccard"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every word ``k``-gram in document order,
+    slide a window of ``w`` consecutive hashes, and keep each window's
+    MINIMUM as a fingerprint. Guarantee: any shared token run of length
+    >= ``w + k - 1`` contributes at least one common fingerprint to both
+    documents, while only ~2/(w+1) of all grams are retained — a
+    LOCAL fingerprinting scheme (whole-doc md5 catches only identical
+    docs; winnowing catches partial overlap) with a tunable
+    density/guarantee trade-off.
+
+    Returns the selected-fingerprint set: (doc, fp) — DISTINCT
+    window-min hash values per document. Positions are dropped after
+    selection: multiplicity doesn't change the match guarantee and the
+    distinct set is what the cross-doc join consumes.
+
+    Engine-portable hash: BIGINT from the first 8 md5 hex chars (same
+    recipe as the packing bucket hash), so a DuckDB oracle can replay
+    the whole construction. At 100 TB swap in xxhash64 for one fewer
+    string pass — identical plan shape.
+
+    Plan shape: one posexplode (grams carry positions — winnowing is
+    positional, unlike ``word_shingles``' distinct sets), one window
+    min per doc (partitioned by doc, bounded ROWS frame, no skew term
+    beyond doc length), one distinct. Linear in corpus size; no pair
+    term exists until the caller joins fingerprints.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc"),
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__grams"),
+    )
+    grams = base.select(
+        "doc", F.posexplode("__grams").alias("pos", "gram")
+    ).select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    sel = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    full = Window.partitionBy("doc")
+    wmins = grams.select(
+        "doc",
+        "pos",
+        F.min("h").over(sel).alias("fp"),
+        F.count(F.lit(1)).over(full).alias("__ng"),
+    )
+    return wmins.filter(F.col("pos") + w <= F.col("__ng")).select(
+        "doc", "fp"
+    ).distinct()
+
+
+def winnow_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 100,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document winnowing readout over ``winnow_fingerprints``:
+    how much of each doc is fingerprinted, how much of that is shared
+    with ANY other doc, and the single strongest partner.
+
+    Columns: (doc_id, n_grams, n_windows, n_fp, n_shared_fp,
+    fp_density, best_partner, best_shared). ``n_shared_fp`` comes from
+    a fingerprint document-frequency table (groupBy fp + join back) —
+    LINEAR, no pair term, same trick as ``span_dedup_profile``. The
+    pairwise stage (best partner) joins only fingerprints with df in
+    [2, ``max_df``]: a fingerprint shared by thousands of docs is
+    boilerplate, not evidence of a specific pair, and capping df bounds
+    the self-join fan-out at ``max_df``² per fingerprint — the stop-
+    shingle guard every inverted-index pairer here uses. Docs with no
+    complete window (< w + k - 1 tokens) emit zeros with NULL density
+    and NULL partner — "nothing to fingerprint" is distinct from
+    "fingerprinted and unique".
+
+    The selected-fingerprint frame (one explode + one window per doc)
+    feeds FOUR downstream references (df table, per-doc stats, both
+    sides of the partner join) — it is persist-marked, along with the
+    small df table, so the heavy selection runs once, not per
+    reference (the PMI-rescan class the plan gate exists for). Pass
+    ``release_into`` (a list) to receive both persisted frames and
+    ``unpersist()`` them when done — the caller-owned-lifetime
+    contract of :func:`minhash_lsh_dedup`.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
+    toks = tokens(F.lower(F.col(text_col)))
+    n_grams = F.when(F.size(toks) >= k, F.size(toks) - (k - 1)).otherwise(
+        F.lit(0)
+    )
+    stats = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc"),
+        n_grams.cast("long").alias("n_grams"),
+        F.when(n_grams >= w, (n_grams - (w - 1)).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_windows"),
+    )
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).persist()
+    if release_into is not None:
+        release_into.extend([fps, dfreq])
+    fstats = (
+        fps.join(dfreq, "fp")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fp"),
+        )
+    )
+    rare = fps.join(
+        dfreq.filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)), "fp"
+    )
+    pairs = (
+        rare.alias("a")
+        .join(
+            rare.select(
+                F.col("doc").alias("partner"), F.col("fp").alias("fp")
+            ).alias("b"),
+            "fp",
+        )
+        .filter(F.col("a.doc") != F.col("partner"))
+        .groupBy(F.col("a.doc").alias("doc"), F.col("partner"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    best = (
+        pairs.groupBy("doc")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("shared"), (-F.col("partner")).alias("__np")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "doc",
+            (-F.col("__b.__np")).alias("best_partner"),
+            F.col("__b.shared").alias("best_shared"),
+        )
+    )
+    out = stats.join(fstats, "doc", "left").join(best, "doc", "left")
+    return out.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        "n_windows",
+        F.coalesce(F.col("n_fp"), F.lit(0).cast("long")).alias("n_fp"),
+        F.coalesce(F.col("n_shared_fp"), F.lit(0).cast("long")).alias(
+            "n_shared_fp"
+        ),
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(
+                F.coalesce(F.col("n_fp"), F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                round_digits,
+            ),
+        ).alias("fp_density"),
+        F.col("best_partner"),
+        F.coalesce(F.col("best_shared"), F.lit(0).cast("long")).alias(
+            "best_shared"
+        ),
+    )
+
+
+def minhash_banded_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    unit: str = "word",
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Shingle -> MinHash -> band -> bucket-join -> exact-Jaccard-verify
+    with an ENGINE-PORTABLE hash family: h_p(s) = BIGINT from the first
+    8 md5 hex chars of ``p || ':' || shingle``. The xxhash64 production
+    path (``minhash_lsh_dedup`` / ``dedup_against_reference``) is
+    faster per byte but seeded-hash-defined, so its oracle checks are
+    rows-only; THIS twin replays bit-for-bit in any engine with md5 —
+    the full banding construction (signature minima, band keys,
+    candidate generation, exact verification) carries a value-hash
+    oracle. Use it to certify the construction; use the xxhash64 path
+    to run it at 100 TB (identical plan shape, one cheaper hash).
+
+    Banding: ``n_hashes`` permutations split into ``bands`` bands of
+    r = n_hashes/bands rows (default 16 x 2: a true j=0.5 pair is
+    missed w.p. (1 - 0.25)^16 ~ 1%; j=0.7 w.p. ~2e-5). Candidates =
+    distinct same-(band, minima-tuple) pairs; verification computes
+    exact char-``n``-gram Jaccard on candidates ONLY (the inverted-
+    index intersection join is candidate-bounded, never all-pairs).
+
+    Output: (doc1, doc2, n_inter, size1, size2, jaccard) for verified
+    pairs with jaccard >= ``threshold``, doc1 < doc2. ``unit`` picks the
+    shingle family: "word" (lowercased ``n``-token grams — 1/5-1/10 the
+    rows of char grams on prose, the default) or "char" (``n``-char
+    grams, robust to tokenization).
+
+    The shingle index feeds the signature build, both per-doc size
+    aggregates and both sides of the candidate intersection join — it
+    is persist-marked so the explode + md5 pass runs once (the
+    minhash_lsh_dedup substrate rule). Pass ``release_into`` to receive
+    it for caller-owned ``unpersist()``.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError(f"bands must divide n_hashes: {n_hashes} % {bands}")
+    if unit not in ("word", "char"):
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
+    r = n_hashes // bands
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    gram = (
+        word_shingles(F.lower(F.col(text_col)), k=n)
+        if unit == "word"
+        else char_shingles(text_col, n=n)
+    )
+    sh = base.select(
+        F.col(id_col).alias("doc"), F.explode(gram).alias("shingle")
+    ).persist()
+    if release_into is not None:
+        release_into.append(sh)
+
+    def h(p: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+        )
+
+    sig = sh.groupBy("doc").agg(
+        *[F.min(h(p)).alias(f"m{p}") for p in range(n_hashes)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[
+                F.col(f"m{b * r + j}").alias(f"k{j}")
+                for j in range(r)
+            ],
+        )
+        for b in range(bands)
+    ]
+    keys = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc", "bk.*")
+    a, b_ = keys.alias("a"), keys.alias("b")
+    join_cond = (F.col("a.band") == F.col("b.band")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    for j in range(r):
+        join_cond = join_cond & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
+    cand = (
+        a.join(b_, join_cond)
+        .select(
+            F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc") == F.col("doc1"))
+        .join(
+            sb,
+            (F.col("sb.doc") == F.col("doc2"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size1") + F.col("size2") - F.col("n_inter")
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc").alias("doc1"),
+                F.col("n").cast("long").alias("size1"),
+            ),
+            "doc1",
+        )
+        .join(
+            sizes.select(
+                F.col("doc").alias("doc2"),
+                F.col("n").cast("long").alias("size2"),
+            ),
+            "doc2",
+        )
+        .filter(jac >= threshold)
+        .select(
+            "doc1",
+            "doc2",
+            "n_inter",
+            "size1",
+            "size2",
+            F.round(jac, round_digits).alias("jaccard"),
+        )
+    )

@@ -10,7 +10,7 @@ to 100 TB of documents exactly like any other projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -1063,4 +1063,92 @@ def js_divergence_words(
         F.round(h_q, round_digits).alias("h_q"),
         F.round(h_m, round_digits).alias("h_mix"),
         F.round(h_m - (h_p + h_q) / F.lit(2.0), round_digits).alias("js_nats"),
+    )
+
+
+# The 8-word "must contain >= 2" stopword list from the Gopher
+# quality-filter rules (Rae et al. 2021 appendix A1.1).
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021 §A1.1): the published
+    MassiveWeb per-document filter restated as one codegen'd projection.
+
+    Per-rule boolean columns plus the conjunction ``keep``:
+      * r_wordcount — 50 <= whitespace words <= 100,000
+      * r_meanlen   — 3.0 <= mean word length <= 10.0
+      * r_symbol    — (count('#') + count('...')) / words < 0.1
+      * r_alpha     — >= 80% of words contain an alphabetic character
+      * r_stop      — >= 2 hits from ``GOPHER_STOPWORDS``
+
+    Empty/whitespace-only texts get NULL features and fail every
+    feature-dependent rule via the COALESCE(..., FALSE) wrapping —
+    a doc the gate can't measure is a doc the gate drops. Line-level
+    Gopher rules (bullet/ellipsis line ratios) are out of scope for
+    single-line corpora; callers with real newlines should explode
+    lines first. No UDF, no shuffle — scan-bound at any scale.
+    """
+    toks_l = tokens(F.lower(F.col(text_col)))
+    lt = F.lower(F.col(text_col))
+    n_words = F.size(toks_l).cast("long")
+    nz = F.size(toks_l) > 0
+    mean_word_len = F.when(
+        nz, F.length(F.array_join(toks_l, "")).cast("double") / F.size(toks_l)
+    )
+    n_hash = F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(lt) - F.length(F.replace(lt, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_word_ratio = F.when(
+        nz, (n_hash.cast("double") + n_ellipsis) / F.size(toks_l)
+    )
+    frac_alpha = F.when(
+        nz,
+        F.size(F.filter(toks_l, lambda x: x.rlike("[a-z]"))).cast("double")
+        / F.size(toks_l),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks_l, lambda x: F.array_contains(stop_arr, x))
+    ).cast("long")
+    feat = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        id_col,
+        *extra_cols,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+    )
+    r_wordcount = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r_meanlen = F.coalesce(
+        (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0),
+        F.lit(False),
+    )
+    r_symbol = F.coalesce(F.col("symbol_word_ratio") < 0.1, F.lit(False))
+    r_alpha = F.coalesce(F.col("frac_alpha_words") >= 0.8, F.lit(False))
+    r_stop = F.col("n_stop_hits") >= 2
+    return feat.select(
+        id_col,
+        *extra_cols,
+        "n_words",
+        F.round("mean_word_len", round_digits).alias("mean_word_len"),
+        F.round("symbol_word_ratio", round_digits).alias("symbol_word_ratio"),
+        F.round("frac_alpha_words", round_digits).alias("frac_alpha_words"),
+        "n_stop_hits",
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_wordcount & r_meanlen & r_symbol & r_alpha & r_stop).alias("keep"),
     )

@@ -2923,3 +2923,359 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=4,
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) — r13
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+_WINNOW_MAXDF = 100
+
+_WINNOW_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), stats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(tk) >= {_WINNOW_K}
+                   THEN len(tk) - {_WINNOW_K} + 1 ELSE 0 END AS BIGINT)
+           AS n_grams
+  FROM toks
+), stats2 AS (
+  SELECT doc_id, n_grams,
+         CAST(CASE WHEN n_grams >= {_WINNOW_W}
+                   THEN n_grams - {_WINNOW_W} + 1 ELSE 0 END AS BIGINT)
+           AS n_windows
+  FROM stats
+), grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(concat('0x',
+              substr(md5(array_to_string(
+                  list_slice(tk, i, i + {_WINNOW_K} - 1), ' ')), 1, 8))
+              AS BIGINT) AS h
+  FROM toks,
+       UNNEST(CASE WHEN len(tk) >= {_WINNOW_K}
+                   THEN range(1, len(tk) - {_WINNOW_K} + 2)
+                   ELSE [] END) AS r(i)
+), wmins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmins WHERE pos + {_WINNOW_W} <= ng
+), dfreq AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM fps GROUP BY fp
+), fstats AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fp
+  FROM fps f JOIN dfreq d USING (fp) GROUP BY f.doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc, b.doc_id AS partner,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM fps a
+  JOIN dfreq d ON a.fp = d.fp
+  JOIN fps b ON a.fp = b.fp
+  WHERE d.df BETWEEN 2 AND {_WINNOW_MAXDF} AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), best AS (
+  SELECT doc, partner AS best_partner, shared AS best_shared,
+         ROW_NUMBER() OVER (PARTITION BY doc
+                            ORDER BY shared DESC, partner) AS rn
+  FROM pairs
+)
+SELECT s.doc_id, s.n_grams, s.n_windows,
+       COALESCE(f.n_fp, 0) AS n_fp,
+       COALESCE(f.n_shared_fp, 0) AS n_shared_fp,
+       CASE WHEN s.n_windows > 0
+            THEN round(COALESCE(f.n_fp, 0) / CAST(s.n_windows AS DOUBLE), 6)
+       END AS fp_density,
+       b.best_partner,
+       COALESCE(b.best_shared, 0) AS best_shared
+FROM stats2 s
+LEFT JOIN fstats f USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.doc
+"""
+
+
+@register("winnow_fingerprint_docs", oracle=_WINNOW_ORACLE,
+          tags=("llm", "dedup", "text", "persists"),
+          late=True)  # r13 wave: settle first
+def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile
+    (``operators/dedup.py:winnow_profile``, Schleimer et al. 2003 /
+    MOSS): word 3-gram hashes, window-4 minima as the fingerprint set,
+    per-doc counts + share-with-corpus + strongest partner. The LOCAL
+    member of the fingerprinting ladder — whole-doc md5
+    (``text_profile``.fp) only catches identical docs; winnowing
+    catches partial overlap with a guaranteed hit on any shared run of
+    >= w + k - 1 = 6 tokens at ~2/(w+1) storage density. Hash is
+    md5-hex-prefix BIGINT so the ENTIRE construction (grams -> window
+    minima -> df table -> df-capped partner join) is replayed by the
+    DuckDB oracle — the first fingerprint-selection operator here to
+    carry a full value-hash oracle through its selection stage."""
+    from ghcn_d_etl_project_spark.operators.dedup import winnow_profile
+
+    return winnow_profile(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, max_df=_WINNOW_MAXDF,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, published rule set) — r13
+# ---------------------------------------------------------------------------
+
+from ghcn_d_etl_project_spark.operators.textops import (  # noqa: E402
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+)
+
+_GOPHER_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk,
+         lower(text) AS lt
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), feat AS (
+  SELECT doc_id, source,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CASE WHEN len(tk) > 0
+              THEN CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk)
+         END AS mean_word_len,
+         CASE WHEN len(tk) > 0
+              THEN (CAST(length(lt) - length(replace(lt, '#', ''))
+                         AS DOUBLE)
+                    + (length(lt) - length(replace(lt, '...', ''))) / 3)
+                   / len(tk)
+         END AS symbol_word_ratio,
+         CASE WHEN len(tk) > 0
+              THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(tk)
+         END AS frac_alpha_words,
+         CAST(len(list_filter(tk, x -> list_contains(
+                  [{", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)}], x)))
+              AS BIGINT) AS n_stop_hits
+  FROM base
+), flags AS (
+  SELECT *,
+         n_words BETWEEN 50 AND 100000 AS r_wordcount,
+         COALESCE(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS r_meanlen,
+         COALESCE(symbol_word_ratio < 0.1, FALSE) AS r_symbol,
+         COALESCE(frac_alpha_words >= 0.8, FALSE) AS r_alpha,
+         n_stop_hits >= 2 AS r_stop
+  FROM feat
+)
+SELECT doc_id, source, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       round(frac_alpha_words, 6) AS frac_alpha_words,
+       n_stop_hits,
+       r_wordcount, r_meanlen, r_symbol, r_alpha, r_stop,
+       (r_wordcount AND r_meanlen AND r_symbol AND r_alpha AND r_stop)
+         AS keep
+FROM flags
+"""
+
+
+@register("gopher_rules_docs", oracle=_GOPHER_ORACLE,
+          tags=("llm", "quality", "text"), late=True)  # r13 wave
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021 §A1.1, the published
+    MassiveWeb repetition-free rule set): per-doc feature columns +
+    one boolean per rule + the conjunction ``keep``. Rules restated on
+    this corpus: 50 <= word count <= 100k, 3 <= mean word length <= 10,
+    (# '#' + # '...') / words < 0.1, >= 80% of words contain an
+    alphabetic char, >= 2 hits from the 8-word Gopher stopword list.
+    The line-level rules (bullet/ellipsis line ratios) don't apply to
+    single-line documents and are deliberately absent. Distinct from
+    ``text_profile``'s score: this is the RULE-GATE readout (which rule
+    killed a doc), the shape a curation pipeline filters and audits on.
+    Pure single-pass projection — every column is a JVM expression in
+    one WholeStageCodegen stage, no shuffle, no UDF; at 100 TB this is
+    scan-bound, exactly as a quality gate should be."""
+    from ghcn_d_etl_project_spark.operators.textops import gopher_rules
+
+    return gopher_rules(
+        t(spark, sf_dir, "documents"), extra_cols=("source",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding with a FULL value-hash oracle (md5 hash family) — r13
+# ---------------------------------------------------------------------------
+
+_LSH_MD5_CORE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS doc,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc, array_to_string(list_slice(tk, i, i + 2), ' ') AS s
+  FROM toks,
+       UNNEST(CASE WHEN len(tk) >= 3 THEN range(1, len(tk) - 1)
+                   ELSE [] END) AS r(i)
+), hashes AS (
+  SELECT doc, p,
+         min(CAST(concat('0x',
+             substr(md5(concat(CAST(p AS VARCHAR), ':', s)), 1, 8))
+             AS BIGINT)) AS m
+  FROM sh, UNNEST(range(0, 32)) AS pr(p)
+  GROUP BY doc, p
+), sig AS (
+  SELECT doc, p // 2 AS band,
+         min(CASE WHEN p % 2 = 0 THEN m END) AS k0,
+         min(CASE WHEN p % 2 = 1 THEN m END) AS k1
+  FROM hashes GROUP BY doc, p // 2
+), cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.doc < b.doc
+), sz AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc = c.doc1
+  JOIN sh b ON b.doc = c.doc2 AND b.s = a.s
+  GROUP BY c.doc1, c.doc2
+)
+"""
+
+_LSH_MD5_PAIRS_ORACLE = _LSH_MD5_CORE + r"""
+SELECT i.doc1, i.doc2, CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(s1.n AS BIGINT) AS size1, CAST(s2.n AS BIGINT) AS size2,
+       round(i.n_inter / CAST(s1.n + s2.n - i.n_inter AS DOUBLE), 6)
+         AS jaccard
+FROM inter i JOIN sz s1 ON i.doc1 = s1.doc JOIN sz s2 ON i.doc2 = s2.doc
+WHERE i.n_inter / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@register("lsh_banded_pairs_oracle", oracle=_LSH_MD5_PAIRS_ORACLE,
+          tags=("llm", "dedup", "persists"), late=True)  # r13 wave: settle first
+def lsh_banded_pairs_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH construction under a value-hash oracle
+    (``operators/dedup.py:minhash_banded_pairs_md5``): word-3-gram
+    shingles -> 32 MinHash permutations -> 16 bands x 2 rows -> same-
+    (band, minima) candidate pairs -> exact-Jaccard verify of
+    candidates only, threshold 0.5. The xxhash64 production path
+    (``minhash_lsh_dedup``, bench-pinned) is rows-only because no SQL
+    engine can restate its seeded hash family; this twin swaps in the
+    engine-portable md5-prefix family so DuckDB replays signature
+    minima, band keys, candidate generation AND verification bit-for-
+    bit — banding itself is now oracle-certified, not just its
+    invariants. Same plan shape as production: explode -> 32 map-side-
+    combined min aggregates -> band-key equi-join -> candidate-bounded
+    intersection join; no pair term outside band buckets."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        minhash_banded_pairs_md5,
+    )
+
+    return minhash_banded_pairs_md5(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, unit="word", n_hashes=32, bands=16, threshold=0.5,
+    )
+
+
+_NEARDUP_CC_ORACLE = _LSH_MD5_CORE + r""",
+pairs AS (
+  SELECT i.doc1, i.doc2
+  FROM inter i JOIN sz s1 ON i.doc1 = s1.doc JOIN sz s2 ON i.doc2 = s2.doc
+  WHERE i.n_inter / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL SELECT doc2, doc1 FROM pairs
+), nodes AS (SELECT doc FROM toks),
+cc AS (
+  SELECT doc, doc AS lbl FROM nodes
+  UNION
+  SELECT e.b AS doc, c.lbl FROM cc c JOIN edges e ON e.a = c.doc
+), lab AS (
+  SELECT doc, min(lbl) AS component FROM cc GROUP BY doc
+)
+SELECT l.doc AS doc_id, CAST(l.component AS BIGINT) AS component,
+       CAST(sz2.cs AS BIGINT) AS component_size
+FROM lab l
+JOIN (SELECT component, COUNT(*) AS cs FROM lab GROUP BY component) sz2
+  USING (component)
+"""
+
+
+@register("neardup_components_docs", oracle=_NEARDUP_CC_ORACLE,
+          tags=("llm", "dedup", "graph", "persists"), late=True)  # r13 wave
+def neardup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the oracle-certified
+    banded near-dup pairs (``lsh_banded_pairs_oracle``'s edge set),
+    every document labeled with the min doc_id reachable through
+    jaccard >= 0.5 edges, singletons included. This is the keep-one-
+    per-cluster substrate of corpus dedup (``dedup_clusters`` does it
+    for EXACT dups; this is the near-dup analogue). Spark side:
+    ``operators/graph.py:connected_components`` (pointer-jumping with
+    lineage truncation; bounded edge sets take the driver union-find
+    fast path). Oracle side: recursive-CTE min-label propagation to a
+    fixed point — the same replay pattern as the FFD packing and MMR
+    oracles. At 100 TB the near-dup graph is orders sparser than the
+    corpus (edges only where jaccard >= t), so the iterative loop runs
+    on the edge set, never the corpus."""
+    from ghcn_d_etl_project_spark.operators.dedup import (
+        minhash_banded_pairs_md5,
+    )
+    from ghcn_d_etl_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_banded_pairs_md5(
+        d, "doc_id", "text", n=3, unit="word",
+        n_hashes=32, bands=16, threshold=0.5,
+    )
+    nodes = d.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(F.col("doc_id").alias("node"))
+    comps = connected_components(
+        pairs.select("doc1", "doc2"), src="doc1", dst="doc2",
+        nodes=nodes, node_col="node",
+    )
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return comps.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "component_size",
+    )
+
+
+@register("semdedup_embeddings", oracle=None,
+          tags=("llm", "similarity", "dedup", "persists"), late=True)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``operators/clustering.py:semdedup``, Abbas et al.
+    2023): k-means the embedding space (deterministic fixed-point
+    Lloyd, k=16), then find semantic duplicates WITHIN clusters only
+    (cosine >= 0.95) and keep one representative per duplicate relation
+    — the paper's keep-the-farthest-from-centroid rule, exact ties to
+    the smaller id. The embedding-space member of the dedup ladder:
+    exact (hash), lexical (MinHash/winnowing), semantic (this).
+    Clustering bounds the pair term to within-cluster — pick k ~ N so
+    expected cluster size is constant and total pair work is linear-
+    ish; the paper runs k=50k on LAION. Rows-only by the kmeans rule
+    (iterative float numerics; deterministic, but no SQL engine
+    restates 4 Lloyd iterations) — keep/tie/neighbor semantics pinned
+    in tests/test_clustering.py, and the within-cluster pair stage
+    reuses the oracle-certified cosine algebra of cosine_topk."""
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    return semdedup(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=16, iters=4, threshold=0.95,
+    )

@@ -427,3 +427,133 @@ def test_kappa_matches_independent_python_from_confusion(spark):
         assert got.kappa is None
     assert -1.0 <= got.kappa <= 1.0
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semdedup): within-cluster cosine dedup over kmeans cells
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_corpus(spark):
+    """Two planted duplicate groups in well-separated blobs + uniques."""
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup  # noqa
+
+    rows = [
+        # blob A around (1, 0, 0): ids 0/1 identical (dup pair), 2 distinct
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0]),
+        # blob B around (0, 0, 1): ids 3/4 nearly identical
+        (3, [0.0, 0.0, 1.0]),
+        (4, [0.0, 0.01, 1.0]),
+        (5, [0.0, 0.6, 0.8]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_planted_duplicates(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    df = _semdedup_corpus(spark)
+    out = {r["vec_id"]: r for r in semdedup(
+        df, "vec_id", "embedding", k=2, iters=3, threshold=0.99
+    ).collect()}
+    assert len(out) == 6
+    # dup pairs flagged with exactly one survivor each
+    assert out[0]["n_dup_neighbors"] == 1 and out[1]["n_dup_neighbors"] == 1
+    assert out[0]["keep"] != out[1]["keep"]
+    assert out[3]["n_dup_neighbors"] == 1 and out[4]["n_dup_neighbors"] == 1
+    assert out[3]["keep"] != out[4]["keep"]
+    # uniques kept with zero neighbors
+    for i in (2, 5):
+        assert out[i]["keep"] is True and out[i]["n_dup_neighbors"] == 0
+    # identical pair 0/1: equal dist2 -> exact tie keeps the SMALLER id
+    assert out[0]["dist2"] == out[1]["dist2"]
+    assert out[0]["keep"] is True and out[1]["keep"] is False
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    # one cluster (k=1): a cosine-identical RAY (same direction, three
+    # magnitudes) — all pairwise cosines are exactly 1; the centroid
+    # sits at the mean, the farthest member must be the survivor
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),
+        (2, [9.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(
+        df, "vec_id", "embedding", k=1, iters=2, threshold=0.999
+    ).collect()}
+    farthest = max(out.values(), key=lambda r: (r["dist2"], -r["vec_id"]))
+    assert farthest["vec_id"] == 2
+    assert out[2]["keep"] is True
+    assert out[0]["keep"] is False and out[1]["keep"] is False
+    assert all(r["n_dup_neighbors"] == 2 for r in out.values())
+
+
+def test_semdedup_cross_cluster_pairs_invisible(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    # identical vectors FORCED into different clusters can't pair:
+    # init_ids pins each as its own centroid and iters keeps them apart
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),  # identical to 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(
+        df, "vec_id", "embedding", k=2, iters=1,
+        init_ids=[0, 1], threshold=0.99
+    ).collect()}
+    # 0 and 2 share a cluster -> dedup applies there
+    assert out[0]["cluster"] == out[2]["cluster"]
+    assert out[0]["keep"] != out[2]["keep"]
+    assert out[1]["keep"] is True and out[1]["n_dup_neighbors"] == 0
+
+
+def test_semdedup_zero_norm_and_null_excluded(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 0.0]),   # zero norm: excluded
+        (2, None),         # NULL: excluded
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, "vec_id", "embedding", k=2, iters=1).collect()
+    assert {r["vec_id"] for r in out} == {0, 3}
+
+
+def test_semdedup_deterministic_and_validated(spark):
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    df = _semdedup_corpus(spark)
+    a = sorted(map(tuple, semdedup(
+        df, "vec_id", "embedding", k=2, iters=3
+    ).collect()))
+    b = sorted(map(tuple, semdedup(
+        df, "vec_id", "embedding", k=2, iters=3
+    ).collect()))
+    assert a == b
+    with _pytest.raises(ValueError, match="threshold"):
+        semdedup(df, "vec_id", "embedding", threshold=1.5)
+
+
+def test_semdedup_release_unpersists(spark):
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    held = []
+    df = _semdedup_corpus(spark)
+    semdedup(
+        df, "vec_id", "embedding", k=2, iters=2, release_into=held
+    ).collect()
+    assert len(held) == 3  # kmeans base + scored + pairs
+    for h in held:
+        h.unpersist()
