@@ -1152,3 +1152,279 @@ def gopher_rules(
         r_stop.alias("r_stop"),
         (r_wordcount & r_meanlen & r_symbol & r_alpha & r_stop).alias("keep"),
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-n-gram profile is, log w(x) =
+    sum over feature occurrences of ln(p_target(b) / p_raw(b)), where b
+    is the feature's hash bucket and both bucket distributions carry
+    add-one smoothing over ``n_buckets``. The published recipe selects
+    pretraining data matching a target domain by resampling on these
+    weights; the resampling step itself (Gumbel top-k) is deliberately
+    NOT here — emit the weights and let selection be a shard-local
+    top-k or threshold, which is the shape that needs no global sort.
+
+    Features: word unigrams + word bigrams over lowercased whitespace
+    tokens, WITH multiplicity (bag of hashed n-grams); bucket =
+    md5-prefix BIGINT mod ``n_buckets`` — engine-portable, so the whole
+    scorer (bucket counts, smoothing, quantized log-ratio, per-doc sum)
+    replays under a SQL oracle. Parity recipe: each bucket's log-ratio
+    is quantized ONCE (round(ln(...)) cast DECIMAL) so per-doc sums are
+    exact integer arithmetic in any accumulation order.
+
+    ``target`` is a boolean Column splitting the corpus (target domain
+    vs raw); both halves fit from ONE pass via conditional aggregates.
+    Scale shape: one explode -> one groupBy(bucket) (<= n_buckets rows,
+    map-side combined) -> the <= n_buckets-row ratio table broadcasts
+    back onto the exploded features -> one per-doc aggregate. The only
+    cross-row state is the bucket table; nothing grows with the corpus.
+
+    Output: (id_col, *extra_cols, is_target, n_feats, log_weight).
+    Docs with zero features (empty text) keep NULL log_weight.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = tokens(F.lower(F.col(text_col)))
+    bgs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        *extra_cols,
+        target.alias("is_target"),
+        F.concat(toks, bgs).alias("__feats"),
+    )
+    feats = base.select(
+        "__id",
+        "is_target",
+        F.explode("__feats").alias("__f"),
+    ).select(
+        "__id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("__f")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("__b"),
+    ).persist()
+    if release_into is not None:
+        release_into.append(feats)
+    counts = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("__cr"),
+    )
+    totals = feats.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("__nt"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("__nr"),
+    )
+    m = float(n_buckets)
+    lr_tab = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log(
+                ((F.col("__ct") + 1.0) / (F.col("__nt") + m))
+                / ((F.col("__cr") + 1.0) / (F.col("__nr") + m))
+            ),
+            round_digits,
+        )
+        .cast(f"decimal(18,{round_digits})")
+        .alias("__lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr_tab), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("__lr").alias("__s"),
+        )
+    )
+    keep_cols = [F.col("__id"), *[F.col(c) for c in extra_cols], "is_target"]
+    return (
+        base.select(*keep_cols)
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            *extra_cols,
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias(
+                "n_feats"
+            ),
+            F.round(F.col("__s").cast("double"), round_digits).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """CCNet quality bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    high quality monolingual datasets from web crawl data"): score every
+    document with a language-model perplexity proxy, then split EACH
+    LANGUAGE into equal-count quality tiers — the published head /
+    middle / tail labels a curation pipeline samples from (train on
+    head+middle, keep tail for ablations). Per-language tiling is the
+    point: absolute perplexity is not comparable across languages, rank
+    within the language is.
+
+    The LM is the corpus-trained char-bigram model
+    (:func:`charlm_surprisal` — DECIMAL-quantized, deterministic);
+    tiers are ``NTILE(n_buckets)`` over (avg_logp DESC, id) within each
+    language — higher mean log-prob = more fluent = lower tier number,
+    tier 1 = head. Docs the LM cannot score (under 2 chars) keep NULL
+    score and NULL tier: "unmeasurable" stays distinct from "bad".
+
+    Scale: scoring is the charlm shape (alphabet-bounded broadcast
+    model); the tiling is one window sort PARTITIONED BY LANGUAGE —
+    the published pipeline's own per-language shard sort, which Spark
+    distributes; a language's tier boundaries could be approximated
+    with quantile sketches to avoid the sort, but exact rank is what
+    makes the operator oracle-checkable and CCNet itself sorts.
+
+    Output: (id_col, lang, n_bigrams, avg_logp, tier, tier_label).
+    The per-doc score frame feeds both the tier window and the
+    unscorable-docs anti-join — it is persist-marked so the whole LM
+    scoring pipeline runs once; pass ``release_into`` to receive it.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(id_col, F.col(lang_col).alias("lang"))
+    scores = charlm_surprisal(
+        df, id_col, text_col, round_digits=round_digits
+    ).persist()
+    if release_into is not None:
+        release_into.append(scores)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col(id_col)
+    )
+    tiered = (
+        base.join(scores, id_col)
+        .withColumn("tier", F.ntile(n_buckets).over(w))
+    )
+    label = (
+        F.when(F.col("tier") == 1, F.lit("head"))
+        .when(F.col("tier") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    out = tiered.select(
+        id_col,
+        "lang",
+        "n_bigrams",
+        "avg_logp",
+        F.col("tier").cast("long").alias("tier"),
+        label.alias("tier_label"),
+    )
+    unscored = base.join(scores, id_col, "left_anti").select(
+        id_col,
+        "lang",
+        F.lit(None).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("avg_logp"),
+        F.lit(None).cast("long").alias("tier"),
+        F.lit(None).cast("string").alias("tier_label"),
+    )
+    return out.unionAll(unscored)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(count) on
+    ln(rank) for the ``top_n`` most frequent terms — the classic
+    datasheet readout (alpha near 1 = natural-language-like frequency
+    decay; alpha near 0 = synthetic/uniform vocab; very steep = heavy
+    boilerplate). One row: (n_terms, vocab_size, total_tokens, alpha,
+    r2), alpha = -slope, both rounded.
+
+    Scale shape: the corpus collapses to (term, count) with map-side
+    combine (the bpe_pair_counts argument: vocab is Zipf-bounded);
+    top-``top_n`` is orderBy().limit() — a TakeOrderedAndProject, never
+    a global sort of the vocabulary; ranking and the five OLS moment
+    sums then run over <= ``top_n`` rows. Parity: ln(rank) and
+    ln(count) are quantized ONCE per term (round -> DECIMAL), moment
+    sums are exact DECIMAL arithmetic, the slope/r2 division is the
+    only float step and happens on one row.
+    """
+    from pyspark.sql import Window
+
+    if top_n < 2:
+        raise ValueError(f"top_n must be >= 2, got {top_n}")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    top = vocab.orderBy(F.col("c").desc(), F.col("term")).limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    dec = f"decimal(18,{round_digits + 3})"
+    ranked = top.select(
+        F.row_number().over(w).alias("r"), F.col("c")
+    ).select(
+        F.round(F.log(F.col("r").cast("double")), round_digits + 3)
+        .cast(dec)
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")), round_digits + 3)
+        .cast(dec)
+        .alias("ly"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return mom.crossJoin(F.broadcast(stats)).select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(-cov / vx, round_digits).alias("alpha"),
+        F.when(vy > 0, F.round(cov * cov / (vx * vy), round_digits)).alias(
+            "r2"
+        ),
+    )

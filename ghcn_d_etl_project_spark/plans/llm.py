@@ -3279,3 +3279,297 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=16, iters=4, threshold=0.95,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023) — r13
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 512
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1')"
+
+_DSIR_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, source, ({_DSIR_TARGET_SQL}) AS is_target,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), featarr AS (
+  SELECT doc_id, source, is_target,
+         list_concat(
+           tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i + 1])
+                ELSE [] END
+         ) AS fs
+  FROM base
+), feats AS (
+  SELECT doc_id, is_target,
+         CAST(concat('0x', substr(md5(f.f), 1, 8)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM featarr, UNNEST(fs) AS f(f)
+), counts AS (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+  FROM feats GROUP BY b
+), totals AS (
+  SELECT SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS nr
+  FROM feats
+), lr AS (
+  SELECT b,
+         CAST(ROUND(LN(((ct + 1.0) / (nt + {_DSIR_BUCKETS}.0))
+                       / ((cr + 1.0) / (nr + {_DSIR_BUCKETS}.0))), 6)
+              AS DECIMAL(18,6)) AS lrv
+  FROM counts, totals
+), scored AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         SUM(l.lrv) AS s
+  FROM feats f JOIN lr l ON f.b = l.b
+  GROUP BY f.doc_id
+)
+SELECT b.doc_id, b.source, b.is_target,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       ROUND(CAST(s.s AS DOUBLE), 6) AS log_weight
+FROM base b LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@register("dsir_weights_docs", oracle=_DSIR_ORACLE,
+          tags=("llm", "curation", "persists"), late=True)  # r13 wave
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights
+    (``operators/textops.py:dsir_importance_weights``, Xie et al. 2023):
+    every document scored by how target-domain-like its hashed-n-gram
+    profile is — log w = sum over unigram+bigram occurrences of
+    ln(p_target(bucket)/p_raw(bucket)), add-one smoothing over 512 md5
+    buckets, target = sources src0/src1. The published data-selection
+    recipe for matching a pretraining mix to a domain; selection
+    downstream is shard-local top-k or thresholding on the weight (no
+    Gumbel resampling here — nondeterminism belongs to the caller, and
+    a global sort is exactly what the 100 TB shape avoids). ONE explode
+    + one <= 512-row bucket aggregate + the quantized-DECIMAL log-ratio
+    table broadcast back + one per-doc sum: nothing but the bucket
+    table crosses rows, so the scorer is corpus-size-free. Full oracle
+    via the md5-bucket + quantized-log recipe (charlm convention)."""
+    from ghcn_d_etl_project_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    return dsir_importance_weights(
+        t(spark, sf_dir, "documents"),
+        target=F.col("source").isin("src0", "src1"),
+        n_buckets=_DSIR_BUCKETS,
+        extra_cols=("source",),
+    )
+
+
+_CCNET_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS txt FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), train AS (
+  SELECT doc_id, txt FROM docs WHERE length(txt) >= 2
+), bg AS (
+  SELECT doc_id, substr(txt, CAST(i AS INT), 2) AS b
+  FROM train, UNNEST(generate_series(1, length(txt) - 1)) AS g(i)
+), vocab AS (
+  SELECT b, COUNT(*) AS c FROM bg GROUP BY b
+), tot AS (SELECT SUM(c) AS t FROM vocab),
+vl AS (
+  SELECT b,
+         CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS logq
+  FROM vocab, tot
+), per AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(v.logq) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+  FROM bg g JOIN vl v ON g.b = v.b
+  GROUP BY g.doc_id
+), tiered AS (
+  SELECT d.doc_id, d.lang, p.n_bigrams, p.avg_logp,
+         CAST(NTILE(3) OVER (PARTITION BY d.lang
+                             ORDER BY p.avg_logp DESC, d.doc_id)
+              AS BIGINT) AS tier
+  FROM docs d JOIN per p USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, avg_logp, tier,
+       CASE WHEN tier = 1 THEN 'head'
+            WHEN tier = 3 THEN 'tail'
+            ELSE 'middle' END AS tier_label
+FROM tiered
+UNION ALL
+SELECT d.doc_id, d.lang, NULL, NULL, NULL, NULL
+FROM docs d LEFT JOIN per p USING (doc_id)
+WHERE p.doc_id IS NULL
+"""
+
+
+@register("ccnet_buckets_docs", oracle=_CCNET_ORACLE,
+          tags=("llm", "quality", "curation", "persists"), late=True)  # r13 wave
+def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers
+    (``operators/textops.py:ccnet_buckets``, Wenzek et al. 2020):
+    corpus-trained char-bigram LM score per doc, then NTILE(3) WITHIN
+    each language over (score DESC, doc_id) — the published per-language
+    perplexity bucketing that curation pipelines sample from (head =
+    most fluent third). Per-language tiling because absolute LM scores
+    aren't comparable across languages. LM model is alphabet-bounded
+    (broadcasts); the tier window is the pipeline's own per-language
+    sort, distributed by Spark; unscorable docs (< 2 chars) keep NULL
+    tiers. Oracle replays model, quantized scores, and tiling."""
+    from ghcn_d_etl_project_spark.operators.textops import ccnet_buckets
+
+    return ccnet_buckets(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection (quality-ordered budget fill) — r13
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 16384
+
+_BUDGET_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars_d,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_toks,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), feat AS (
+  SELECT doc_id, n_tokens,
+         least(n_chars_d / 200.0, 1.0) * 0.4
+           + (CASE WHEN (CASE WHEN n_chars_d > 0 THEN n_punct / n_chars_d
+                              ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3
+           + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_chars_d / n_toks
+                              ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+                   THEN 1.0 ELSE 0.5 END) * 0.3 AS q
+  FROM base
+), keyed AS (
+  SELECT doc_id, n_tokens, q,
+         -CAST(ROUND(q * 1000000) AS BIGINT) * 10000000 + doc_id AS k
+  FROM feat
+), c AS (
+  SELECT doc_id, n_tokens, q, k,
+         SUM(n_tokens) OVER (ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_tokens
+  FROM keyed
+)
+SELECT doc_id, n_tokens, round(q, 6) AS quality_score,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {_BUDGET_TOKENS} AS selected
+FROM c
+"""
+
+
+@register("token_budget_select_docs", oracle=_BUDGET_ORACLE,
+          tags=("llm", "curation", "shard"), late=True)  # r13 wave
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget fill: rank the corpus best-first by
+    the heuristic quality score (ties by doc_id), take documents while
+    the running token total stays within a 16 Ki-token budget — "fill
+    the training budget with the best data", the greedy selection every
+    budgeted curation run ends with. Selection = cum_tokens <= budget
+    (only fully fitting docs; the first overshooting doc and everything
+    after it is out).
+
+    The global running total is ``operators/prefix.py:global_cumsum``
+    in its value-bucketed shape — NOT a naive Window.orderBy global
+    window (whose Exchange SinglePartition funnels the corpus through
+    one task; the token_shards rule). The order key packs (quality
+    DESC, doc_id ASC) into ONE BIGINT — ``-round(q*1e6)*1e7 + doc_id``
+    — so the cumsum's order is total and engine-identical; the packing
+    needs doc_id < 1e7, which the driver tables satisfy (callers with
+    wider ids widen the multiplier). The quality expression is
+    ``text_profile``'s quality_score, restated identically here and in
+    the oracle."""
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    q = text_quality_score("text")
+    keyed = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        q.alias("q"),
+        (
+            -F.round(q * 1e6).cast("long") * F.lit(10000000).cast("long")
+            + F.col("doc_id")
+        ).alias("k"),
+    )
+    cum = global_cumsum(
+        keyed, "k", "n_tokens", out_col="cum_tokens", bucket_width=1e10
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.round("q", 6).alias("quality_score"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        (F.col("cum_tokens") <= _BUDGET_TOKENS).alias("selected"),
+    )
+
+
+_ZIPF_ORACLE = r"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(term)
+  WHERE text IS NOT NULL
+), vocab AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(c) AS BIGINT) AS total_tokens
+  FROM vocab
+), top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+  FROM vocab ORDER BY c DESC, term LIMIT 100
+), ranked AS (
+  SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+         CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+  FROM top
+), mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+         CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+         CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+         CAST(SUM(ly * ly) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms, vocab_size, total_tokens,
+       ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS alpha,
+       CASE WHEN (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS r2
+FROM mom, stats
+"""
+
+
+@register("zipf_fit_docs", oracle=_ZIPF_ORACLE,
+          tags=("llm", "text", "profile"), late=True)  # r13 wave
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary
+    (``operators/textops.py:zipf_fit``): OLS of ln(count) on ln(rank)
+    over the top-100 terms — alpha (the decay exponent) and r2, plus
+    vocab size and token total; the frequency-decay line of a dataset
+    datasheet (natural text ~ alpha 1; uniform synthetic vocab ~ 0;
+    boilerplate-heavy ~ steep). Corpus collapses to the Zipf-bounded
+    (term, count) vocab with map-side combine; top-100 is a
+    TakeOrderedAndProject (never a global vocab sort); logs quantized
+    once per term to DECIMAL so the five moment sums are exact and the
+    one-row slope division is the only float step."""
+    from ghcn_d_etl_project_spark.operators.textops import zipf_fit
+
+    return zipf_fit(t(spark, sf_dir, "documents"), top_n=100)

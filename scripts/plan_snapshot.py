@@ -103,6 +103,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "bm25_search_docs": _ONE_ROW + " — corpus N/avgdl row",
     "categorical_association": _ONE_ROW + " — chi2 grand totals, x1 (r13: margin entropies folded into the single cell-level aggregate via sum_cells -(o/n)ln(margin/n), so the totals row attaches once)",
     "charlm_quality_docs": _ONE_ROW + " — corpus char-lm normalizer, x2",
+    "ccnet_buckets_docs": _ONE_ROW + " — the charlm normalizer pair "
+    "(total + oov floor) inside the persisted score substrate (r13)",
     "column_stats_outliers": _ONE_ROW + " — exact quantile anchor row",
     "cross_perplexity_docs": _ONE_ROW + " — vocab-size row onto the "
     "model/floor/uniform branches (r12)",
@@ -110,6 +112,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "embedding_batch_drift": _ONE_ROW + " — the two 1-row per-split "
     "fixed-point aggregates cross-joined into the final readout (r12)",
     "decile_lift_events": _ONE_ROW + " — global base-rate row",
+    "dsir_weights_docs": _ONE_ROW + " — (N_target, N_raw) feature-total "
+    "row onto the <= 512-row bucket table (r13)",
     "epoch_upsample_docs": _ONE_ROW + " — smoothed-term total onto the "
     "per-domain rate plan (the temperature_mix normalizer pattern)",
     "equidepth_hist_orders": _ONE_ROW + " — total-count row",
@@ -137,6 +141,8 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "survival_km_events": _ONE_ROW + " — risk-set base row",
     "temperature_mix_docs": _ONE_ROW + " — domain-rate normalizer row",
     "tfidf_top_terms": _ONE_ROW + " — doc-count row",
+    "zipf_fit_docs": _ONE_ROW + " — the 1-row vocab (size, total) "
+    "stats joined onto the 1-row OLS moment readout (r13)",
     "zorder_layout_audit": _ONE_ROW + " — layout summary row",
 }
 

@@ -988,3 +988,252 @@ def test_js_divergence_extremes(spark):
     b = spark.createDataFrame([(3, "q r s")], "doc_id long, text string")
     dis = js_divergence_words(a, b).first()
     assert dis.js_nats == pytest.approx(math.log(2), abs=5e-6)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (textops.dsir_importance_weights)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    target_text = "apple banana cherry apple banana cherry apple banana"
+    rows = [
+        (0, target_text, True),
+        (1, "apple cherry banana apple cherry banana cherry apple", True),
+        # raw docs: 2 mimics the target vocabulary, 3 is disjoint
+        (2, "apple banana cherry banana apple cherry apple banana", False),
+        (3, "xylophone quartz vortex jigsaw plasma nebula osmium zinc", False),
+        (4, "", False),  # zero features
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, tgt boolean"
+    )
+
+
+def test_dsir_target_like_raw_doc_outranks_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    df = _dsir_corpus(spark)
+    out = {r["doc_id"]: r for r in dsir_importance_weights(
+        df, target=F.col("tgt"), n_buckets=64
+    ).collect()}
+    assert len(out) == 5
+    assert out[2]["log_weight"] > out[3]["log_weight"]
+    # target-vocab raw doc scores positive, disjoint raw doc negative
+    assert out[2]["log_weight"] > 0 > out[3]["log_weight"]
+    assert out[4]["n_feats"] == 0 and out[4]["log_weight"] is None
+    # feature count = unigrams + bigrams = 8 + 7
+    assert out[0]["n_feats"] == 15
+    assert out[0]["is_target"] is True and out[3]["is_target"] is False
+
+
+def test_dsir_python_replay_parity(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    df = _dsir_corpus(spark)
+    m = 64
+    rows = [(r["doc_id"], r["text"], r["tgt"]) for r in df.collect()]
+
+    def feats(text):
+        tk = [t for t in text.lower().strip().split() if t]
+        return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % m
+
+    ct, cr = {}, {}
+    for _, text, tgt in rows:
+        for f in feats(text):
+            (ct if tgt else cr)[bucket(f)] = (
+                (ct if tgt else cr).get(bucket(f), 0) + 1
+            )
+    nt, nr = sum(ct.values()), sum(cr.values())
+    want = {}
+    for did, text, _ in rows:
+        fs = feats(text)
+        if not fs:
+            want[did] = None
+            continue
+        s = 0
+        for f in fs:
+            b = bucket(f)
+            lr = math.log(
+                ((ct.get(b, 0) + 1.0) / (nt + m))
+                / ((cr.get(b, 0) + 1.0) / (nr + m))
+            )
+            s += round(round(lr, 6) * 10**6)  # DECIMAL(18,6) integer sum
+        want[did] = round(s / 10**6, 6)
+    got = {r["doc_id"]: r["log_weight"] for r in dsir_importance_weights(
+        df, target=F.col("tgt"), n_buckets=m
+    ).collect()}
+    for did in want:
+        if want[did] is None:
+            assert got[did] is None
+        else:
+            assert abs(got[did] - want[did]) < 1e-9, (did, got[did], want[did])
+
+
+def test_dsir_validation_and_release(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    df = _dsir_corpus(spark)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance_weights(df, target=F.col("tgt"), n_buckets=1)
+    held = []
+    dsir_importance_weights(
+        df, target=F.col("tgt"), n_buckets=64, release_into=held
+    ).collect()
+    assert len(held) == 1
+    held[0].unpersist()
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail buckets (textops.ccnet_buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_tiers_by_fluency_within_lang(spark):
+    from ghcn_d_etl_project_spark.operators.textops import ccnet_buckets
+
+    normal = "the line sort table window table key agg row scan slow fast"
+    rows = [
+        (0, normal, "en"),
+        (1, normal + " value part hash", "en"),
+        (2, "zq xv jk wq pf zz qx vk jw qp fz", "en"),  # gibberish
+        (3, normal, "fr"),
+        (4, normal + " merge batch", "fr"),
+        (5, "qqqq zzzz xxxx vvvv", "fr"),  # gibberish
+        (6, "a", "en"),  # unscorable (< 2 chars)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+    assert len(out) == 7
+    # gibberish lands in the tail of ITS language
+    assert out[2]["tier_label"] == "tail"
+    assert out[5]["tier_label"] == "tail"
+    # fluent docs beat gibberish within each language
+    assert out[0]["avg_logp"] > out[2]["avg_logp"]
+    assert out[3]["avg_logp"] > out[5]["avg_logp"]
+    # 3 scored docs per lang -> exactly one head/middle/tail each
+    for lang in ("en", "fr"):
+        labels = sorted(
+            r["tier_label"] for r in out.values()
+            if r["lang"] == lang and r["tier_label"] is not None
+        )
+        assert labels == ["head", "middle", "tail"]
+    # unscorable: NULL everything
+    assert out[6]["tier"] is None and out[6]["avg_logp"] is None
+
+
+def test_ccnet_buckets_validation(spark):
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.textops import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(0, "ab", "en")], "doc_id long, text string, lang string"
+    )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        ccnet_buckets(df, n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (textops.zipf_fit) and token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_numpy_parity_and_known_slopes(spark):
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import zipf_fit
+
+    # construct counts following an exact power law c(r) = 1000 * r^-1.5
+    # (alpha recovered ~1.5, r2 ~1); terms tie-broken by name
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        c = max(1, round(1000 * r ** -1.5))
+        for _ in range(c):
+            rows.append((did, f"term{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_fit(df, top_n=20).collect()[0]
+    assert out["n_terms"] == 20
+    assert out["vocab_size"] == 20
+    assert out["total_tokens"] == len(rows)
+    # replay the documented recipe in python
+    counts = sorted(
+        ((1000 * r ** -1.5) for r in range(1, 21)), reverse=True
+    )
+    counts = [max(1, round(c)) for c in counts]
+    pts = [
+        (round(math.log(i + 1), 9), round(math.log(c), 9))
+        for i, c in enumerate(counts)
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts); syy = sum(p[1] * p[1] for p in pts)
+    alpha = -(n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(out["alpha"] - round(alpha, 6)) < 1e-5
+    assert abs(out["r2"] - round(r2, 6)) < 1e-5
+    assert 1.3 < out["alpha"] < 1.7 and out["r2"] > 0.97
+
+
+def test_zipf_fit_uniform_corpus_flat(spark):
+    from ghcn_d_etl_project_spark.operators.textops import zipf_fit
+
+    rows = [(i, " ".join(f"u{j}" for j in range(30))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = zipf_fit(df, top_n=30).collect()[0]
+    # every term has identical count -> slope 0, r2 NULL (zero variance)
+    assert out["alpha"] == 0.0
+    assert out["r2"] is None
+
+
+def test_zipf_fit_validation(spark):
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.textops import zipf_fit
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="top_n"):
+        zipf_fit(df, top_n=1)
+
+
+def test_token_budget_select_greedy_semantics(spark):
+    # replay the registered query's semantics on the real sf0.001 table
+    from ghcn_d_etl_project_spark.plans import all_queries
+
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["token_budget_select_docs"]
+    rows = q.fn(spark, SF_DIR).collect()
+    sel = [r for r in rows if r["selected"]]
+    un = [r for r in rows if not r["selected"]]
+    assert sel and un
+    assert max(r["cum_tokens"] for r in sel) <= 16384
+    assert min(r["cum_tokens"] for r in un) > 16384
+    # the selected set is quality-prefix-closed: every selected doc's
+    # (quality, -id) dominates every unselected doc's, or equals with
+    # smaller id (the packed-key order)
+    worst_sel = min((r["quality_score"], -r["doc_id"]) for r in sel)
+    best_un = max((r["quality_score"], -r["doc_id"]) for r in un)
+    assert worst_sel >= best_un
