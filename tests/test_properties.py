@@ -963,3 +963,105 @@ def test_banded_incremental_dedup_soundness_law(spark, texts):
         elif b.verdict == "near_dup":
             assert e.verdict == "near_dup"
             assert e.jaccard >= b.jaccard
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}"),
+            min_size=0,
+            max_size=25,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=3),  # k
+    st.integers(min_value=1, max_value=4),  # w
+)
+def test_winnowing_selection_laws(spark, texts, k, w):
+    """Winnowing laws on ARBITRARY token streams (Schleimer et al. §2):
+    (1) soundness — every selected fingerprint is the hash of one of
+    the doc's own k-grams; (2) coverage/guarantee — every window of w
+    consecutive grams contains a gram whose hash is in the selected
+    set (this is what makes any >= w+k-1 token overlap detectable);
+    (3) density — between 1 and n_windows fingerprints whenever a full
+    window exists, and none otherwise."""
+    import hashlib
+
+    from ghcn_d_etl_project_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect():
+        got[r["doc"]].add(r["fp"])
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        grams = [
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        n_windows = max(len(hs) - w + 1, 0)
+        if n_windows == 0:
+            assert got[i] == set()
+            continue
+        # soundness
+        assert got[i] <= set(hs)
+        # guarantee: every full window's min is selected
+        wants = {min(hs[j : j + w]) for j in range(n_windows)}
+        assert got[i] == wants
+        assert 1 <= len(got[i]) <= n_windows
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc id
+            st.integers(min_value=1, max_value=400),  # n_tokens
+            st.integers(min_value=0, max_value=1_000_000),  # quality e6
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=2000),
+)
+def test_budget_fill_prefix_closure_law(spark, rows, budget):
+    """Greedy budget fill on ARBITRARY (quality, size) corpora: the
+    selected set equals the exact python replay of take-in-(quality
+    DESC, id)-order-while-cum<=budget — prefix-closed, budget-
+    respecting, and independent of partitioning (global_cumsum's
+    bucketed prefix is exact, not approximate)."""
+    from ghcn_d_etl_project_spark.operators.prefix import global_cumsum
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, q_e6 long"
+    ).repartition(5)
+    keyed = df.select(
+        "doc_id",
+        "n_tokens",
+        (
+            -F.col("q_e6") * F.lit(100_000).cast("long") + F.col("doc_id")
+        ).alias("k"),
+    )
+    cum = global_cumsum(
+        keyed, "k", "n_tokens", out_col="cum", bucket_width=1e9
+    )
+    got = {
+        r["doc_id"]
+        for r in cum.filter(F.col("cum") <= budget).collect()
+    }
+    want = set()
+    tot = 0
+    for did, n, _q in sorted(rows, key=lambda t: (-t[2], t[0])):
+        tot += n
+        if tot <= budget:
+            want.add(did)
+        else:
+            break
+    assert got == want

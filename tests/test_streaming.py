@@ -298,3 +298,66 @@ def test_neardup_gate_stream_matches_batch_operator(spark, tmp_path):
     assert jsc.getPersistentRDDs().size() <= cached_before, (
         "gate leaked cached substrates"
     )
+
+
+def test_ingest_gate_stream_composes_rules_and_dedup(spark, tmp_path):
+    """The composed admission gate (Gopher rules -> banded dedup) must
+    emit exactly the batch composition's rows for the same frames, one
+    verdict per arriving doc: rule rejects carry 'rule:<first failing>'
+    with NULL dup fields, rule survivors carry the three-way dedup
+    verdict, and admit marks exactly the 'clean' rows. Also pins that
+    the gate released every persisted substrate."""
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.streaming.quality import (
+        _gate_batch,
+        ingest_gate_stream,
+    )
+
+    docs_schema = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    ref = batch.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    new_batch = batch.filter(F.col("doc_id") % 10 == 7).select(
+        "doc_id", "text"
+    )
+    new_stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    out_dir = str(tmp_path / "verdicts")
+    ingest_gate_stream(
+        new_stream, ref, "doc_id", "text",
+        out_dir=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        await_seconds=180,
+    )
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    rel: list = []
+    expect_df = _gate_batch(
+        new_batch, ref, "doc_id", "text",
+        n=4, threshold=0.5, n_hashes=64, bands=32,
+        ref_index=None, ref_fingerprints=None, release_into=rel,
+    )
+    expect = {tuple(r) for r in expect_df.collect()}
+    for f in rel:
+        f.unpersist()
+    assert got == expect and len(got) > 0
+    # every arriving doc got exactly one verdict
+    assert len({t[0] for t in got}) == new_batch.count() == len(got)
+    # the gate is a real partition: some rule rejects, some admits
+    verdicts = {t[1] for t in got}
+    assert any(v.startswith("rule:") for v in verdicts)
+    assert "clean" in verdicts
+    for t in got:
+        if t[1].startswith("rule:"):
+            assert t[2] is None and t[3] is None and t[4] is False
+        if t[1] == "clean":
+            assert t[4] is True
+    assert jsc.getPersistentRDDs().size() <= cached_before, (
+        "gate leaked cached substrates"
+    )
