@@ -1428,3 +1428,329 @@ def zipf_fit(
             "r2"
         ),
     )
+
+
+def _bpe_merge_expr(syms: Column, left: str, right: str) -> Column:
+    """Leftmost-nonoverlapping merge of adjacent (left, right) symbol
+    pairs inside one symbol array — a pure JVM fold (aggregate with a
+    (out, pending) state struct), no UDF. "aaa" under (a,a) -> [aa, a],
+    the standard BPE greedy-left convention."""
+    merged = left + right
+
+    def step(acc: Column, s: Column) -> Column:
+        return (
+            F.when(
+                acc["pending"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pending")),
+            )
+            .when(
+                (acc["pending"] == left) & (s == right),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(None).cast("string").alias("pending"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["pending"])).alias(
+                        "out"
+                    ),
+                    s.alias("pending"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pending"),
+    )
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pending"]))
+        ),
+    )
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    with_vocab: bool = False,
+    release_into: list[DataFrame] | None = None,
+):
+    """Iterative BPE tokenizer training (Sennrich et al. 2016) — the
+    full merge LOOP, not just the first iteration's statistic
+    (:func:`bpe_pair_counts`): round t counts adjacent symbol pairs
+    over the vocabulary's CURRENT symbol sequences weighted by word
+    frequency, fuses the most frequent pair everywhere (leftmost-
+    nonoverlapping), and repeats. Returns the learned merge table
+    ``(round, left_sym, right_sym, merged, pair_count)`` — the entire
+    tokenizer model; with ``with_vocab=True`` also the final
+    ``(word, count, syms)`` segmentation for inspection.
+
+    Scale design (the kmeans recipe applied to tokenizer training):
+      * the corpus collapses ONCE to the Zipf-bounded (word, count)
+        vocabulary — all iteration happens on that table, never the
+        corpus;
+      * per round: one map-side-combined pair aggregate, ONE argmax row
+        collected to the driver (count DESC, pair ASC tie-break — fully
+        deterministic), one JVM fold rewriting the symbol arrays;
+        driver state is one pair per round, like kmeans' k x d floats;
+      * each round's symbol table is persisted and the previous round's
+        released — lineage stays one fold deep instead of n_merges
+        folds deep.
+
+    Deterministic end to end, but iterative + driver-mediated => the
+    registered query is rows-only; exact parity with a pure-python BPE
+    trainer is pinned in tests (the numpy-parity convention).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("__w")),
+        lambda i: F.col("__w").substr(i, F.lit(1)),
+    )
+    cur = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+        .filter(F.length("__w") >= 2)
+        .select("__w", "__wc", chars.alias("syms"))
+        .persist()
+    )
+    held = [cur]
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pair_idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        best = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("__p"),
+                "__wc",
+            )
+            .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+            .agg(F.sum("__wc").cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rnd, l, r, l + r, c))
+        nxt = cur.withColumn(
+            "syms", _bpe_merge_expr(F.col("syms"), l, r)
+        ).persist()
+        nxt.count()  # materialize before releasing the parent
+        held.append(nxt)
+        cur.unpersist()
+        cur = nxt
+    out = spark.createDataFrame(
+        merges,
+        "round long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+    if release_into is not None:
+        release_into.append(cur)
+    vocab = cur.select(
+        F.col("__w").alias("word"),
+        F.col("__wc").cast("long").alias("count"),
+        "syms",
+    )
+    if with_vocab:
+        return out, vocab
+    if release_into is None:
+        cur.unpersist()
+    return out
+
+
+def rare_token_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    replacement: str = "<unk>",
+    round_digits: int = 6,
+    release_into: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Rare-token privacy scrub: replace every token whose DOCUMENT
+    frequency is below ``min_df`` with ``replacement`` and report the
+    per-doc exposure. Memorization risk concentrates in strings unique
+    (or nearly unique) to one document — names, ids, keys; a df
+    threshold is the k-anonymity-flavored gate: a token is safe only if
+    it appears in >= ``min_df`` distinct documents.
+
+    Output: (id_col, n_tokens, n_rare, rare_frac, scrubbed) —
+    ``scrubbed`` is the document rebuilt IN TOKEN ORDER with rare
+    tokens masked (positions ride a posexplode; the rebuild is
+    sort_array(collect_list(struct(pos, tok))) -> join, all JVM).
+    Docs with zero tokens keep NULL scrubbed and rare_frac.
+
+    Scale shape: one posexplode, one distinct-doc df aggregate on the
+    term key (the span_dedup trick — the df table REPLACES any
+    pairwise privacy comparison), one term equi-join back, one per-doc
+    aggregate. Matching is on the LOWERCASED token; the mask is
+    applied to the lowercased stream (deterministic, engine-portable).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    toks = base.select(
+        "__id",
+        F.posexplode(tokens(F.lower(F.col("__t")))).alias("pos", "term"),
+    ).persist()
+    if release_into is not None:
+        release_into.append(toks)
+    dfreq = (
+        toks.select("__id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    marked = toks.join(dfreq, "term").select(
+        "__id",
+        "pos",
+        (F.col("__df") < min_df).alias("rare"),
+        F.when(F.col("__df") < min_df, F.lit(replacement))
+        .otherwise(F.col("term"))
+        .alias("out"),
+    )
+    per = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("rare"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("out")))
+                ),
+                lambda x: x["out"],
+            ),
+            " ",
+        ).alias("scrubbed"),
+    )
+    return (
+        base.select("__id")
+        .join(per, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("n_rare"), F.lit(0).cast("long")).alias(
+                "n_rare"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("n_rare").cast("double") / F.col("n_tokens"),
+                    round_digits,
+                ),
+            ).alias("rare_frac"),
+            F.col("scrubbed"),
+        )
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN token distribution
+    — the lexical-diversity / repetition signal: low entropy = the doc
+    says the same words over and over (template spam, keyword stuffing),
+    high normalized entropy = every token distinct.
+
+    H = -sum_t (c_t/n) ln(c_t/n); ``norm_entropy`` = H / ln(n_distinct)
+    in [0, 1] (NULL when n_distinct <= 1 — undefined, distinct from 0).
+
+    Parity is INTEGER arithmetic end to end, a stricter recipe than the
+    charlm round->DECIMAL convention, which this operator broke twice
+    at sf0.001 before landing here: (1) rounding the final double
+    quotient hits decimal-repr-vs-binary ties (Spark's BigDecimal-repr
+    HALF_UP said 3.17704 where DuckDB's binary round said 3.177039 on
+    the same exact sum), and (2) even round->DECIMAL per term diverges,
+    because CASTING the rounded double to DECIMAL goes through the
+    shortest decimal repr in Spark but binary scaling in DuckDB (the
+    two sums differed by 8e-8 with every rounded DOUBLE equal).
+    Repeated (c, n) profiles make such ties common, not theoretical.
+    So: each term contributes the BIGINT floor(ln(c/n) * 1e9) — floor
+    has no tie surface (divergence needs a 1-ulp libm disagreement
+    landing within that ulp of an integer; exhaustively zero across
+    all 34k (c, n) shapes up to n=600) — the per-doc sum is exact
+    BIGINT arithmetic, and H's 6-digit rounding is integer half-up:
+    (2S + 1000n) div (2000n). The norm_entropy division keeps one
+    float step (an irrational ln(nd) denominator doesn't produce
+    systematic ties). One explode + one (doc, term) aggregate + one
+    per-doc aggregate; no cross-doc state at all.
+    """
+    toks = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_per = tf.groupBy("__id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("nd")
+    )
+    contrib = tf.join(n_per, "__id").select(
+        "__id",
+        "n",
+        "nd",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(F.col("c").cast("double") / F.col("n")) * F.lit(1e9)
+            ).cast("long")
+        ).alias("__h"),
+    )
+    out = contrib.groupBy("__id", "n", "nd").agg(
+        F.sum("__h").cast("long").alias("__s")
+    )
+    scaled = out.select(
+        "__id",
+        "n",
+        "nd",
+        (-F.col("__s")).alias("__p"),
+        (F.col("n") * (10 ** (9 - round_digits))).cast("long").alias("__den"),
+    )
+    ent = (
+        F.expr("CAST((2 * __p + __den) DIV (2 * __den) AS BIGINT)")
+        .cast("double")
+        / F.lit(float(10 ** round_digits))
+    )
+    return scaled.select(
+        F.col("__id").alias(id_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("nd").cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+        F.when(
+            F.col("nd") > 1,
+            F.round(ent / F.log(F.col("nd").cast("double")), round_digits),
+        ).alias("norm_entropy"),
+    )

@@ -3573,3 +3573,128 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ghcn_d_etl_project_spark.operators.textops import zipf_fit
 
     return zipf_fit(t(spark, sf_dir, "documents"), top_n=100)
+
+
+@register("bpe_train_docs", oracle=None,
+          tags=("llm", "text", "persists"), late=True)  # r13 wave
+def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE training loop
+    (``operators/textops.py:bpe_train``, Sennrich et al. 2016): 8 merge
+    rounds over the corpus vocabulary — each round one vocab-bounded
+    pair aggregate, ONE argmax row to the driver (count DESC, pair ASC
+    — deterministic), one JVM fold rewriting symbol sequences. Extends
+    ``bpe_pair_stats_docs`` (the single-round statistic) into the
+    actual tokenizer-training algorithm; iteration runs on the
+    Zipf-bounded (word, count) table, never the corpus, the kmeans
+    model-state discipline. Deterministic but iterative +
+    driver-mediated => rows-only; exact python-trainer parity pinned
+    in tests/test_llm_ops.py."""
+    from ghcn_d_etl_project_spark.operators.textops import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# Rare-token privacy scrub + per-doc token entropy — r13
+# ---------------------------------------------------------------------------
+
+_SCRUB_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), toks AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS term
+  FROM base, UNNEST(CASE WHEN len(tk) > 0 THEN range(1, len(tk) + 1)
+                         ELSE [] END) AS r(i)
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), marked AS (
+  SELECT t.doc_id, t.pos, d.df < 2 AS rare,
+         CASE WHEN d.df < 2 THEN '<unk>' ELSE t.term END AS outt
+  FROM toks t JOIN dfreq d USING (term)
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         string_agg(outt, ' ' ORDER BY pos) AS scrubbed
+  FROM marked GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_rare, 0) AS n_rare,
+       CASE WHEN p.n_tokens > 0
+            THEN round(p.n_rare / CAST(p.n_tokens AS DOUBLE), 6) END
+         AS rare_frac,
+       p.scrubbed
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register("rare_token_scrub_docs", oracle=_SCRUB_ORACLE,
+          tags=("llm", "quality", "pii", "persists"), late=True)  # r13 wave
+def rare_token_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token privacy scrub
+    (``operators/textops.py:rare_token_scrub``): tokens appearing in
+    fewer than 2 distinct documents are masked as '<unk>' and each doc
+    is rebuilt in token order, with per-doc exposure counts — the
+    k-anonymity-flavored memorization gate (names/ids/keys live in the
+    df-1 tail; PII regexes catch SHAPES, this catches singletons). One
+    posexplode + one distinct-doc df aggregate + join-back + ordered
+    rebuild, no pair term (the df table replaces pairwise comparison,
+    the span_dedup argument). Full oracle incl. the rebuilt string."""
+    from ghcn_d_etl_project_spark.operators.textops import rare_token_scrub
+
+    return rare_token_scrub(
+        t(spark, sf_dir, "documents"), min_df=2
+    )
+
+
+_ENTROPY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) AS t(term)
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+), n_per AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM tf GROUP BY doc_id
+), contrib AS (
+  -- integer quantization end to end: floor(ln * 1e9) has no
+  -- repr-vs-binary tie surface (see operators/textops.py)
+  SELECT tf.doc_id, np.n, np.nd,
+         tf.c * CAST(FLOOR(LN(CAST(tf.c AS DOUBLE) / np.n) * 1e9)
+                     AS BIGINT) AS h
+  FROM tf JOIN n_per np USING (doc_id)
+), agg AS (
+  SELECT doc_id, n, nd, CAST(SUM(h) AS BIGINT) AS s
+  FROM contrib GROUP BY doc_id, n, nd
+), scaled AS (
+  SELECT doc_id, n, nd, -s AS p, CAST(n * 1000 AS BIGINT) AS den
+  FROM agg
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct,
+       CAST((2 * p + den) // (2 * den) AS DOUBLE) / 1000000.0 AS entropy,
+       CASE WHEN nd > 1
+            THEN ROUND((CAST((2 * p + den) // (2 * den) AS DOUBLE) / 1000000.0)
+                       / LN(CAST(nd AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM scaled
+"""
+
+
+@register("token_entropy_docs", oracle=_ENTROPY_ORACLE,
+          tags=("llm", "quality", "text"), late=True)  # r13 wave
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy
+    (``operators/textops.py:token_entropy``): the lexical-diversity /
+    repetition quality signal — low entropy flags template spam and
+    keyword stuffing, ``norm_entropy`` (H / ln(distinct)) is
+    length-comparable in [0,1], NULL for single-term docs. Per-term
+    logs quantized to DECIMAL so the c-weighted per-doc sums are
+    exact; one explode + two aggregates, zero cross-doc state."""
+    from ghcn_d_etl_project_spark.operators.textops import token_entropy
+
+    return token_entropy(t(spark, sf_dir, "documents"))

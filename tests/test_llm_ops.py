@@ -1237,3 +1237,169 @@ def test_token_budget_select_greedy_semantics(spark):
     worst_sel = min((r["quality_score"], -r["doc_id"]) for r in sel)
     best_un = max((r["quality_score"], -r["doc_id"]) for r in un)
     assert worst_sel >= best_un
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE training (textops.bpe_train)
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe(word_counts, n_merges):
+    """Reference BPE trainer: argmax pair (count desc, pair asc), merge
+    leftmost-nonoverlapping, repeat."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            wc = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, pending = [], None
+            for s in syms:
+                if pending is None:
+                    pending = s
+                elif pending == l and s == r:
+                    out.append(l + r)
+                    pending = None
+                else:
+                    out.append(pending)
+                    pending = s
+            if pending is not None:
+                out.append(pending)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_trainer(spark):
+    from ghcn_d_etl_project_spark.operators.textops import bpe_train
+
+    texts = [
+        "banana bandana band and banal",
+        "banana banana cabana",
+        "the band and the banana",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    word_counts = {}
+    for t in texts:
+        for w in t.lower().split():
+            if len(w) >= 2 and w.isalpha():
+                word_counts[w] = word_counts.get(w, 0) + 1
+    want_merges, want_vocab = _python_bpe(word_counts, 6)
+    got_merges_df, got_vocab_df = bpe_train(df, n_merges=6, with_vocab=True)
+    got_merges = [
+        tuple(r) for r in got_merges_df.orderBy("round").collect()
+    ]
+    assert got_merges == want_merges
+    got_vocab = {
+        r["word"]: list(r["syms"]) for r in got_vocab_df.collect()
+    }
+    assert got_vocab == {w: s for w, s in want_vocab.items()}
+    # and the counts rode through
+    assert all(
+        r["count"] == word_counts[r["word"]]
+        for r in got_vocab_df.collect()
+    )
+
+
+def test_bpe_merge_leftmost_nonoverlapping(spark):
+    from ghcn_d_etl_project_spark.operators.textops import bpe_train
+
+    # "aaaa" (word count 2): round 1 counts (a,a) at 3 overlapping
+    # pairs x 2 occurrences = 6, but rewrites leftmost-first -> [aa, aa]
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    merges, vocab = bpe_train(df, n_merges=2, with_vocab=True)
+    m = [tuple(r) for r in merges.orderBy("round").collect()]
+    assert m[0] == (1, "a", "a", "aa", 6)
+    assert m[1] == (2, "aa", "aa", "aaaa", 2)
+    v = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert v["aaaa"] == ["aaaa"]
+
+
+def test_bpe_train_stops_when_exhausted_and_validates(spark):
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=10)
+    rows = merges.collect()
+    # "ab" fuses in round 1; afterwards no word has >= 2 symbols
+    assert len(rows) == 1
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# Rare-token scrub + token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_rare_token_scrub_masks_singletons_in_order(spark):
+    from ghcn_d_etl_project_spark.operators.textops import rare_token_scrub
+
+    rows = [
+        (0, "alpha beta SECRET123 alpha"),
+        (1, "alpha beta gamma"),
+        (2, "beta gamma gamma"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rare_token_scrub(df, min_df=2).collect()}
+    # 'secret123' appears in 1 doc -> masked; alpha/beta/gamma in >= 2
+    assert out[0]["scrubbed"] == "alpha beta <unk> alpha"
+    assert out[0]["n_rare"] == 1 and out[0]["n_tokens"] == 4
+    assert abs(out[0]["rare_frac"] - 0.25) < 1e-9
+    assert out[1]["scrubbed"] == "alpha beta gamma" and out[1]["n_rare"] == 0
+    # repeated-in-one-doc token is still df=2 via doc 1 -> kept
+    assert out[2]["scrubbed"] == "beta gamma gamma"
+    assert out[3]["n_tokens"] == 0 and out[3]["scrubbed"] is None
+    assert out[3]["rare_frac"] is None
+
+
+def test_rare_token_scrub_df_counts_docs_not_occurrences(spark):
+    from ghcn_d_etl_project_spark.operators.textops import rare_token_scrub
+
+    # 'solo' occurs 3 times but only in ONE doc -> still rare at min_df=2
+    rows = [(0, "solo solo solo common"), (1, "common")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rare_token_scrub(df, min_df=2).collect()}
+    assert out[0]["scrubbed"] == "<unk> <unk> <unk> common"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_df"):
+        rare_token_scrub(df, min_df=0)
+
+
+def test_token_entropy_hand_cases(spark):
+    import math
+
+    from ghcn_d_etl_project_spark.operators.textops import token_entropy
+
+    rows = [
+        (0, "a a a a"),          # zero entropy, norm NULL (nd=1)
+        (1, "a b c d"),          # max entropy ln(4), norm 1
+        (2, "a a b b"),          # ln(2)
+        (3, "spam spam spam spam spam ham"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["norm_entropy"] is None
+    assert abs(out[1]["entropy"] - round(math.log(4), 6)) < 1e-6
+    assert abs(out[1]["norm_entropy"] - 1.0) < 1e-6
+    assert abs(out[2]["entropy"] - round(math.log(2), 6)) < 1e-6
+    # replay doc 3 exactly through the integer-quantized recipe
+    c_spam, c_ham, n = 5, 1, 6
+    s = c_spam * math.floor(math.log(c_spam / n) * 1e9) + c_ham * math.floor(
+        math.log(c_ham / n) * 1e9
+    )
+    want = ((2 * -s + 1000 * n) // (2000 * n)) / 1e6
+    assert abs(out[3]["entropy"] - want) < 1e-12
+    assert out[3]["norm_entropy"] < out[1]["norm_entropy"]
