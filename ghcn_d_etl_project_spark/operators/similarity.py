@@ -848,3 +848,184 @@ def mmr_rerank(
         )
 
     return base.groupBy("__qid").applyInPandas(rerank, schema=out_schema)
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    round_digits: int = 6,
+    strategy: str = "auto",
+    broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 512 * 1024 * 1024,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most cosine-similar vectors carrying a DIFFERENT label —
+    the negatives that actually move a contrastive loss (random
+    negatives are trivially separable; the informative ones sit just
+    across the class boundary). Ties break by neighbor id.
+
+    Same two physical strategies as :func:`cosine_topk`, same logical
+    result (pinned equal in tests): ``"matmul"`` broadcasts the
+    (byte-budgeted) corpus and masks SAME-label columns per query row
+    inside the per-batch GEMM — only N x k rows ever exist, no pair
+    join in the plan at all; ``"pairs"`` is the label-inequality
+    self-join + window fallback, which plans a broadcast
+    nested-loop PAIR EXPLOSION and is therefore for bounded corpora /
+    per-shard use only (it is deliberately NOT the registered-query
+    arm — the plan gate's zero-pair-join rule). Past the broadcast
+    budget, mine within ANN candidates (IVF/sign-LSH top-m, then the
+    different-label filter + re-rank) and validate against this exact
+    operator.
+
+    NULL ids/vectors/labels and zero-norm vectors are excluded by the
+    similarity contract. Output: (qid, q_label, nid, n_label, cos_sim,
+    rank).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if strategy not in ("auto", "pairs", "matmul"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    base = _scoreable(df, id_col, vec_col).filter(
+        F.col(label_col).isNotNull()
+    )
+    if strategy != "pairs":
+        fits, cap = _matmul_corpus_fits(
+            base, vec_col, broadcast_rows, broadcast_bytes
+        )
+        if fits:
+            return _hard_negative_matmul(
+                base, id_col, vec_col, label_col, k, round_digits
+            )
+        if strategy == "matmul":
+            raise ValueError(
+                f"corpus exceeds the matmul broadcast budget (row cap "
+                f"{cap}); use strategy='pairs' on a bounded slice or "
+                "mine within ANN candidates"
+            )
+    return _hard_negative_pairs(
+        base, id_col, vec_col, label_col, k, round_digits
+    )
+
+
+def _hard_negative_pairs(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = base.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("q_label"),
+        _as_double(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    other = q.select(
+        F.col("qid").alias("nid"),
+        F.col("q_label").alias("n_label"),
+        F.col("__qv").alias("__nv"),
+        F.col("__qn").alias("__nn"),
+    )
+    pairs = q.join(other, F.col("q_label") != F.col("n_label")).select(
+        "qid",
+        "q_label",
+        "nid",
+        "n_label",
+        F.round(
+            dot(F.col("__qv"), F.col("__nv"))
+            / (F.col("__qn") * F.col("__nn")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hard_negative_matmul(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Label-masked block-matmul arm: per Arrow batch one GEMM against
+    the broadcast corpus, SAME-label columns (and self) masked to -inf
+    per query row, tie-aware top-k exactly like _cosine_topk_matmul."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = base.select(
+        F.col(id_col), F.col(label_col), _as_double(vec_col)
+    ).collect()
+    nid_arr = np.asarray([r[0] for r in corpus])
+    lab_arr = np.asarray([r[1] for r in corpus])
+    X = np.asarray([r[2] for r in corpus], dtype=np.float64)
+    xnorm = np.sqrt((X * X).sum(axis=1))
+    sc = base.sparkSession.sparkContext
+    b = sc.broadcast((nid_arr, lab_arr, X, xnorm))
+
+    id_type = base.schema[id_col].dataType.simpleString()
+    lab_type = base.schema[label_col].dataType.simpleString()
+    out_schema = (
+        f"qid {id_type}, q_label {lab_type}, nid {id_type}, "
+        f"n_label {lab_type}, cos_sim double, rank long"
+    )
+
+    def score_block(batches):
+        nids, labs, M, mnorm = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = np.round((Q @ M.T) / np.outer(qn, mnorm), round_digits)
+            qids = pdf["qid"].to_numpy()
+            qlabs = pdf["qlab"].to_numpy()
+            oq, oql, on, onl, oc, orr = [], [], [], [], [], []
+            for i in range(len(pdf)):
+                row = S[i].copy()
+                mask = labs == qlabs[i]
+                row[mask] = -np.inf
+                avail = int((~mask).sum())
+                kk = min(k, avail)
+                if kk == 0:
+                    continue
+                kth = np.partition(row, -kk)[-kk]
+                cand = np.nonzero(row >= kth)[0]
+                order = cand[np.lexsort((nids[cand], -row[cand]))][:kk]
+                oq.extend([qids[i]] * len(order))
+                oql.extend([qlabs[i]] * len(order))
+                on.extend(nids[order])
+                onl.extend(labs[order])
+                oc.extend(row[order])
+                orr.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "qid": oq,
+                    "q_label": oql,
+                    "nid": on,
+                    "n_label": onl,
+                    "cos_sim": oc,
+                    "rank": orr,
+                }
+            )
+
+    queries = ensure_parallelism(base).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("qlab"),
+        _as_double(vec_col).alias("qvec"),
+    )
+    return queries.mapInPandas(score_block, schema=out_schema)

@@ -3698,3 +3698,44 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ghcn_d_etl_project_spark.operators.textops import token_entropy
 
     return token_entropy(t(spark, sf_dir, "documents"))
+
+
+_HARDNEG_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
+    AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(embedding AS DOUBLE[])) > 0
+), pairs AS (
+  SELECT a.vec_id AS qid, a.label AS q_label,
+         b.vec_id AS nid, b.label AS n_label,
+         round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label <> b.label
+)
+SELECT qid, q_label, nid, n_label, cos_sim,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY cos_sim DESC, nid) AS BIGINT) AS rank
+FROM pairs
+QUALIFY rank <= 3
+"""
+
+
+@register("hard_negatives_embeddings", oracle=_HARDNEG_ORACLE,
+          tags=("llm", "similarity"), late=True)  # r13 wave
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (``operators/similarity.py:hard_negative_topk``): each vector's
+    top-3 most cosine-similar OTHER-label neighbors — the negatives
+    that actually move a contrastive loss (random negatives,
+    `negative_sample_docs`, are trivially separable; the informative
+    ones sit just across the class boundary). Exact pairs arm as the
+    oracle-carrying anchor; at 100 TB mine within ANN candidates
+    (IVF/sign-LSH top-m, then the different-label filter + re-rank) and
+    validate against this, the cosine_topk matmul/pairs relationship."""
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", k=3
+    )

@@ -1403,3 +1403,63 @@ def test_token_entropy_hand_cases(spark):
     want = ((2 * -s + 1000 * n) // (2000 * n)) / 1e6
     assert abs(out[3]["entropy"] - want) < 1e-12
     assert out[3]["norm_entropy"] < out[1]["norm_entropy"]
+
+
+def test_hard_negative_topk_planted(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 1),   # closest other-label to 0
+        (2, [0.0, 1.0], 1),
+        (3, [0.7, 0.7], 0),
+        (4, [0.0, 0.0], 1),     # zero norm: excluded
+        (5, None, 0),           # NULL vec: excluded
+        (6, [1.0, 0.1], None),  # NULL label: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negative_topk(
+        df, "vec_id", "embedding", "label", k=1
+    ).collect()
+    got = {r["qid"]: r for r in out}
+    assert set(got) == {0, 1, 2, 3}
+    # 0's hardest other-label negative is 1 (nearly parallel)
+    assert got[0]["nid"] == 1 and got[0]["n_label"] == 1
+    # every returned negative has a different label than its query
+    assert all(r["q_label"] != r["n_label"] for r in out)
+    # symmetric check: 1's hardest 0-label negative is 0
+    assert got[1]["nid"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        hard_negative_topk(df, "vec_id", "embedding", "label", k=0)
+
+
+def test_hard_negative_matmul_equals_pairs(spark):
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = t(spark, SF_DIR, "embeddings")
+    a = sorted(
+        map(
+            tuple,
+            hard_negative_topk(
+                emb, "vec_id", "embedding", "label", k=3,
+                strategy="matmul",
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            hard_negative_topk(
+                emb, "vec_id", "embedding", "label", k=3, strategy="pairs"
+            ).collect(),
+        )
+    )
+    assert a == b and a
