@@ -1754,3 +1754,120 @@ def token_entropy(
             F.round(ent / F.log(F.col("nd").cast("double")), round_digits),
         ).alias("norm_entropy"),
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distinct-n lexical diversity (Zhu et al. 2018, Texygen): per doc,
+    ``distinct_1`` = |unique tokens| / |tokens| and ``distinct_2`` =
+    |unique bigrams| / |bigrams| — the standard generation-diversity /
+    self-repetition readout (distinct-2 is the sharper signal: template
+    spam repeats PHRASES, so its bigram ratio collapses long before its
+    unigram ratio does). Complements :func:`token_entropy`, which weighs
+    the repetition distribution; this is the set-size view every
+    generation paper reports.
+
+    Scale shape: a pure scan-bound projection — tokens, bigrams, and
+    both distinct sets are single-row array expressions inside
+    whole-stage codegen; NO shuffle, NO explode, no cross-doc state, so
+    at 100 TB this is exactly one pass over the text column.
+    Bigram total is ``n_tokens - 1`` by construction (no second list
+    needed); distinct bigrams reuse :func:`word_shingles`' space-joined
+    slice construction (tokens are whitespace-split, so the join is
+    unambiguous). Parity: ratios of two BIGINTs use the integer
+    half-up recipe ((2*d*10^6 + t) DIV (2*t)) / 1e6 — no
+    double-rounding repr-tie surface (the token_entropy lesson); NULL
+    ratios where the denominator is 0 (empty doc / single token).
+    """
+    toks = tokens(F.col(text_col))
+    counts = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).cast("long").alias("u_t"),
+        F.size(F.array_distinct(toks)).cast("long").alias("u_d"),
+        F.greatest(F.size(toks).cast("long") - 1, F.lit(0).cast("long")).alias(
+            "b_t"
+        ),
+        F.size(word_shingles(F.col(text_col), k=2)).cast("long").alias("b_d"),
+    )
+    scale = 10 ** round_digits
+
+    def _ratio(d: str, t: str) -> Column:
+        return F.when(
+            F.col(t) > 0,
+            F.expr(
+                f"CAST((2 * {d} * {scale} + {t}) DIV (2 * {t}) AS BIGINT)"
+            ).cast("double")
+            / F.lit(float(scale)),
+        )
+
+    return counts.select(
+        F.col("__id").alias(id_col),
+        F.col("u_t").alias("n_tokens"),
+        F.col("u_d").alias("n_distinct_tokens"),
+        F.col("b_t").alias("n_bigrams"),
+        F.col("b_d").alias("n_distinct_bigrams"),
+        _ratio("u_d", "u_t").alias("distinct_1"),
+        _ratio("b_d", "b_t").alias("distinct_2"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document phrase novelty vs the rest of the corpus: the
+    fraction of a doc's DISTINCT word-``k``-grams that appear in no
+    other document (corpus document-frequency 1) — the GPT-2-appendix
+    "how much of this text overlaps anything else" readout, measured
+    intra-corpus. Low ``novel_frac`` = boilerplate / near-dup tissue;
+    the df-1 tail here is the phrase-level sibling of what
+    :func:`rare_token_scrub` masks at token level. Docs with fewer
+    than ``k`` tokens have no k-grams and are absent from the output.
+
+    Scale shape: per-doc distinct shingles (:func:`word_shingles`, a
+    scan-side array expression) -> ONE explode -> a (gram) document-
+    frequency aggregate with map-side combine -> equi-join back -> one
+    per-doc aggregate. Linear in corpus size, no pair term anywhere —
+    the span-dedup/df-aggregate argument. Ratio parity uses the
+    integer half-up recipe ((2*novel*10^6 + total) DIV (2*total)) /
+    1e6 — no repr-tie surface.
+    """
+    ex = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), k=k)).alias("__g"),
+    )
+    dfreq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    scale = 10 ** round_digits
+    per_doc = (
+        ex.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (
+            F.expr(
+                f"CAST((2 * n_novel * {scale} + n_grams) "
+                f"DIV (2 * n_grams) AS BIGINT)"
+            ).cast("double")
+            / F.lit(float(scale))
+        ).alias("novel_frac"),
+    )

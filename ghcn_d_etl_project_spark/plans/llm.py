@@ -3739,3 +3739,89 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", k=3
     )
+
+
+_DISTINCT_NGRAMS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])))
+             ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+       CASE WHEN n_tokens > 0 THEN
+         CAST((2 * n_distinct_tokens * 1000000 + n_tokens)
+              // (2 * n_tokens) AS BIGINT) / 1e6
+       END AS distinct_1,
+       CASE WHEN n_bigrams > 0 THEN
+         CAST((2 * n_distinct_bigrams * 1000000 + n_bigrams)
+              // (2 * n_bigrams) AS BIGINT) / 1e6
+       END AS distinct_2
+FROM c
+"""
+
+
+@register("distinct_ngrams_docs", oracle=_DISTINCT_NGRAMS_ORACLE,
+          tags=("llm", "text"), late=True)  # r13 wave
+def distinct_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per document
+    (``operators/textops.py:distinct_ngrams``, Zhu et al. 2018
+    Texygen): distinct-1/distinct-2 = unique/total unigram and bigram
+    ratios — the set-size repetition readout next to
+    ``token_entropy_docs``' distributional one. Pure scan-bound
+    projection: no shuffle, no explode; ratios use the integer
+    half-up recipe so both engines round identically."""
+    from ghcn_d_etl_project_spark.operators.textops import distinct_ngrams
+
+    return distinct_ngrams(t(spark, sf_dir, "documents"))
+
+
+_NOVEL_NGRAMS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), b AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t
+  WHERE len(toks) >= 2
+), d AS (
+  SELECT g, COUNT(*) AS df FROM b GROUP BY g
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((2 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) / 1e6 AS novel_frac
+FROM b JOIN d USING (g)
+GROUP BY b.doc_id
+"""
+
+
+@register("novel_ngrams_docs", oracle=_NOVEL_NGRAMS_ORACLE,
+          tags=("llm", "text"), late=True)  # r13 wave
+def novel_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-level novelty per document
+    (``operators/textops.py:ngram_novelty``): fraction of each doc's
+    distinct word-bigrams with corpus document-frequency 1 — the
+    GPT-2-appendix overlap readout; low = boilerplate/near-dup tissue.
+    One explode + one df aggregate + one equi-join back: linear, no
+    pair term — the span-dedup scale argument."""
+    from ghcn_d_etl_project_spark.operators.textops import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"))

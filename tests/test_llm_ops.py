@@ -1463,3 +1463,90 @@ def test_hard_negative_matmul_equals_pairs(spark):
         )
     )
     assert a == b and a
+
+
+def test_distinct_ngrams_hand_cases(spark):
+    from ghcn_d_etl_project_spark.operators.textops import distinct_ngrams
+
+    rows = [
+        (1, "a a a a"),        # 1 distinct token; 3 bigrams all "a a"
+        (2, "w x y z"),        # fully diverse
+        (3, "solo"),           # single token: no bigrams
+        (4, "   "),            # whitespace only: no tokens
+        (5, None),             # NULL text excluded
+        (6, "go go stop go"),  # mixed repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in distinct_ngrams(df).collect()}
+    assert set(out) == {1, 2, 3, 4, 6}
+
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_distinct_tokens"]) == (4, 1)
+    assert (r1["n_bigrams"], r1["n_distinct_bigrams"]) == (3, 1)
+    assert r1["distinct_1"] == 0.25
+    assert r1["distinct_2"] == 0.333333  # half-up round6 of 1/3
+
+    r2 = out[2]
+    assert r2["distinct_1"] == 1.0 and r2["distinct_2"] == 1.0
+
+    r3 = out[3]
+    assert (r3["n_tokens"], r3["n_bigrams"]) == (1, 0)
+    assert r3["distinct_1"] == 1.0 and r3["distinct_2"] is None
+
+    r4 = out[4]
+    assert r4["n_tokens"] == 0
+    assert r4["distinct_1"] is None and r4["distinct_2"] is None
+
+    # "go go stop go": bigrams = [go go, go stop, stop go] all distinct
+    r6 = out[6]
+    assert (r6["n_distinct_tokens"], r6["n_distinct_bigrams"]) == (2, 3)
+    assert r6["distinct_1"] == 0.5 and r6["distinct_2"] == 1.0
+
+    # phrase-template spam: both ratios collapse toward 0
+    spam = spark.createDataFrame(
+        [(9, "buy now " * 50)], "doc_id long, text string"
+    )
+    r9 = distinct_ngrams(spam).collect()[0]
+    assert r9["distinct_1"] == 0.02          # 2 / 100
+    assert r9["distinct_2"] == 0.020202      # 2 / 99, half-up round6
+
+
+def test_distinct_ngrams_plan_is_scan_bound(spark):
+    from ghcn_d_etl_project_spark.operators.textops import distinct_ngrams
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = distinct_ngrams(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_ngram_novelty_planted(spark):
+    from ghcn_d_etl_project_spark.operators.textops import ngram_novelty
+
+    rows = [
+        (1, "the quick brown fox"),   # shares "the quick" with 2
+        (2, "the quick red fox"),     # shares "the quick" with 1
+        (3, "entirely original words here"),
+        (4, "solo"),                  # < 2 tokens: absent
+        (5, None),                    # NULL: excluded
+        (6, "rep rep rep rep"),       # 1 distinct bigram, unique to 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert set(out) == {1, 2, 3, 6}
+
+    # doc 1: bigrams {the quick, quick brown, brown fox}; "the quick"
+    # also in doc 2 -> 2 of 3 novel, half-up round6 of 2/3
+    assert out[1]["n_grams"] == 3 and out[1]["n_novel"] == 2
+    assert out[1]["novel_frac"] == 0.666667
+    assert out[2]["novel_frac"] == 0.666667
+    assert out[3]["novel_frac"] == 1.0
+    # doc 6: distinct-shingle df, not occurrences — df("rep rep") = 1
+    assert out[6]["n_grams"] == 1 and out[6]["novel_frac"] == 1.0
+
+    # duplicate docs: every bigram shared -> novelty 0 for both
+    dups = spark.createDataFrame(
+        [(7, "copy pasted text"), (8, "copy pasted text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(dups).collect()}
+    assert got[7]["novel_frac"] == 0.0 and got[8]["novel_frac"] == 0.0
