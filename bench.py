@@ -367,6 +367,66 @@ def _reference_gate_e2e(spark, sf_dir: str) -> dict:
     return out
 
 
+def _streaming_gate_e2e(spark, sf_dir: str, n_batches: int = 5) -> dict:
+    """Measure the composed streaming ingest gate (Gopher rules ->
+    banded incremental dedup behind one foreachBatch,
+    ``streaming/quality.py:ingest_gate_stream``) end-to-end: the batch
+    half of ``documents`` is the published reference corpus (shingled /
+    signed / banded / fingerprinted ONCE before the stream starts), the
+    other half arrives as ``n_batches`` single-file micro-batches
+    (``maxFilesPerTrigger=1`` under an availableNow trigger). Per-batch
+    seconds come from the terminated query's OWN progress log
+    (``recentProgress[].durationMs.triggerExecution``) — the number
+    Structured Streaming itself reports, flat across batches = the
+    gate's per-batch cost is batch work + index scans only. Side
+    metric — never part of the headline sum (r14, VERDICT r13 #7)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.sources.readers import load_table
+    from ghcn_d_etl_project_spark.streaming.quality import (
+        ingest_gate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    base = Path(__file__).resolve().parent / ".tmp" / "stream_gate"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = base / "in", base / "out", base / "ckpt"
+    # one parquet FILE per micro-batch, deterministic residue split
+    for i in range(n_batches):
+        arriving.filter(
+            F.pmod(F.col("doc_id"), F.lit(2 * n_batches)) == 2 * i + 1
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    t0 = time.perf_counter()
+    q = ingest_gate_stream(
+        sdf, ref, "doc_id", "text",
+        out_dir=str(out_dir), checkpoint_path=str(ckpt),
+    )
+    wall = round(time.perf_counter() - t0, 3)
+    out = {"ref_rows": ref.count(), "stream_wall_sec": wall}
+    batches = [
+        p
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    for i, p in enumerate(batches, start=1):
+        out[f"batch{i}_sec"] = round(
+            p["durationMs"]["triggerExecution"] / 1000.0, 3
+        )
+        out[f"batch{i}_rows"] = p["numInputRows"]
+    out["verdict_rows"] = spark.read.parquet(str(out_dir)).count()
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 _GHCN_ELEMENTS = ("TMAX", "TMIN", "PRCP", "SNOW", "SNWD", "TOBS", "WT01")
 _GHCN_BASE = {"TMAX": 250, "TMIN": 80, "PRCP": 40, "SNOW": 10, "SNWD": 5,
               "TOBS": 150, "WT01": 1}
@@ -710,17 +770,35 @@ def main() -> None:
         per_run_clear = bool({"pipeline", "persists"} & q.tags)
         try:
             if throwaway:
-                # two untimed runs: first-touch codegen/Arrow init for a
-                # multi-second plan otherwise lands inside timed run #1
-                # and drags small-sample medians, and C2 recompilation of
-                # the hot Arrow path often lands in run #2 (r13; min was
-                # immune, medians weren't)
-                for _ in range(2):
+                # r14 (VERDICT r13 #6): per-query ADAPTIVE throwaways.
+                # The r13 shape was a fixed 2 untimed runs (first-touch
+                # codegen/Arrow init + C2 recompilation); the heavy5
+                # residual analysis (SCALE.md) showed some queries need
+                # a third before the JIT state stops moving while most
+                # settle in two — so repeat untimed runs until two
+                # consecutive agree within 10%, bounded at 3, and
+                # record whether the query entered its timed runs
+                # settled. Keeps the fast case at 2 runs, catches the
+                # slow-JIT tail, and makes an unsettled entry
+                # self-identifying in the artifact.
+                prev = None
+                warm_runs = 0
+                warm_settled = False
+                for _ in range(3):
+                    w0 = time.perf_counter()
                     q.fn(spark, sf_dir).count()
+                    dt = time.perf_counter() - w0
+                    warm_runs += 1
                     if per_run_clear:
                         spark.catalog.clearCache()
                         spark.sparkContext._jvm.System.gc()
                         time.sleep(0.4)
+                    if prev is not None and abs(dt - prev) <= 0.10 * max(
+                        dt, prev
+                    ):
+                        warm_settled = True
+                        break
+                    prev = dt
             # adaptive: initial runs_floor, then keep running while the
             # relative IQR exceeds the target (up to runs_cap) — the
             # similarity family needs 5-9 runs for a stable median,
@@ -757,6 +835,9 @@ def main() -> None:
                 "iqr": round(iqr, 3),
                 "runs": len(runs),
             }
+            if throwaway:
+                spreads_out[name]["warm_runs"] = warm_runs
+                spreads_out[name]["warm_settled"] = warm_settled
             if stage_samples:
                 # per-stage MEDIAN across the same runs, so the dominant
                 # stage is attributable and stable run-over-run
@@ -854,6 +935,20 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 — side metric must not kill bench
             stages_out["reference_gate_e2e"] = {"error": _err(e)}
+        spark.catalog.clearCache()
+
+    # r14 side metric (VERDICT r13 #7): the composed STREAMING ingest
+    # gate, previously pytest-only — N micro-batches through the full
+    # rules+dedup gate, per-batch trigger seconds from the query's own
+    # progress log. Flat across batches = the banded amortization holds
+    # under Structured Streaming's execution too.
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMGATE", "1") != "0":
+        try:
+            stages_out["streaming_gate_e2e"] = _streaming_gate_e2e(
+                spark, sf_dir
+            )
+        except Exception as e:  # noqa: BLE001 — side metric must not kill bench
+            stages_out["streaming_gate_e2e"] = {"error": _err(e)}
         spark.catalog.clearCache()
 
     load_end = os.getloadavg()

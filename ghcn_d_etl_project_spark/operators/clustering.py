@@ -421,12 +421,14 @@ def semdedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 16,
+    k: int | str = 16,
     iters: int = 4,
     threshold: float = 0.95,
     init_ids: list | None = None,
     round_digits: int = 6,
     release_into: list[DataFrame] | None = None,
+    target_cluster_size: int = 512,
+    max_pair_budget: int | None = 50_000_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -456,9 +458,30 @@ def semdedup(
     Pass ``release_into`` to receive the persisted frames (kmeans'
     scoreable projection + the scored assignment) for caller-owned
     ``unpersist()``.
+
+    **Enforced scale contract** (the k ∝ N rule, in code rather than
+    prose): ``k="auto"`` sets ``k = ceil(N / target_cluster_size)``
+    from a count of the scoreable rows, so callers who scale the corpus
+    100x get 100x the clusters — constant expected cluster size,
+    constant per-cluster pair work. And regardless of how ``k`` was
+    chosen, the realized within-cluster pair budget
+    ``sum(size * (size - 1) / 2)`` is measured from the assignment
+    (a k-row aggregate over the already-persisted frame) BEFORE the
+    self-join is launched; if it exceeds ``max_pair_budget`` the
+    operator refuses loudly with the measured number, the worst
+    cluster, and the fix — the same refusal posture as the GEMM
+    ``broadcast_bytes`` byte budget in ``operators/similarity.py``
+    (never silently launch a quadratic job). ``max_pair_budget=None``
+    disables the check.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if isinstance(k, str) and k != "auto":
+        raise ValueError(f'k must be an int or "auto", got {k!r}')
+    if target_cluster_size < 1:
+        raise ValueError(
+            f"target_cluster_size must be >= 1, got {target_cluster_size}"
+        )
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -470,6 +493,12 @@ def semdedup(
         .withColumn("__norm", F.sqrt(dot(F.col("__v"), F.col("__v"))))
         .filter(F.col("__norm") > 0)
     )
+    if k == "auto":
+        base = base.persist()
+        if release_into is not None:
+            release_into.append(base)
+        n_scoreable = base.count()
+        k = max(1, -(-n_scoreable // target_cluster_size))  # ceil div
     assign = kmeans_lloyd(
         base,
         "__id",
@@ -487,6 +516,33 @@ def semdedup(
     )
     if release_into is not None:
         release_into.append(scored)
+    if max_pair_budget is not None:
+        # k-row aggregate over the persisted assignment: the EXACT pair
+        # count the self-join below would produce candidates for.
+        sizes = (
+            scored.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+            .agg(
+                F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+                .cast("long")
+                .alias("pairs"),
+                F.max("sz").alias("max_sz"),
+                F.sum("sz").alias("n"),
+            )
+            .collect()[0]
+        )
+        if (sizes["pairs"] or 0) > max_pair_budget:
+            raise ValueError(
+                "semdedup refused: within-cluster pair budget "
+                f"{sizes['pairs']:,} exceeds max_pair_budget="
+                f"{max_pair_budget:,} (N={sizes['n']:,} rows in k={k} "
+                f"clusters, largest cluster {sizes['max_sz']:,}). The "
+                "within-cluster self-join is quadratic in cluster size "
+                "— scale k with the corpus: pass k='auto' (k = N / "
+                f"target_cluster_size, currently {target_cluster_size})"
+                ", raise k, or raise max_pair_budget if the quadratic "
+                "job is intended."
+            )
     a, b = scored.alias("a"), scored.alias("b")
     cos = dot(F.col("a.__v"), F.col("b.__v")) / (
         F.col("a.__norm") * F.col("b.__norm")

@@ -969,6 +969,7 @@ GROUP BY 1
     "cms_estimate_events",
     oracle=_CMS_ORACLE,
     tags=("agg", "sketch", "incremental"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def cms_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (width 64, depth 3) over event user ids, point-

@@ -941,6 +941,7 @@ FROM d ORDER BY ad DESC, value ASC LIMIT 1
     "ks_drift_orders",
     oracle=_KS_ORACLE,
     tags=("quality", "drift"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov D for order prices, pre-1998
@@ -1186,6 +1187,7 @@ FROM s
     "ab_proportions_events",
     oracle=_AB_ORACLE,
     tags=("curation", "experiment", "stats"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def ab_proportions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experiment readout: users deterministically split into two arms
@@ -1457,6 +1459,7 @@ FROM byd, tot
     "decile_lift_events",
     oracle=_LIFT_ORACLE,
     tags=("curation", "experiment", "stats"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def decile_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift & cumulative gains: users bucketed into engagement-

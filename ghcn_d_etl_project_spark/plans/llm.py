@@ -3007,8 +3007,7 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.doc
 
 
 @register("winnow_fingerprint_docs", oracle=_WINNOW_ORACLE,
-          tags=("llm", "dedup", "text", "persists"),
-          late=True)  # r13 wave: settle first
+          tags=("llm", "dedup", "text", "persists"))  # promoted to hard window r14
 def winnow_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint profile
     (``operators/dedup.py:winnow_profile``, Schleimer et al. 2003 /
@@ -3088,7 +3087,7 @@ FROM flags
 
 
 @register("gopher_rules_docs", oracle=_GOPHER_ORACLE,
-          tags=("llm", "quality", "text"), late=True)  # r13 wave
+          tags=("llm", "quality", "text"))  # promoted to hard window r14
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule gate (Rae et al. 2021 §A1.1, the published
     MassiveWeb repetition-free rule set): per-doc feature columns +
@@ -3162,7 +3161,7 @@ WHERE i.n_inter / CAST(s1.n + s2.n - i.n_inter AS DOUBLE) >= 0.5
 
 
 @register("lsh_banded_pairs_oracle", oracle=_LSH_MD5_PAIRS_ORACLE,
-          tags=("llm", "dedup", "persists"), late=True)  # r13 wave: settle first
+          tags=("llm", "dedup", "persists"))  # promoted to hard window r14
 def lsh_banded_pairs_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL MinHash-LSH construction under a value-hash oracle
     (``operators/dedup.py:minhash_banded_pairs_md5``): word-3-gram
@@ -3212,7 +3211,7 @@ JOIN (SELECT component, COUNT(*) AS cs FROM lab GROUP BY component) sz2
 
 
 @register("neardup_components_docs", oracle=_NEARDUP_CC_ORACLE,
-          tags=("llm", "dedup", "graph", "persists"), late=True)  # r13 wave
+          tags=("llm", "dedup", "graph", "persists"))  # promoted to hard window r14
 def neardup_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the oracle-certified
     banded near-dup pairs (``lsh_banded_pairs_oracle``'s edge set),
@@ -3268,7 +3267,12 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (hash), lexical (MinHash/winnowing), semantic (this).
     Clustering bounds the pair term to within-cluster — pick k ~ N so
     expected cluster size is constant and total pair work is linear-
-    ish; the paper runs k=50k on LAION. Rows-only by the kmeans rule
+    ish; the paper runs k=50k on LAION. Since r14 the k ∝ N rule is
+    ENFORCED in the operator, not just documented: ``k="auto"`` sets
+    k = N / target_cluster_size, and the realized within-cluster pair
+    budget is measured from the assignment and refused loudly past
+    ``max_pair_budget`` before any self-join launches (the GEMM
+    byte-budget posture). Rows-only by the kmeans rule
     (iterative float numerics; deterministic, but no SQL engine
     restates 4 Lloyd iterations) — keep/tie/neighbor semantics pinned
     in tests/test_clustering.py, and the within-cluster pair stage
@@ -3339,7 +3343,7 @@ FROM base b LEFT JOIN scored s USING (doc_id)
 
 
 @register("dsir_weights_docs", oracle=_DSIR_ORACLE,
-          tags=("llm", "curation", "persists"), late=True)  # r13 wave
+          tags=("llm", "curation", "persists"))  # promoted to hard window r14
 def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights
     (``operators/textops.py:dsir_importance_weights``, Xie et al. 2023):
@@ -3409,7 +3413,7 @@ WHERE p.doc_id IS NULL
 
 
 @register("ccnet_buckets_docs", oracle=_CCNET_ORACLE,
-          tags=("llm", "quality", "curation", "persists"), late=True)  # r13 wave
+          tags=("llm", "quality", "curation", "persists"))  # promoted to hard window r14
 def ccnet_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality tiers
     (``operators/textops.py:ccnet_buckets``, Wenzek et al. 2020):
@@ -3472,7 +3476,7 @@ FROM c
 
 
 @register("token_budget_select_docs", oracle=_BUDGET_ORACLE,
-          tags=("llm", "curation", "shard"), late=True)  # r13 wave
+          tags=("llm", "curation", "shard"))  # promoted to hard window r14
 def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ordered token-budget fill: rank the corpus best-first by
     the heuristic quality score (ties by doc_id), take documents while
@@ -3558,7 +3562,7 @@ FROM mom, stats
 
 
 @register("zipf_fit_docs", oracle=_ZIPF_ORACLE,
-          tags=("llm", "text", "profile"), late=True)  # r13 wave
+          tags=("llm", "text", "profile"))  # promoted to hard window r14
 def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus vocabulary
     (``operators/textops.py:zipf_fit``): OLS of ln(count) on ln(rank)
@@ -3575,8 +3579,65 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(t(spark, sf_dir, "documents"), top_n=100)
 
 
-@register("bpe_train_docs", oracle=None,
-          tags=("llm", "text", "persists"), late=True)  # r13 wave
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    """Bounded-iteration replay of the full BPE merge loop in plain
+    (non-recursive) SQL: the merge count is a query-time constant, so
+    the loop UNROLLS into ``n_merges`` chained CTE triples — per round
+    a pair aggregate, an ``ORDER BY c DESC, l, r LIMIT 1`` argmax, and
+    a vocabulary rewrite. Leftmost-nonoverlapping fusion rides a
+    wrapped-symbol string encoding: each symbol is stored as
+    ``|sym|``, so SQL ``replace(seg, '|l||r|', '|lr|')`` — which scans
+    left-to-right and resumes AFTER each replacement — is exactly the
+    greedy-left BPE convention ("aaa" under (a,a) -> [aa, a]), and the
+    double ``||`` boundary makes suffix/prefix false matches
+    impossible. Empty argmax (no pairs left) degrades identically on
+    both sides: the round emits no row and the vocabulary passes
+    through unchanged (LEFT JOIN ON TRUE + CASE)."""
+    parts = [
+        r"""
+WITH v1 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+         regexp_replace(w, '(.)', '|\1|', 'g') AS seg
+  FROM (
+    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w HAVING length(w) >= 2
+)
+"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""
+, p{i} AS (
+  SELECT s[j] AS l, s[j + 1] AS r, CAST(SUM(wc) AS BIGINT) AS c
+  FROM (SELECT wc, list_filter(string_split(seg, '|'), x -> x <> '') AS s
+        FROM v{i}),
+       UNNEST(range(1, len(s))) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS (
+  SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+), v{i + 1} AS (
+  SELECT w, wc,
+         CASE WHEN b.l IS NULL THEN seg
+              ELSE replace(seg, '|' || b.l || '||' || b.r || '|',
+                           '|' || b.l || b.r || '|') END AS seg
+  FROM v{i} LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append("\n" + rounds)
+    return "".join(parts)
+
+
+_BPE_TRAIN_ORACLE = _bpe_train_oracle_sql(8)
+
+
+@register("bpe_train_docs", oracle=_BPE_TRAIN_ORACLE,
+          tags=("llm", "text", "persists"), late=True)  # oracle NEW r14
 def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full iterative BPE training loop
     (``operators/textops.py:bpe_train``, Sennrich et al. 2016): 8 merge
@@ -3586,9 +3647,14 @@ def bpe_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bpe_pair_stats_docs`` (the single-round statistic) into the
     actual tokenizer-training algorithm; iteration runs on the
     Zipf-bounded (word, count) table, never the corpus, the kmeans
-    model-state discipline. Deterministic but iterative +
-    driver-mediated => rows-only; exact python-trainer parity pinned
-    in tests/test_llm_ops.py."""
+    model-state discipline. Carries a FULL value-hash oracle since r14:
+    the bounded merge loop unrolls into 8 chained CTE triples (pair
+    aggregate / LIMIT-1 argmax / wrapped-symbol ``replace`` rewrite —
+    see :func:`_bpe_train_oracle_sql`), the fifth "inherently
+    iterative" query converted by the bounded-replay pattern
+    (FFD packing, MMR, KM survival, k-core before it). Exact
+    python-trainer parity additionally pinned in
+    tests/test_llm_ops.py."""
     from ghcn_d_etl_project_spark.operators.textops import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), n_merges=8)
@@ -3632,7 +3698,7 @@ FROM base b LEFT JOIN per p USING (doc_id)
 
 
 @register("rare_token_scrub_docs", oracle=_SCRUB_ORACLE,
-          tags=("llm", "quality", "pii", "persists"), late=True)  # r13 wave
+          tags=("llm", "quality", "pii", "persists"))  # promoted to hard window r14
 def rare_token_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-token privacy scrub
     (``operators/textops.py:rare_token_scrub``): tokens appearing in
@@ -3686,7 +3752,7 @@ FROM scaled
 
 
 @register("token_entropy_docs", oracle=_ENTROPY_ORACLE,
-          tags=("llm", "quality", "text"), late=True)  # r13 wave
+          tags=("llm", "quality", "text"))  # promoted to hard window r14
 def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy
     (``operators/textops.py:token_entropy``): the lexical-diversity /
@@ -3721,7 +3787,7 @@ QUALIFY rank <= 3
 
 
 @register("hard_negatives_embeddings", oracle=_HARDNEG_ORACLE,
-          tags=("llm", "similarity"), late=True)  # r13 wave
+          tags=("llm", "similarity"))  # promoted to hard window r14
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training
     (``operators/similarity.py:hard_negative_topk``): each vector's
@@ -3773,7 +3839,7 @@ FROM c
 
 
 @register("distinct_ngrams_docs", oracle=_DISTINCT_NGRAMS_ORACLE,
-          tags=("llm", "text"), late=True)  # r13 wave
+          tags=("llm", "text"))  # promoted to hard window r14
 def distinct_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-n lexical diversity per document
     (``operators/textops.py:distinct_ngrams``, Zhu et al. 2018
@@ -3814,7 +3880,7 @@ GROUP BY b.doc_id
 
 
 @register("novel_ngrams_docs", oracle=_NOVEL_NGRAMS_ORACLE,
-          tags=("llm", "text"), late=True)  # r13 wave
+          tags=("llm", "text"))  # promoted to hard window r14
 def novel_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-level novelty per document
     (``operators/textops.py:ngram_novelty``): fraction of each doc's

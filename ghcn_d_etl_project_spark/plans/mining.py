@@ -57,6 +57,7 @@ WHERE CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common) >= 0.5
     "basket_jaccard_pairs",
     oracle=_BASKET_JACCARD_ORACLE,
     tags=("mining", "dedup", "similarity", "persists"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def basket_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order pairs whose part-baskets have Jaccard >= 0.5, via the
@@ -116,6 +117,7 @@ FROM corners GROUP BY 1
     "copurchase_triangles",
     oracle=_TRIANGLES_ORACLE,
     tags=("mining", "graph", "persists"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def copurchase_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation in the co-purchase graph (parts
@@ -338,6 +340,7 @@ FROM r3
     "pagerank_parts",
     oracle=_PAGERANK_ORACLE,
     tags=("mining", "graph", "persists"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def pagerank_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank (d=0.85) over the co-purchase part graph via
@@ -525,6 +528,7 @@ WHERE NOT EXISTS (
     "skyline_parts",
     oracle=_SKYLINE_ORACLE,
     tags=("mining", "analytics"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def skyline_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pareto frontier of parts — cheapest-AND-largest: no

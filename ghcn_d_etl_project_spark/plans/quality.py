@@ -719,6 +719,7 @@ GROUP BY 1
     "weighted_median_lineitem",
     oracle=_WMEDIAN_ORACLE,
     tags=("quality", "stats"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median extended price per return flag

@@ -389,6 +389,7 @@ FROM vals GROUP BY 1
     "feature_hash_orders",
     oracle=_FEATURE_HASH_ORACLE,
     tags=("sampling", "ml", "encoding"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def feature_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bucket hashing-trick features from the two categorical order

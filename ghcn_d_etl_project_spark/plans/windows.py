@@ -1266,6 +1266,7 @@ FROM curve
     "survival_km_events",
     oracle=_KM_ORACLE,
     tags=("window", "events", "survival"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def survival_km_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion: days from each user's first
@@ -1343,6 +1344,7 @@ FROM dau JOIN wau ON dau.day = wau.day
     "active_users_events",
     oracle=_ACTIVE_ORACLE,
     tags=("window", "events", "analytics"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU, trailing-7-day WAU, and DAU/WAU stickiness per observed
@@ -1432,6 +1434,7 @@ FROM m
     "forecast_eval_events",
     oracle=_FORECAST_ORACLE,
     tags=("window", "events", "timeseries"),
+    late=True,  # rotated out of hard window r14 (tenure since <=r10)
 )
 def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting baseline readout per event type: the seasonal-naive

@@ -105,7 +105,7 @@ def ingest_gate_stream(
     n_hashes: int = 64,
     bands: int = 32,
     await_seconds: int = 300,
-) -> None:
+):
     """Continuous composed admission gate over an arriving document
     stream: every micro-batch gets one verdict row per doc —
     'rule:<first failing Gopher rule>' (quality reject), 'exact_dup' /
@@ -120,6 +120,10 @@ def ingest_gate_stream(
     sets) are released inside the callback. Exactly-once offsets via
     the checkpoint (availableNow trigger); the usual foreachBatch
     replay caveat applies to the sink.
+
+    Returns the (terminated) ``StreamingQuery`` so callers can read
+    ``recentProgress`` — the per-micro-batch trigger durations the
+    bench's ``stages.streaming_gate_e2e`` readout reports (r14).
     """
     from ghcn_d_etl_project_spark.operators.dedup import (
         reference_dedup_index,
@@ -159,3 +163,4 @@ def ingest_gate_stream(
     finally:
         for f in held:
             f.unpersist()
+    return q

@@ -557,3 +557,59 @@ def test_semdedup_release_unpersists(spark):
     assert len(held) == 3  # kmeans base + scored + pairs
     for h in held:
         h.unpersist()
+
+
+def test_semdedup_auto_k_scales_with_corpus(spark):
+    """k='auto' enforces the k ∝ N contract: cluster count grows with
+    the corpus at fixed target_cluster_size, so expected cluster size
+    (and the within-cluster pair term) stays constant at scale."""
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    rows = [(i, [float(i % 7) + 1.0, float(i % 11) + 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(
+        df, "vec_id", "embedding", k="auto", iters=2,
+        target_cluster_size=10,
+    )
+    clusters = {r["cluster"] for r in out.collect()}
+    # N=60, target 10 -> k=6; kmeans may leave a cell empty but the
+    # assignment can never use MORE than k labels, and with 6 distinct
+    # directions it uses several
+    assert len(clusters) <= 6
+    assert len(clusters) >= 2
+    # same corpus, bigger target -> fewer clusters (k=2)
+    out2 = semdedup(
+        df, "vec_id", "embedding", k="auto", iters=2,
+        target_cluster_size=30,
+    )
+    assert len({r["cluster"] for r in out2.collect()}) <= 2
+
+
+def test_semdedup_refuses_exploding_pair_budget(spark):
+    """The realized Σ size·(size−1)/2 is measured from the assignment
+    BEFORE the self-join; past max_pair_budget the operator refuses
+    loudly (the GEMM byte-budget posture) instead of silently running
+    a quadratic job."""
+    import pytest as _pytest
+
+    from ghcn_d_etl_project_spark.operators.clustering import semdedup
+
+    # 40 near-identical vectors -> one giant cluster: 40*39/2 = 780 pairs
+    rows = [(i, [1.0, 1e-6 * i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="max_pair_budget"):
+        semdedup(
+            df, "vec_id", "embedding", k=2, iters=2, max_pair_budget=100
+        )
+    # same corpus under a sufficient budget runs fine
+    assert semdedup(
+        df, "vec_id", "embedding", k=2, iters=2, max_pair_budget=1000
+    ).count() == 40
+    # max_pair_budget=None disables the check entirely
+    assert semdedup(
+        df, "vec_id", "embedding", k=2, iters=2, max_pair_budget=None
+    ).count() == 40
+    with _pytest.raises(ValueError, match="auto"):
+        semdedup(df, "vec_id", "embedding", k="bogus")
+    with _pytest.raises(ValueError, match="target_cluster_size"):
+        semdedup(df, "vec_id", "embedding", k="auto", target_cluster_size=0)

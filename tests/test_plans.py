@@ -401,3 +401,45 @@ def test_snapshot_diff_plan_shape(spark):
     assert "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_alias_shadows_input_inside_hof_lambda(spark):
+    """Pin the Spark 4 resolution quirk found in r14 (the arm-C
+    dedup-scaling construction shipped with it before the fix): in a
+    single select, a LATERAL ALIAS that reuses an input column's name
+    ("doc_id") is what an outer reference INSIDE a higher-order-
+    function lambda resolves to — while the same reference OUTSIDE a
+    lambda still resolves to the input column. Any engine code that
+    both relabels an id and token-rewrites with an id-derived salt in
+    one select would silently salt with the relabeled id; the rule is
+    therefore: compute lambda-consuming expressions in a select BEFORE
+    re-aliasing their inputs. This test documents the behavior so a
+    Spark version change that alters it is caught."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    salted = F.transform(
+        F.split("text", " "),
+        lambda t: F.xxhash64(t, F.xxhash64("doc_id", F.lit(7))),
+    )
+    plain = F.xxhash64("doc_id", F.lit(7))
+    row = df.select(
+        (F.col("doc_id") + F.lit(100)).alias("doc_id"),
+        F.element_at(salted, 1).alias("in_lambda"),
+        plain.alias("outside_lambda"),
+    ).collect()[0]
+    base = df.select(
+        F.element_at(salted, 1).alias("in_lambda"),
+        plain.alias("outside_lambda"),
+    ).collect()[0]
+    # outside a lambda: input column wins, alias or not
+    assert row["outside_lambda"] == base["outside_lambda"]
+    # inside a lambda: the lateral alias shadows the input (the quirk)
+    assert row["in_lambda"] != base["in_lambda"]
+    # and it shadows with the ALIASED value specifically
+    expected = (
+        spark.createDataFrame([(101, "a b")], "doc_id long, text string")
+        .select(F.element_at(salted, 1).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert row["in_lambda"] == expected
