@@ -127,7 +127,6 @@ def kmeans_lloyd(
                 yield pd.DataFrame(
                     {
                         "__id": pdf["__id"],
-                        "__v": pdf["__v"],
                         "cluster": cl.astype("int64"),
                         "dist2": d2[np.arange(len(cl)), cl],
                     }
@@ -135,31 +134,76 @@ def kmeans_lloyd(
 
         return base.mapInPandas(
             run,
-            schema=(
-                f"__id {id_type}, __v array<double>, "
-                "cluster long, dist2 double"
-            ),
+            schema=f"__id {id_type}, cluster long, dist2 double",
         )
 
-    for _ in range(iters):
-        assigned = assign(C)
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(
-                    F.floor(F.col("__v")[i] * F.lit(float(scale))).cast("long")
-                ).alias(f"__s{i}")
-                for i in range(dim)
-            ],
+    def update_sums(centroids: np.ndarray) -> DataFrame:
+        """Per-Arrow-batch cluster assignment + FIXED-POINT partial sums
+        computed in numpy, emitting <= k rows per batch — (cluster,
+        count, per-dimension int64 sum array) — instead of shipping
+        every (id, vec, cluster) row back through Arrow for a
+        (dim+1)-expression JVM aggregate. Exactness: each component
+        contributes ``floor(x * scale)`` as int64 — the identical IEEE
+        double multiply + floor the JVM expression computed — and int64
+        sums are associative, so the per-cluster totals (and hence every
+        iteration's centroids) are bit-identical to the wide-aggregate
+        formulation this replaces."""
+        b = sc.broadcast(centroids)
+        n_cent = centroids.shape[0]
+
+        def run(batches):
+            M = b.value
+            cn = (M * M).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+                )
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ M.T)
+                    + cn[None, :]
+                )
+                cl = d2.argmin(axis=1)
+                S = np.floor(X * float(scale)).astype(np.int64)
+                counts = np.bincount(cl, minlength=n_cent)
+                present = np.flatnonzero(counts)
+                acc = np.zeros((n_cent, S.shape[1]), dtype=np.int64)
+                for c in present:
+                    acc[c] = S[cl == c].sum(axis=0, dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "cluster": present.astype("int64"),
+                        "n": counts[present].astype("int64"),
+                        "s": [acc[c].tolist() for c in present],
+                    }
+                )
+
+        return base.select("__v").mapInPandas(
+            run, "cluster long, n long, s array<long>"
         )
-        newC = C.copy()
-        for r in sums.collect():
+
+    # The per-iteration reduce runs DRIVER-SIDE over a BOUNDED collect:
+    # at most k rows per Arrow batch (so <= k x input partitions rows of
+    # d+2 numbers — the same bounded-collect legitimacy as the k x d
+    # centroid table itself). Skipping the per-iteration groupBy removes
+    # one shuffle AND the (dim+1)-aggregate plan construction per round
+    # — plan-building py4j round trips were the dominant cost of the
+    # loop after the Arrow-traffic fix (measured r14: construct 1.8s ->
+    # 0.6s, full query ~4.6s -> ~1.5s at sf0.1).
+    for _ in range(iters):
+        sums_fp = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in update_sums(C).collect():
             c = int(r["cluster"])
-            n = int(r["__n"])
-            if n > 0:
-                newC[c] = np.asarray(
-                    [r[f"__s{i}"] for i in range(dim)], dtype=np.float64
-                ) / (float(scale) * n)
+            counts[c] += int(r["n"])
+            sums_fp[c] += np.asarray(r["s"], dtype=np.int64)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums_fp[nz].astype(np.float64) / (
+            float(scale) * counts[nz, None]
+        )
         C = newC
 
     if release_into is not None:

@@ -206,14 +206,19 @@ def minhash_signatures(
         df, id_col, text_col, n=n, unit=unit
     )
     hashed = sets.select("doc", F.explode("sh").alias("h"))
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+    # r14: the n_hashes aggregates are built as ONE SQL string parsed
+    # JVM-side instead of n_hashes x ~3 py4j Column calls — identical
+    # expressions (xxhash64 over (h, int-literal i), same literal
+    # types), but DataFrame CONSTRUCTION cost was a measured ~40% of
+    # this query's wall at sf0.1 (the bench times fn() construction +
+    # execution, and a 64-agg tree costs hundreds of driver round
+    # trips). Same change as simhash/band_buckets below.
+    aggs = [F.expr(f"min(xxhash64(h, {i}))").alias(f"mh_{i}") for i in range(n_hashes)]
     wide = hashed.groupBy("doc").agg(*aggs)
-    return wide.select(
-        "doc", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    sig = F.expr(
+        "array(" + ", ".join(f"mh_{i}" for i in range(n_hashes)) + ")"
     )
+    return wide.select("doc", sig.alias("sig"))
 
 
 def band_buckets(
@@ -225,14 +230,16 @@ def band_buckets(
     (:func:`minhash_lsh_candidates`) and the incremental NEW-vs-REF
     gate (:func:`dedup_against_reference`)."""
     rows = n_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bucket"),
-            )
+    # one parsed SQL string instead of bands x 4 py4j calls (see
+    # minhash_signatures) — identical struct array
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({b} AS band, "
+            f"xxhash64(slice(sig, {b * rows + 1}, {rows})) AS bucket)"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return signatures.select(
         F.col("doc"), F.explode(band_structs).alias("bb")
@@ -407,26 +414,37 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc",
         F.when(F.col("w").isNull(), None).otherwise(F.xxhash64(F.col("w"))).alias("h"),
     )
+    # r14: both the 64 vote-sum aggregates and the 64-term bit
+    # reconstruction are built as parsed SQL strings — ONE driver round
+    # trip each instead of ~600 py4j Column calls, which were a measured
+    # ~2.4s of pure plan-construction time per invocation at sf0.1
+    # (construction exceeded execution for this query). The bit test
+    # ``(shiftrightunsigned(h, b) & 1) = 1`` is exactly the old
+    # ``h & mask(b) != 0`` for every b including the sign bit, and the
+    # CASE arms reproduce the null-placeholder zero vote.
     aggs = [
-        F.sum(
-            F.when(F.col("h").isNull(), 0)
-            .when(F.col("h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1)
-            .otherwise(-1)
+        F.expr(
+            "sum(CASE WHEN h IS NULL THEN 0 "
+            f"WHEN (shiftrightunsigned(h, {b}) & 1) = 1 THEN 1 "
+            "ELSE -1 END)"
         ).alias(f"s_{b}")
         for b in range(64)
     ]
     wide = hashed.groupBy("doc").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sim = F.expr(
+        " | ".join(
+            f"shiftleft(CAST(s_{b} > 0 AS BIGINT), {b})" for b in range(64)
         )
-        sim = sim.bitwiseOR(F.shiftleft(bit, b))
+    )
     return wide.select("doc", sim.alias("sim"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 7,
+    release_into: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``,
     found via 8x8-bit banding; pairs are then verified with the true
@@ -436,30 +454,47 @@ def simhash_pairs(
     distance <= 7 shares at least one identical band; at distance 8 the
     differing bits can land one per band and the pair is silently
     missed — so ``max_hamming`` must stay below the band count.
+
+    The signature table is persisted (r14): the banded candidate join is
+    a SELF-join, and without the persist mark BOTH sides re-derive the
+    full explode + 64-sign-sum aggregate pipeline — the query's dominant
+    cost, paid twice (measured at sf0.1: ~4.5s steady-state -> ~1.9s
+    with the one-sided compute; the signature stage alone is ~1.1s).
+    Same caller-owned lifetime contract as ``minhash_lsh_dedup``: pass
+    ``release_into`` (a list) to receive the persisted frame and
+    ``unpersist()`` it once the result has materialized.
     """
     if max_hamming >= 8:
         raise ValueError(
             "max_hamming must be <= 7: 8-band LSH only guarantees recall "
             "for Hamming distance < number of bands"
         )
-    sh = simhash_signatures(df, id_col, text_col)
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("sim"), i * 8)
-                .bitwiseAND(F.lit(255))
-                .alias("val"),
-            )
+    sh = simhash_signatures(df, id_col, text_col).persist()
+    if release_into is not None:
+        release_into.append(sh)
+    chunks = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({i} AS chunk, "
+            f"(shiftrightunsigned(sim, {i * 8}) & 255) AS val)"
             for i in range(8)
-        ]
+        )
+        + ")"
     )
     banded = sh.select("doc", "sim", F.explode(chunks).alias("c")).select(
         "doc", "sim", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
     x = banded.alias("x")
     y = banded.alias("y")
-    cands = (
+    # Verify BEFORE the pair dedup (r14): ``hamming`` is a pure function
+    # of the pair, so filter-then-distinct equals distinct-then-filter —
+    # but the bit_count is a codegen intrinsic evaluated map-side, while
+    # the distinct is the stage's big shuffle. Filtering first shrinks
+    # that shuffle from EVERY banded candidate occurrence (up to 8 per
+    # pair, dominated by the moderately-similar mass banding lets
+    # through) to verified near-dup pairs only, and drops the two
+    # 8-byte signatures from the shuffled row.
+    return (
         x.join(
             y,
             (F.col("x.chunk") == F.col("y.chunk"))
@@ -469,17 +504,12 @@ def simhash_pairs(
         .select(
             F.col("x.doc").alias("doc1"),
             F.col("y.doc").alias("doc2"),
-            F.col("x.sim").alias("sim1"),
-            F.col("y.sim").alias("sim2"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("long")
+            F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
+        .distinct()
     )
 
 

@@ -109,6 +109,89 @@ def _driver_closure(und: DataFrame, max_edges: int) -> DataFrame | None:
     return spark.createDataFrame(mapping, schema)
 
 
+def _extend_driver_closure(
+    small: DataFrame, nodes: DataFrame | None, node_col: str
+) -> DataFrame:
+    """Extend a bounded driver-closure mapping to the full
+    ``(node, component)`` assignment: union in the caller-supplied
+    vertex set (isolated nodes label themselves) and broadcast-join the
+    mapping over it. small's node column is exactly the endpoints of
+    non-self-loop edges — the same vertex set the loop path derives
+    from ``und`` (both drop nodes appearing only in self-loops), so no
+    extra endpoint union is needed when ``nodes`` is absent."""
+    n_fast = small.select(F.col("node"))
+    if nodes is not None:
+        n_fast = n_fast.union(nodes.select(F.col(node_col).alias("node")))
+    return (
+        n_fast.distinct()
+        .join(F.broadcast(small), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
+def components_with_drop_set(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    driver_closure_max_edges: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """``(components, drop_set)`` sharing ONE closure computation — the
+    keep-one-per-component dedup consumer's shape (r14).
+
+    ``drop_set`` is the single-column ``(node)`` set of nodes that LOSE
+    the dedup: ``component != node``. A dedup pass only needs this set
+    (survivors = base ANTI-JOIN drop_set); deriving it by filtering the
+    full components frame pays that frame's whole plan — in the bounded
+    driver path a union + distinct + broadcast-join chain whose
+    statistics are opaque to the planner (measured at sf0.1: the
+    survivors semi-join against the canonical side planned a
+    SortMergeJoin over it, ~1.2s for 4.5k rows of work). Here the
+    driver path emits the drop set STRAIGHT off the driver-side
+    union-find mapping — a LocalRelation of at most
+    ``2 * |closed edges|`` rows with exact size stats, so the anti-join
+    broadcasts and adds zero exchanges; every dropped node is an edge
+    endpoint, so the mapping already contains all of them. The
+    distributed path (edge set past the bound) filters the label table
+    — one scan, same cost as before. The components frame itself stays
+    available (lazily) for closure audits either way.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    small = _driver_closure(
+        e.filter(F.col("src") != F.col("dst")), driver_closure_max_edges
+    )
+    if small is not None:
+        comps = _extend_driver_closure(small, nodes, node_col)
+        # explicit broadcast hint: the mapping is a driver-local frame
+        # whose LogicalRDD plan carries NO size statistics (the planner
+        # assumes worst case and picks a sort-merge join without the
+        # hint), while its true size is bounded by construction at
+        # 2 * driver_closure_max_edges rows of ids — the same
+        # justification as _extend_driver_closure's broadcast of the
+        # full mapping.
+        drop = F.broadcast(
+            small.filter(F.col("node") != F.col("component")).select("node")
+        )
+        return comps, drop
+    comps = connected_components(
+        edges,
+        src,
+        dst,
+        nodes=nodes,
+        node_col=node_col,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        driver_closure_max_edges=0,
+    )
+    return comps, comps.filter(F.col("node") != F.col("component")).select("node")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -172,21 +255,7 @@ def connected_components(
         e.filter(F.col("src") != F.col("dst")), driver_closure_max_edges
     )
     if small is not None:
-        # small's node column is exactly the endpoints of non-self-loop
-        # edges — the same vertex set the loop path derives from `und`
-        # (both drop nodes appearing only in self-loops), so no extra
-        # endpoint union is needed when `nodes` is absent.
-        n_fast = small.select(F.col("node"))
-        if nodes is not None:
-            n_fast = n_fast.union(nodes.select(F.col(node_col).alias("node")))
-        return (
-            n_fast.distinct()
-            .join(F.broadcast(small), "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("component"), F.col("node")).alias("component"),
-            )
-        )
+        return _extend_driver_closure(small, nodes, node_col)
 
     und = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

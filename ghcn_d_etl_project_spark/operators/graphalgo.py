@@ -359,18 +359,24 @@ def bfs_hops(
         |all paths| (the recursive-CTE path enumeration the oracle
         states explodes combinatorially; UNION-dedup saves it only at
         oracle scale);
-      * every level's frontier STAYS persisted until the result is
-        consumed: the visited set is a union over the cached level
-        frames, so each level's anti-join and the final output read
-        cached blocks only. (Unpersisting superseded levels eagerly
-        re-derives the whole chain per level — the iterative-lineage
-        trap ``kcore`` documents; measured 15.9s -> 3.4s at SF 0.01
-        for this function when the eager release was removed.) Pass
-        ``release_into`` to unpersist the level caches after
-        consuming the output;
+      * every level is ``localCheckpoint(eager=True)``: materialized
+        once and its LINEAGE TRUNCATED, so each level's plan is a flat
+        scan. Persist-only chaining kept the blocks cached but let the
+        logical plan of level h contain every prior level (the visited
+        set is a union over all levels, and the frontier is the
+        previous level) — plan text grew ~3x per hop to 1.2 MB at 4
+        hops, and Catalyst re-analyzed that whole tree on every
+        per-level action (measured r14: 3.6s -> ~1.3s at sf0.1 for
+        ``bfs_hops_parts`` from the truncation alone; the r9
+        eager-release trap — 15.9s from RE-DERIVING superseded levels —
+        stays fixed because checkpointed blocks never re-derive). Same
+        discipline as ``kcore`` below. ``release_into`` still receives
+        the frames for API compatibility; checkpoint blocks are freed
+        by the ContextCleaner when the frames are collected;
       * termination: a ``limit(1).count()`` empty-probe per level — a
-        bounded action, not a full count; the loop also hard-stops at
-        ``max_hops`` so worst-case driver iterations are fixed.
+        bounded action over the already-materialized checkpoint; the
+        loop also hard-stops at ``max_hops`` so worst-case driver
+        iterations are fixed.
 
     ``sources`` is a one-column DataFrame of start nodes (computed IN
     PLAN — e.g. an aggregate — so no driver collect is required to
@@ -390,7 +396,7 @@ def bfs_hops(
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .persist()
+        .localCheckpoint(eager=True)
     ]
     for h in range(1, max_hops + 1):
         frontier = levels[-1]
@@ -404,10 +410,9 @@ def bfs_hops(
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("dist", F.lit(h).cast("long"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
-            nxt.unpersist()
             break
         levels.append(nxt)
     if release_into is not None:

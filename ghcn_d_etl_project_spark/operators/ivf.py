@@ -90,8 +90,18 @@ def _cell_ranking(cents: dict[int, list[float]], vec_col: str) -> Column:
     struct ordering breaks dist2 ties toward the lower cluster id,
     matching the old sort_array(collect_list(...)) semantics exactly."""
     k = len(cents)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in cents[i]]) for i in sorted(cents)]
+    # r14: the centroid plan-literal is built as ONE parsed SQL string
+    # (D-suffixed double literals round-trip exactly via shortest-repr)
+    # instead of k x dim F.lit py4j calls — at k=16 x dim=64 those 1024
+    # driver round trips were ~1.2s of pure DataFrame-construction time
+    # per invocation, over half this query's non-execution cost.
+    cent_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in cents[i]) + ")"
+            for i in sorted(cents)
+        )
+        + ")"
     )
     dists = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),

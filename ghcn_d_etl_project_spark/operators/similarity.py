@@ -465,40 +465,6 @@ def _lsh_signatures_matmul(
     return vecd.mapInPandas(hash_block, schema)
 
 
-def _pair_cosine_scores(
-    paired: DataFrame, round_digits: int
-) -> DataFrame:
-    """Exact cosine for explicit (qid, nid, qvec, nvec) candidate pairs,
-    one vectorized einsum per Arrow batch (vs one interpreted fold-dot
-    per pair). Zero-norm vectors score NaN, as IEEE division did in the
-    fold formulation."""
-    import numpy as np
-    import pandas as pd
-
-    id_type = paired.schema["qid"].dataType.simpleString()
-    out_schema = f"qid {id_type}, nid {id_type}, cos_sim double"
-
-    def score_block(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]
-            )
-            Nv = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["nvec"]]
-            )
-            num = np.einsum("ij,ij->i", Q, Nv)
-            den = np.sqrt((Q * Q).sum(axis=1)) * np.sqrt((Nv * Nv).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(num / den, round_digits)
-            yield pd.DataFrame(
-                {"qid": pdf["qid"], "nid": pdf["nid"], "cos_sim": cos}
-            )
-
-    return paired.mapInPandas(score_block, schema=out_schema)
-
-
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -541,17 +507,25 @@ def ann_lsh_topk(
          deduped after scoring; scalar-only rows remove the
          wide-array-shuffle objection that once made ids-first dedup
          slower);
-      3. vectors re-fetched by two equi-joins against the persisted
-         slim vector table (2 scans of an InMemoryRelation; AQE
-         broadcasts at small SF, shuffle-joins at scale);
-      4. exact cosine per surviving pair via batched einsum
-         (:func:`_pair_cosine_scores`), then the per-qid top-k window.
-    At sf0.1 this is ~2.3x the r10 formulation (11.5s -> ~5s) with
-    byte-identical recall semantics (same hash family, same candidate
-    set, same tie order)."""
+      3. vectors + pre-computed norms re-fetched by two equi-joins
+         against the persisted slim vector table (2 scans of an
+         InMemoryRelation; AQE broadcasts at small SF, shuffle-joins at
+         scale);
+      4. exact cosine per surviving pair as ONE JVM fold-dot over the
+         pre-computed norms (r14 — replaced the r11 Arrow-batched
+         einsum scorer: at 1.30M pairs the per-pair JVM->Python->JVM
+         Arrow round trip of 2 x dim doubles dominated the einsum's
+         arithmetic win, measured 1.7-4.8s einsum vs 1.0-2.0s fold for
+         the identical rounded output; IVF's scorer had the same shape
+         finding), then the per-qid top-k window.
+    At sf0.1 this is ~2.3x the r10 formulation (11.5s -> ~5s; the r14
+    fold re-rank takes the warm query to ~2s) with byte-identical
+    recall semantics (same hash family, same candidate set, same tie
+    order)."""
     vecd = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
+        .withColumn("qnorm", norm(F.col("qvec")))
         .persist()
     )
     if release_into is not None:
@@ -561,7 +535,11 @@ def ann_lsh_topk(
         release_into.append(vecd)
     n_bits = n_planes * n_tables
     with_sig = est_hamming_frac is not None and n_bits <= 64
-    wide = _lsh_signatures_matmul(vecd, dim, n_planes, n_tables, with_sig)
+    # project to the two columns the matmul reads — an opaque
+    # mapInPandas otherwise ships (and Arrow-serializes) every column
+    wide = _lsh_signatures_matmul(
+        vecd.select("qid", "qvec"), dim, n_planes, n_tables, with_sig
+    )
     band_structs = F.array(
         *[
             F.struct(F.lit(t_).alias("tbl"), F.col(f"b_{t_}").alias("bucket"))
@@ -586,10 +564,32 @@ def ann_lsh_topk(
         )
     pairs = cands.select("qid", "nid").distinct()
     paired = pairs.join(vecd, "qid").join(
-        vecd.select(F.col("qid").alias("nid"), F.col("qvec").alias("nvec")),
+        vecd.select(
+            F.col("qid").alias("nid"),
+            F.col("qvec").alias("nvec"),
+            F.col("qnorm").alias("nnorm"),
+        ),
         "nid",
     )
-    scored = _pair_cosine_scores(paired, round_digits)
+    # Exact re-rank as ONE JVM fold-dot per pair over pre-computed norms
+    # (r14; replaces the Arrow-batched einsum scorer): with the norms on
+    # the persisted slim-vector table the per-pair cost is a single
+    # zip_with/aggregate product fold, and the JVM->Python->JVM Arrow
+    # round trip of 2 x dim doubles PER CANDIDATE PAIR disappears.
+    # Measured at sf0.1 (1.30M candidate pairs, interleaved same-JVM
+    # A/B, identical rounded output): einsum 1.7-4.8s vs fold 1.0-2.0s
+    # for the score+window tail — the same Arrow-transfer-dominates
+    # lesson as IVF's scorer (which was already fold-form), and one
+    # fewer ArrowEvalPython settle state for the bench's heavy tier.
+    scored = paired.select(
+        "qid",
+        "nid",
+        F.round(
+            dot(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")),
+            round_digits,
+        ).alias("cos_sim"),
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -145,12 +145,16 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_dedup", oracle=None, tags=("llm", "dedup"))
+@register("simhash_dedup", oracle=None, tags=("llm", "dedup", "persists"))
 def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 7, candidates
     via 8x8-bit chunk banding (pigeonhole guarantees recall exactly for
     d<=7, which is why 7 is also the operator's ceiling) then exact
-    bit_count verification."""
+    bit_count verification. Tagged ``persists`` since r14: the operator
+    persists its signature table (the banded candidate join is a
+    self-join; unpersisted, both sides re-derived the 64-sign-sum
+    aggregate — the dominant cost, paid twice), so the bench clears the
+    cache between runs exactly like minhash's substrates."""
     return simhash_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=7
     )

@@ -653,6 +653,14 @@ def bfs_hops_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p").alias("u"), F.col("c.p").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
+        # r14: materialize the edge derivation ONCE. Both the seed (a
+        # 1-row MIN aggregate) and the BFS's doubled edge table consume
+        # ``edges``; left lazy, the wedge self-join over lineitem ran
+        # twice (once per consumer) — the derivation, not the BFS
+        # levels, dominated the query. Eager localCheckpoint (the kcore
+        # discipline) also keeps the checkpoint out of the CacheManager,
+        # so repeated bench runs stay honestly cold.
+        .localCheckpoint(eager=True)
     )
     sources = edges.select(
         F.least(F.min("u"), F.min("v")).alias("node")
