@@ -331,7 +331,12 @@ def nearest_centroid(
     dec = "decimal(28,12)"
 
     def dist2(comp: dict[int, float]) -> Column:
-        lits = F.array(*[F.lit(comp[i]) for i in range(dim)])
+        # one parsed SQL string per centroid instead of dim F.lit py4j
+        # round trips (r14; exact D-suffixed shortest-repr doubles) —
+        # k x dim literal calls dominated this operator's construction
+        lits = F.expr(
+            "array(" + ", ".join(f"{float(comp[i])!r}D" for i in range(dim)) + ")"
+        )
         sq = F.zip_with(v, lits, lambda a, b: (a - b) * (a - b))
         return F.aggregate(
             sq,

@@ -136,12 +136,23 @@ def pca_project(
     Output: ``(id, vec array<double> of out_dim)``.
     """
     comps, _evals, mean, _n = pca_fit(df, vec_col, out_dim, scale=scale)
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    # plan literals as ONE parsed SQL string each (r14, the
+    # ivf._cell_ranking fix): D-suffixed doubles round-trip exactly via
+    # shortest-repr, and (out_dim + 1) x dim F.lit py4j round trips were
+    # ~1s of pure construction time per invocation
+    mean_lit = F.expr(
+        "array(" + ", ".join(f"{float(m)!r}D" for m in mean) + ")"
+    )
     centered = F.zip_with(
         _as_double(vec_col), mean_lit, lambda x, m: x - m
     )
-    mat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in comps]
+    mat = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in comps
+        )
+        + ")"
     )
     proj = F.transform(
         F.sequence(F.lit(1), F.lit(int(comps.shape[0]))),

@@ -647,7 +647,18 @@ def random_projection(
     # AND pins the matrix independent of the data)
     rows = rademacher_matrix(in_dim or _infer_dim(df, vec_col), out_dim, seed)
     scale = 1.0 / (out_dim ** 0.5)
-    mat = F.array(*[F.array(*[F.lit(v) for v in row]) for row in rows])
+    # one parsed SQL string instead of out_dim x in_dim F.lit py4j round
+    # trips (r14, the ivf._cell_ranking fix): +/-1.0D literals are exact,
+    # and the 1,024-call construction was most of this query's
+    # non-execution wall at the bench SF
+    mat = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
     proj = F.transform(
         F.sequence(F.lit(1), F.lit(out_dim)),
         lambda j: dot(_as_double(vec_col), F.element_at(mat, j)) * F.lit(scale),

@@ -146,6 +146,11 @@ def neardup_gate_stream(
     ref_fps = reference_fingerprints(
         ref_df, id_col, text_col, release_into=held
     )
+    # materialize the index before the stream starts (r14, see
+    # streaming/quality.py): persist() is lazy and the corpus-side
+    # build otherwise lands inside micro-batch 1's trigger
+    for f in held:
+        f.count()
 
     def judge(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():

@@ -138,6 +138,15 @@ def ingest_gate_stream(
     ref_fps = reference_fingerprints(
         ref_df, id_col, text_col, release_into=held
     )
+    # MATERIALIZE the index frames before the stream starts (r14):
+    # persist() alone is lazy, so the whole corpus-side shingle/sign/
+    # band/fingerprint build landed INSIDE micro-batch 1's trigger —
+    # measured at the bench SF as a ~21s first batch vs ~3s steady
+    # state. Forcing it here makes per-batch cost batch work only from
+    # the first trigger, which is what this docstring (and the
+    # reference_gate_e2e readout) promise.
+    for f in held:
+        f.count()
 
     def judge(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
