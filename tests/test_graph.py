@@ -142,6 +142,40 @@ def test_driver_closure_matches_distributed(spark):
     assert via_driver[-1] == (99, 99)  # isolated node labels itself
 
 
+def test_components_with_drop_set_both_paths(spark):
+    """r14: ``components_with_drop_set`` shares one closure and its drop
+    set must equal the components frame filtered to component != node —
+    on BOTH the bounded driver path and the distributed loop (forced via
+    max_edges=0) — and the components frame must match
+    ``connected_components`` exactly."""
+    from ghcn_d_etl_project_spark.operators.graph import (
+        components_with_drop_set,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "node long"
+    )
+    want_comps = sorted(
+        (r.node, r.component)
+        for r in connected_components(edges, nodes=nodes).collect()
+    )
+    want_drop = sorted(n for n, c in want_comps if n != c)
+    for max_edges in (100_000, 0):
+        comps, drop = components_with_drop_set(
+            edges, nodes=nodes, driver_closure_max_edges=max_edges
+        )
+        got_comps = sorted((r.node, r.component) for r in comps.collect())
+        got_drop = sorted(r.node for r in drop.collect())
+        assert got_comps == want_comps, f"max_edges={max_edges}"
+        assert got_drop == want_drop == [2, 3, 11, 21, 22], (
+            f"max_edges={max_edges}"
+        )
+
+
 def test_driver_closure_respects_bound(spark):
     """A graph just over the bound must return None from the fast path
     (and the public API must still resolve it via the loop)."""

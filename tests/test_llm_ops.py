@@ -70,6 +70,28 @@ def test_simhash_identical_docs(spark):
     assert any(r.doc2 - r.doc1 == 1_000_000 and r.hamming == 0 for r in pairs)
 
 
+def test_simhash_persists_signature_substrate(spark):
+    """r14: the banded candidate join is a SELF-join, so the signature
+    table must be persist-marked (otherwise both sides re-derive the
+    64-aggregate pipeline — the query's dominant cost, paid twice) and
+    handed to the caller through ``release_into`` for owned release —
+    the minhash substrate contract."""
+    docs = t(spark, SF_DIR, "documents").limit(50)
+    held = []
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=7,
+                        release_into=held)
+    rows = sorted(map(tuple, out.collect()))
+    assert len(held) == 1, "exactly one persisted substrate (signatures)"
+    assert held[0].storageLevel.useMemory, "signature table is persist-marked"
+    assert set(held[0].columns) == {"doc", "sim"}
+    for f in held:
+        f.unpersist()
+    # releasing the substrate must not change what the query computes
+    rerun = sorted(map(tuple, simhash_pairs(
+        docs, "doc_id", "text", max_hamming=7).collect()))
+    assert rerun == rows
+
+
 def test_rolling_hash_deterministic(spark):
     """Rolling hash: stable across runs, identical for identical
     normalized content, different for different content."""
