@@ -203,9 +203,10 @@ def profile_ivf(spark) -> None:
 def profile_ann_lsh(spark) -> None:
     from ghcn_d_etl_project_spark.operators.similarity import (
         _lsh_signatures_matmul,
-        _pair_cosine_scores,
         _as_double,
         ann_lsh_topk,
+        dot,
+        norm,
     )
     from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
 
@@ -214,10 +215,11 @@ def profile_ann_lsh(spark) -> None:
     vecd = (
         ensure_parallelism(emb)
         .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("qvec"))
+        .withColumn("qnorm", norm(F.col("qvec")))
         .persist()
     )
     vecd.count()
-    wide = _lsh_signatures_matmul(vecd, 64, 4, 16, True)
+    wide = _lsh_signatures_matmul(vecd.select("qid", "qvec"), 64, 4, 16, True)
     timed("signatures_matmul", wide, spark)
     band_structs = F.array(
         *[
@@ -242,12 +244,22 @@ def profile_ann_lsh(spark) -> None:
     pairs = pairs.persist()
     pairs.count()
     paired = pairs.join(vecd, "qid").join(
-        vecd.select(F.col("qid").alias("nid"), F.col("qvec").alias("nvec")),
+        vecd.select(
+            F.col("qid").alias("nid"),
+            F.col("qvec").alias("nvec"),
+            F.col("qnorm").alias("nnorm"),
+        ),
         "nid",
     )
     timed("refetch join", paired, spark)
-    scored = _pair_cosine_scores(paired, 6)
-    timed("refetch+einsum score", scored, spark)
+    scored = paired.select(
+        "qid", "nid",
+        F.round(
+            dot(F.col("qvec"), F.col("nvec"))
+            / (F.col("qnorm") * F.col("nnorm")), 6,
+        ).alias("cos_sim"),
+    )
+    timed("refetch+fold score", scored, spark)
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
