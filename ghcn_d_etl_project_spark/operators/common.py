@@ -2,8 +2,25 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def double_literal(v: float) -> str:
+    """SQL text of one exact DOUBLE literal for parsed-string plan
+    construction (the r14 expr-string rule): shortest-repr D-suffixed
+    for finite values (``repr`` round-trips IEEE doubles exactly), and
+    explicit casts for the non-finite values ``f'{v!r}D'`` would render
+    as the unparseable ``infD``/``nanD`` (ADVICE r14: a data-dependent
+    crash for degenerate centroids/components)."""
+    v = float(v)
+    if math.isfinite(v):
+        return f"{v!r}D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'Infinity' if v > 0 else '-Infinity'}' AS DOUBLE)"
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

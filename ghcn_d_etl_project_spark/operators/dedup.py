@@ -462,7 +462,12 @@ def simhash_pairs(
     with the one-sided compute; the signature stage alone is ~1.1s).
     Same caller-owned lifetime contract as ``minhash_lsh_dedup``: pass
     ``release_into`` (a list) to receive the persisted frame and
-    ``unpersist()`` it once the result has materialized.
+    ``unpersist()`` it once the result has materialized. WITHOUT
+    ``release_into`` each invocation leaves one cached frame marked for
+    the session's lifetime (ADVICE r14) — fine for run-once pipelines
+    and the bench (whose per-run cache clear covers it via the
+    ``persists`` tag), but library callers invoking this repeatedly in
+    one session must pass the list.
     """
     if max_hamming >= 8:
         raise ValueError(
@@ -1277,10 +1282,13 @@ def minhash_banded_pairs_md5(
     threshold: float = 0.5,
     round_digits: int = 6,
     release_into: list[DataFrame] | None = None,
+    hash_dim_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Shingle -> MinHash -> band -> bucket-join -> exact-Jaccard-verify
     with an ENGINE-PORTABLE hash family: h_p(s) = BIGINT from the first
-    8 md5 hex chars of ``p || ':' || shingle``. The xxhash64 production
+    8 md5 hex chars of ``p || ':' || shingle``. ``hash_dim_bytes``
+    bounds the broadcast hash-dimension fast path for the signature
+    stage (see the inline note; 0 disables it). The xxhash64 production
     path (``minhash_lsh_dedup`` / ``dedup_against_reference``) is
     faster per byte but seeded-hash-defined, so its oracle checks are
     rows-only; THIS twin replays bit-for-bit in any engine with md5 —
@@ -1339,9 +1347,42 @@ def minhash_banded_pairs_md5(
             .cast("long")
         )
 
-    sig = sh.groupBy("doc").agg(
-        *[F.min(h(p)).alias(f"m{p}") for p in range(n_hashes)]
-    )
+    # r15: when the corpus's DISTINCT shingle vocabulary fits a bounded
+    # broadcast, the n_hashes md5-prefix hashes are computed once per
+    # distinct shingle (a broadcast hash-dimension table joined back on
+    # the shingle key) instead of once per (occurrence, p). Shingled
+    # prose is Zipf-duplicated — the bench corpus carries 260k
+    # occurrences over 27k distinct shingles — so the md5/conv work
+    # drops ~10x while the broadcast join stays narrow and the per-doc
+    # min aggregates keep their map-side partial combine (measured
+    # 7.6s -> 3.2s at sf0.1; an UNHINTED dimension join was tried first
+    # and REGRESSED to 9.8s — the planner picked a shuffle join, whose
+    # mid-plan exchange of occurrences x 32 longs costs more than the
+    # duplicate hashing it saves). Values are identical either way (h_p
+    # is a pure function of the shingle string). The gate is a bounded
+    # probe (limit(cap+1) over the distinct keys, the
+    # ``_matmul_corpus_fits`` recipe): past ``hash_dim_bytes`` of
+    # broadcast the operator falls back to hashing per occurrence —
+    # the 100 TB vocabulary never broadcasts.
+    hash_row_bytes = 8 * n_hashes + 24  # n_hashes BIGINTs + avg key
+    cap = max(hash_dim_bytes // hash_row_bytes, 1)
+    vocab = sh.select("shingle").distinct()
+    if vocab.limit(cap + 1).count() <= cap:
+        hashes = F.broadcast(
+            vocab.select(
+                "shingle",
+                *[h(p).alias(f"__h{p}") for p in range(n_hashes)],
+            )
+        )
+        sig = (
+            sh.join(hashes, "shingle")
+            .groupBy("doc")
+            .agg(*[F.min(f"__h{p}").alias(f"m{p}") for p in range(n_hashes)])
+        )
+    else:
+        sig = sh.groupBy("doc").agg(
+            *[F.min(h(p)).alias(f"m{p}") for p in range(n_hashes)]
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -42,7 +42,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
+from ghcn_d_etl_project_spark.operators.common import (
+    double_literal,
+    ensure_parallelism,
+)
 from ghcn_d_etl_project_spark.operators.similarity import _as_double, dot, norm
 
 
@@ -98,7 +101,7 @@ def _cell_ranking(cents: dict[int, list[float]], vec_col: str) -> Column:
     cent_lit = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{float(v)!r}D" for v in cents[i]) + ")"
+            "array(" + ", ".join(double_literal(v) for v in cents[i]) + ")"
             for i in sorted(cents)
         )
         + ")"

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ghcn_d_etl_project_spark.operators.common import double_literal
+
 __all__ = ["pca_fit", "pca_project"]
 
 
@@ -141,7 +143,7 @@ def pca_project(
     # shortest-repr, and (out_dim + 1) x dim F.lit py4j round trips were
     # ~1s of pure construction time per invocation
     mean_lit = F.expr(
-        "array(" + ", ".join(f"{float(m)!r}D" for m in mean) + ")"
+        "array(" + ", ".join(double_literal(m) for m in mean) + ")"
     )
     centered = F.zip_with(
         _as_double(vec_col), mean_lit, lambda x, m: x - m
@@ -149,7 +151,7 @@ def pca_project(
     mat = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            "array(" + ", ".join(double_literal(v) for v in row) + ")"
             for row in comps
         )
         + ")"

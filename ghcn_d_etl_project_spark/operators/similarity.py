@@ -19,7 +19,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ghcn_d_etl_project_spark.operators.common import ensure_parallelism
+from ghcn_d_etl_project_spark.operators.common import (
+    double_literal,
+    ensure_parallelism,
+)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -521,7 +524,15 @@ def ann_lsh_topk(
     At sf0.1 this is ~2.3x the r10 formulation (11.5s -> ~5s; the r14
     fold re-rank takes the warm query to ~2s) with byte-identical
     recall semantics (same hash family, same candidate set, same tie
-    order)."""
+    order).
+
+    Rounding-mode note (ADVICE r14): the r14 fold re-rank rounds with
+    ``F.round`` (HALF_UP), where the r11 einsum used ``np.round``
+    (half-to-even) — cosines landing exactly on a representable half
+    tie at ``round_digits`` round differently between those two, so
+    parity with pre-r14 output is data-dependent at such ties.
+    ``F.round`` matches the engine-wide SQL convention (and any SQL
+    oracle); this is the intended semantics going forward."""
     vecd = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec"))
@@ -562,7 +573,31 @@ def ann_lsh_topk(
             F.bit_count(F.col("sig").bitwiseXOR(F.col("nsig")))
             <= int(est_hamming_frac * n_bits)
         )
-    pairs = cands.select("qid", "nid").distinct()
+        # Canonical-occurrence filter instead of a global distinct()
+        # (r15, VERDICT r14 #3): bucket b_t IS bits
+        # [t*n_planes, (t+1)*n_planes) of the concatenated signature, so
+        # the set of tables where a pair collides is computable per ROW
+        # from sig^nsig — keep exactly the occurrence at the SMALLEST
+        # agreeing table. A pure map-side filter: the pair-dedup
+        # Exchange + two HashAggregates (1.3-1.6s over 1.30M pairs at
+        # sf0.1, and at 100 TB a full shuffle of every candidate
+        # occurrence) disappear from the plan; the surviving pair set is
+        # byte-identical (every colliding pair has a unique minimal
+        # matching table, and the hamming gate is a pair-level predicate
+        # independent of which occurrence carries it).
+        mask = (1 << n_planes) - 1
+        first_tbl = F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN (shiftrightunsigned(sig ^ nsig, {t_ * n_planes})"
+                f" & {mask}) = 0 THEN {t_}"
+                for t_ in range(n_tables)
+            )
+            + " END"
+        )
+        pairs = cands.filter(F.col("tbl") == first_tbl).select("qid", "nid")
+    else:
+        pairs = cands.select("qid", "nid").distinct()
     paired = pairs.join(vecd, "qid").join(
         vecd.select(
             F.col("qid").alias("nid"),
@@ -654,7 +689,7 @@ def random_projection(
     mat = F.expr(
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            "array(" + ", ".join(double_literal(v) for v in row) + ")"
             for row in rows
         )
         + ")"

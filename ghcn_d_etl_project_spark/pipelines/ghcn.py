@@ -71,40 +71,70 @@ def bronze_from_dly(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """Raw ``.dly`` lines → one row per (ID, DATE, ELEMENT) observation.
 
     Wide→long unpivot (reference R1): each 269-char line carries 31 day
-    slots at computed offsets; ``explode(sequence(1,31))`` crosses the line
-    with its day numbers, then VALUE/M/Q/SFLAG are substring-projected at
-    start = 22 + (day−1)·8 (reference bronze_processor.py:99-119).
-    Sentinel −9999 observations are dropped (not nulled) and impossible
-    dates (Feb 30) vanish via to_date → NULL → filter
+    slots at computed offsets; the 31 8-char slots are pre-sliced into
+    an array BEFORE the explode (r15, guide §2.3 — shrink the exploded
+    row: ``posexplode`` of the slot array materializes 8 bytes per
+    output row where the r14 shape carried the full 269-char line 31x
+    through the generator), then VALUE/M/Q/SFLAG are substring-projected
+    from the slot (reference bronze_processor.py:99-119 reads the same
+    offsets off the whole line). Sentinel −9999 observations are dropped
+    (not nulled) and impossible dates (Feb 30) vanish as NULL → filter
     (bronze_processor.py:67-75,122).
+
+    Date derivation (r15): the month's first day and its day count are
+    computed once per LINE (``make_date(year, month, 1)`` +
+    ``last_day``, guarded by a CASE so ANSI mode never sees an invalid
+    month/year — a bare per-row ``make_date(y, m, d)`` THROWS on Feb 30
+    under ANSI, and this Spark has no ``try_make_date``); each exploded
+    row then derives DATE as one integer ``date_add`` + a day-count
+    compare. The replaced shape ran ``try_to_date`` over a concat'd
+    string per EXPLODED row — 31x the string building and calendar
+    parsing for the same result. Exactly equal: the year guard
+    [1000, 9999] reproduces try_to_date's 4-digit 'yyyyMMdd'
+    acceptance, month guard [1, 12] and the day <= last-day compare
+    reproduce its calendar validation (old-vs-new pinned equal row-set
+    over the full 913-file corpus in scripts/equiv_r15.py).
     """
     lines = read_fixed_width(spark, paths, DLY_HEADER, keep_line=True)
-    day = F.explode(F.sequence(F.lit(1), F.lit(31))).alias("day")
-    exploded = lines.select("ID", "year", "month", "ELEMENT", "value", day)
-    start = F.lit(22) + (F.col("day") - 1) * 8
-    line = F.col("value")
+    # one parsed SQL string, not 31 py4j substr calls (the r14
+    # construction rule); slot i covers cols 22+8i .. 29+8i
+    slots = F.expr(
+        "array("
+        + ", ".join(f"substring(value, {22 + 8 * i}, 8)" for i in range(31))
+        + ")"
+    )
+    month_first = F.expr(
+        "CASE WHEN year BETWEEN 1000 AND 9999 AND month BETWEEN 1 AND 12 "
+        "THEN make_date(year, month, 1) END"
+    )
+    exploded = lines.select(
+        "ID",
+        "year",
+        "month",
+        "ELEMENT",
+        month_first.alias("__first"),
+        F.dayofmonth(F.last_day(month_first)).alias("__dim"),
+        F.posexplode(slots).alias("d0", "slot"),
+    )
+    slot = F.col("slot")
     parsed = exploded.select(
         "ID",
         "year",
         "month",
-        "day",
+        (F.col("d0") + 1).alias("day"),
         "ELEMENT",
-        line.substr(start, F.lit(5)).cast("int").alias("VALUE"),
-        line.substr(start + 5, F.lit(1)).alias("MFLAG"),
-        line.substr(start + 6, F.lit(1)).alias("QFLAG"),
-        line.substr(start + 7, F.lit(1)).alias("SFLAG"),
+        slot.substr(1, 5).cast("int").alias("VALUE"),
+        slot.substr(6, 1).alias("MFLAG"),
+        slot.substr(7, 1).alias("QFLAG"),
+        slot.substr(8, 1).alias("SFLAG"),
+        "__first",
+        "__dim",
     )
-    # try_to_date: impossible dates (Feb 30) -> NULL -> filtered, matching
-    # the reference's pre-ANSI to_date semantics (bronze_processor.py:68-75)
     dated = parsed.withColumn(
         "DATE",
-        F.try_to_date(
-            F.concat(
-                F.col("year").cast("string"),
-                F.lpad(F.col("month").cast("string"), 2, "0"),
-                F.lpad(F.col("day").cast("string"), 2, "0"),
-            ),
-            "yyyyMMdd",
+        F.when(
+            F.col("day") <= F.col("__dim"),
+            F.date_add(F.col("__first"), F.col("day") - 1),
         ),
     )
     return dated.filter(

@@ -863,7 +863,10 @@ FROM per
 @register(
     "charlm_quality_docs",
     oracle=_CHARLM_ORACLE,
-    tags=("llm", "text", "quality"),
+    # "persists" since r15: the self-trained bigram substrate is
+    # persist-marked inside charlm_surprisal (it feeds the vocabulary
+    # aggregate AND the scoring join)
+    tags=("llm", "text", "quality", "persists"),
     late=True,
 )
 def charlm_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

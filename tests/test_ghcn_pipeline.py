@@ -394,3 +394,52 @@ def test_nearest_stations_composition(spark, fixture_paths):
     assert out["USC0FL00001"].neighbor_id == S2
     assert out[S1].distance_km == pytest.approx(hav(atl, sav), abs=1e-9)
     assert out["USC0FL00001"].distance_km == pytest.approx(hav(mia, sav), abs=1e-9)
+
+
+def test_bronze_date_guards_match_try_to_date(spark, tmp_path):
+    """r15: the per-line make_date/last_day/date_add derivation must
+    reproduce try_to_date(concat, 'yyyyMMdd') semantics exactly at the
+    guard edges — 3-digit years and month 13 yield NULL dates (filtered
+    out), valid leap/non-leap month ends survive."""
+    def line(year: int, month: int) -> str:
+        head = f"{'USC0GA99901':<11}{year:04d}{month:02d}{'TMAX':<4}"
+        return head + "".join(f"{100 + d:>5}  N" for d in range(1, 32))
+
+    lines = [
+        line(2021, 1),   # valid
+        line(2020, 2),   # leap Feb: day 29 kept, day 30 dropped
+        line(2021, 13),  # month 13: all dates NULL
+        line(999, 1),    # 3-digit year: all dates NULL (yyyyMMdd parity)
+    ]
+    p = tmp_path / "edge.dly"
+    p.write_text("\n".join(lines) + "\n")
+    rows = bronze_from_dly(spark, str(p)).collect()
+    assert all(r.month in (1, 2) and r.year in (2020, 2021) for r in rows)
+    feb = {r.day for r in rows if r.year == 2020 and r.month == 2}
+    assert 29 in feb and 30 not in feb
+    jan = {r.day for r in rows if r.year == 2021 and r.month == 1}
+    assert 31 in jan
+
+
+def test_double_literal_non_finite_parses(spark):
+    """ADVICE r14: non-finite values must render as parseable SQL
+    literals (f'{v!r}D' would emit infD/nanD and crash the parser)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ghcn_d_etl_project_spark.operators.common import double_literal
+
+    expr = F.expr(
+        "array("
+        + ", ".join(
+            double_literal(v)
+            for v in (1.5, float("inf"), float("-inf"), float("nan"))
+        )
+        + ")"
+    )
+    [row] = spark.range(1).select(expr.alias("a")).collect()
+    assert row.a[0] == 1.5
+    assert math.isinf(row.a[1]) and row.a[1] > 0
+    assert math.isinf(row.a[2]) and row.a[2] < 0
+    assert math.isnan(row.a[3])

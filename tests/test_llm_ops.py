@@ -1572,3 +1572,65 @@ def test_ngram_novelty_planted(spark):
     )
     got = {r["doc_id"]: r for r in ngram_novelty(dups).collect()}
     assert got[7]["novel_frac"] == 0.0 and got[8]["novel_frac"] == 0.0
+
+
+def test_ann_lsh_canonical_filter_equals_distinct(spark):
+    """r15 (VERDICT r14 #3): the map-side canonical-occurrence filter
+    that replaced the pair ``distinct()`` must yield exactly the
+    distinct same-bucket pair set. Reference: the r14 tail rebuilt
+    inline — same signature matmul, band explode, self-join and hamming
+    gate, then an explicit distinct."""
+    from ghcn_d_etl_project_spark.operators.similarity import (
+        _as_double,
+        _lsh_signatures_matmul,
+        _scoreable,
+        ensure_parallelism,
+    )
+
+    n_planes, n_tables, frac = 4, 16, 0.47
+    n_bits = n_planes * n_tables
+    emb = t(spark, SF_DIR, "embeddings")
+    vecd = ensure_parallelism(_scoreable(emb, "vec_id", "embedding")).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qvec")
+    )
+    wide = _lsh_signatures_matmul(vecd, 64, n_planes, n_tables, True)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(t_).alias("tbl"), F.col(f"b_{t_}").alias("bucket"))
+            for t_ in range(n_tables)
+        ]
+    )
+    hashed = wide.select(
+        "qid", "sig", F.explode(band_structs).alias("h")
+    ).select("qid", "sig", F.col("h.tbl").alias("tbl"), F.col("h.bucket").alias("bucket"))
+    other = hashed.select(
+        F.col("qid").alias("nid"), F.col("sig").alias("nsig"), "tbl", "bucket"
+    )
+    cands = (
+        hashed.join(other, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("nsig")))
+            <= int(frac * n_bits)
+        )
+    )
+    expected = {
+        (r.qid, r.nid)
+        for r in cands.select("qid", "nid").distinct().collect()
+    }
+    mask = (1 << n_planes) - 1
+    first_tbl = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN (shiftrightunsigned(sig ^ nsig, {t_ * n_planes})"
+            f" & {mask}) = 0 THEN {t_}"
+            for t_ in range(n_tables)
+        )
+        + " END"
+    )
+    got_rows = (
+        cands.filter(F.col("tbl") == first_tbl).select("qid", "nid").collect()
+    )
+    got = {(r.qid, r.nid) for r in got_rows}
+    assert len(got_rows) == len(got), "canonical filter kept a duplicate"
+    assert got == expected
